@@ -1,0 +1,64 @@
+"""Testdata catalog: load the driver-generated parquet tables.
+
+Tables (see /root/repo/TESTDATA.md): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet file each under a
+scale-factor directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins, even at 100 TB
+# fact scale (region/nation are fixed-size; customer/supplier/part grow with
+# SF but stay orders of magnitude below the facts — we still broadcast-hint
+# only the fixed-size ones and let AQE decide for the rest).
+BROADCAST_ALWAYS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (schema comes from parquet).
+
+    events.ts is stored as TIMESTAMP(NANOS), which Spark reads as a nanos
+    long (spark.sql.legacy.parquet.nanosAsLong) — convert to a microsecond
+    timestamp by flooring, exactly what DuckDB does on read.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql-based queries)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

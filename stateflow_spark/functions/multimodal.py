@@ -1,0 +1,81 @@
+"""Multimodal column plumbing: binary payload + typed metadata + Arrow-batched
+decode/feature-extract via mapInPandas.
+
+The real decoders (PIL/opencv/librosa/ffmpeg) are NOT in this container, so
+``fake_decode_features`` is a clearly-marked deterministic stand-in: it
+derives pseudo-features purely from the bytes (length, md5-derived values).
+The Spark-side contract — schemas, batch iteration, partition sizing — is the
+real thing: swapping in a true decoder changes only the body of the batch
+function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Output schema of the decode/feature stage. Fixed and explicit: required by
+# mapInPandas, and the thing that keeps the downstream plan stable.
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("content_hash", StringType(), False),
+        StructField("feat", ArrayType(DoubleType()), False),
+        StructField("decode_status", StringType(), False),
+    ]
+)
+
+
+def fake_decode_features(payload: bytes) -> list[float]:
+    """DETERMINISTIC STUB for the media decode step (no codecs in container).
+
+    A real implementation would be e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload))      # decode
+        img = img.resize((224, 224))                    # resize
+        feat = model(np.asarray(img))                   # feature-extract
+
+    and would raise/flag on corrupt payloads. Here: 8 pseudo-features from
+    the md5 digest, scaled to [0, 1) — stable across runs and engines.
+    """
+    digest = hashlib.md5(payload).digest()
+    return [b / 256.0 for b in digest[:8]]
+
+
+def decode_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over a binary `payload` column.
+
+    Input columns: doc_id (long), payload (binary), meta (struct).
+    mapInPandas (not a scalar UDF) so one Python roundtrip handles the whole
+    batch and the decoder may drop/expand rows (corrupt frames, multi-frame
+    sampling) without a join back.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_hash": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "feat": payloads.map(fake_decode_features),
+                    "decode_status": "ok",
+                }
+            )
+
+    return blobs.mapInPandas(batches, FEATURE_SCHEMA)

@@ -1,0 +1,146 @@
+"""Grouping-set aggregates: rollup / cube / grouping sets / distinct counts
+(SURVEY.md §2.C "Aggregations" row)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stateflow_spark.catalog import load, register_views
+from stateflow_spark.queries.common import dsum, register
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_bal,
+           GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy region→nation with GROUPING() indicators (the
+    indicators disambiguate natural NULLs from subtotal NULLs)."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal", "total_bal", 4),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two independent dimensions."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price", 4),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (via Spark SQL — DataFrame API has no direct
+    grouping-sets builder)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (expand + two-phase agg)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_variance_exact",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+           (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+            - CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+              * CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE))
+           / CAST(COUNT(*) - 1 AS DOUBLE) AS var_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 1
+    """,
+    tags=("agg", "stats"),
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent sample variance from exact decimal moments (a
+    built-in var_samp would be summation-order-dependent across engines)."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    g = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((bal).cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((bal * bal).cast("decimal(38,6)")).cast("double").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - F.lit(1.0))
+    return g.filter(F.col("n") > 1).select(
+        "c_nationkey", "n", "s1", "s2", var.alias("var_bal")
+    )

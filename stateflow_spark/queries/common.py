@@ -1,0 +1,86 @@
+"""Registry plumbing + exactness helpers shared by all query modules.
+
+Exactness strategy (this is what makes the DuckDB oracle hash-match):
+
+Double-precision SUMs are order-dependent, and Spark's partition-parallel
+aggregation will not reproduce DuckDB's summation order. So every aggregate
+over a double column goes through a fixed-scale DECIMAL accumulator —
+decimal addition is exact and associative, so both engines compute the
+*identical* value regardless of partitioning. The final output is CAST back
+to DOUBLE (exact while the scaled integer fits in 2^53, which holds for all
+test scales and is sized for 100 TB with DECIMAL(38,…)).
+
+Averages / ratios are emitted as ``CAST(decimal_sum AS DOUBLE) / count`` —
+one IEEE double division of bit-identical operands on both sides, hence
+bit-identical results with no rounding epsilon at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL; None → driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
+    """Decorator: add a (spark, sf_dir) -> DataFrame builder to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Exact-aggregation helpers (Spark side). The oracle SQL mirrors them with
+# the same CAST(... AS DECIMAL(38, s)) expressions.
+# --------------------------------------------------------------------------
+
+DEC = "decimal(38,{s})"
+
+
+def dec(col: Column | str, scale: int = 4) -> Column:
+    """Cast a double expression to an exact fixed-scale decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC.format(s=scale))
+
+
+def dsum(col: Column | str, alias: str, scale: int = 4) -> Column:
+    """Exact SUM: decimal-accumulated, emitted as DOUBLE."""
+    return F.sum(dec(col, scale)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str, scale: int = 4) -> Column:
+    """Exact-sum average: decimal sum cast to double, divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(dec(c, scale)).cast("double") / F.count(c).cast("double")
+    ).alias(alias)
+
+
+def oracle_dsum(expr: str, alias: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def oracle_davg(expr: str, alias: str, scale: int = 4) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
+    )

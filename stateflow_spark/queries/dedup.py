@@ -1,0 +1,312 @@
+"""Deduplication queries over `documents`: exact, n-gram Jaccard, SimHash,
+MinHash-LSH. These are the training-data-pipeline dedup family.
+
+Scale design: every variant is a pure shuffle-bounded DataFrame plan —
+shingle explosion → hash-partitioned self-join on shingle/band/bucket — with
+no driver-side collection and no all-pairs comparison except where banding
+already bounded the candidate set. The exact-Jaccard oracle does all-pairs
+only at oracle scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stateflow_spark.catalog import load
+from stateflow_spark.queries.common import register
+
+JACCARD_THRESHOLD = 0.10
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct 3-word shingles (position-indexed higher-order
+    transform; stays in whole-stage codegen)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            """
+            array_distinct(transform(
+                sequence(1, size(split(text, ' ')) - 2),
+                i -> concat_ws(' ',
+                       element_at(split(text, ' '), i),
+                       element_at(split(text, ' '), i + 1),
+                       element_at(split(text, ' '), i + 2))))
+            """
+        ).alias("shingles"),
+    ).filter(F.size(F.col("shingles")) > 0)
+
+
+_SHINGLE_SQL = """
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS shingles
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact", "bench"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-group on content fingerprint, keep min doc_id as
+    canonical. One shuffle on the fingerprint; at 100 TB the md5 keys are
+    uniformly distributed so no skew handling is needed."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ threshold. The join is on the
+    shingle value, so only docs sharing a shingle ever meet (inverted-index
+    join, not all-pairs). At scale, hot shingles are the skew risk — AQE skew
+    split handles it; a stop-shingle filter is the knob if needed."""
+    sh = _shingles_df(spark, sf_dir)
+    counts = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+_SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int exactly
+
+_SIMHASH_SQL = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   list_reduce(list_transform(range(1, 16),
+                       i -> CAST(strpos('0123456789abcdef',
+                                        substr(md5(t), i, 1)) - 1 AS BIGINT)),
+                       (a, b) -> a * 16 + b) AS hv
+            FROM toks
+        ), votes AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h, (SELECT unnest(range(0, {_SIMHASH_BITS})) AS b)
+            GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE CAST(0 AS BIGINT) END) AS simhash
+        FROM votes GROUP BY doc_id
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 60-bit SimHash. Token hash = first 15 hex chars of md5 (an
+    engine-independent hash, so the oracle reproduces it bit-for-bit)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    hv = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+    bits = toks.select(
+        "doc_id",
+        hv.alias("hv"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
+    )
+    vote = F.when(F.expr("(hv >> b) & 1") == 1, 1).otherwise(-1)
+    votes = bits.groupBy("doc_id", "b").agg(F.sum(vote).alias("v"))
+    bitval = F.when(
+        F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return votes.groupBy("doc_id").agg(F.sum(bitval).alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"{_SIMHASH_SQL}",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash (occurrence-weighted bit voting)."""
+    return _simhash_df(spark, sf_dir)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sh AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 4 of 60 bits) via 5-band blocking:
+    by pigeonhole, two hashes within hamming 4 agree exactly on at least one
+    of the 5 12-bit bands, so the join key is (band_idx, band_value) — never
+    all-pairs, and recall is exactly 1. The oracle checks the same set by
+    brute force at oracle scale."""
+    sh = _simhash_df(spark, sf_dir)
+    n_bands, band_bits = 5, 12
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_bands)])
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(simhash >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 4)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # engine-specific hash → driver does the rows-only check;
+    # tests/test_dedup.py asserts recall against the exact-Jaccard oracle.
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified by exact Jaccard.
+
+    shingle → 16 minhash signatures (xxhash64 with per-permutation seeds) →
+    4 bands × 4 rows → band-bucket join → exact-Jaccard verification of the
+    candidates only. This is the 100 TB path: cost is O(docs × shingles)
+    plus a join keyed on (band, bucket); the exact verify touches only
+    banded candidates."""
+    sh = _shingles_df(spark, sf_dir)
+    n_perm, n_bands = 16, 4
+    rows_per_band = n_perm // n_bands
+    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id", "n").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+            for i in range(n_perm)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to the banded candidates
+    ex2 = sh.select("doc_id", F.explode("shingles").alias("s"))
+    counts = sh.select("doc_id", F.size("shingles").alias("n"))
+    exa = ex2.select(F.col("doc_id").alias("doc_a"), "s")
+    exb = ex2.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s2"))
+    inter = (
+        cand.join(exa, "doc_a")
+        .join(exb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s2")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,196 @@
+"""Batch analogs of the reference's stateful-entity operators (SURVEY.md §2.A
+ops #4-#9): InitClass, InvokeStateful, GetState, UpdateState, FindClass.
+
+In the reference each of these is a per-event handler in
+stateflow/dataflow/stateful_operator.py (create :36-62/:123-157, invoke
+:211-247, get :159-176, update :192-209, find :178-190). Re-expressed
+Spark-first, the *batch* face of each handler is a relational operation on an
+entity table keyed by primary key — point lookup, keyed upsert, semi-join,
+keyed fold. The *streaming* face (true per-event state machine) lives in
+stateflow_spark/streaming/stateful.py.
+
+Here `customer` plays the entity table (key = c_custkey, state = c_acctbal…)
+and `events` plays the invocation stream (key = user_id ≡ custkey space).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stateflow_spark.catalog import load
+from stateflow_spark.queries.common import register
+
+
+@register(
+    "entity_get_state",
+    oracle="""
+    SELECT c_custkey AS key, c_name, c_acctbal AS balance
+    FROM customer WHERE c_custkey = 42
+    """,
+    tags=("entity", "point-read"),
+)
+def entity_get_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetState (op #7): point read of one entity's attributes. At scale this
+    is a pushed-down key predicate on the parquet scan, not a full scan."""
+    c = load(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") == 42).select(
+        F.col("c_custkey").alias("key"),
+        "c_name",
+        F.col("c_acctbal").alias("balance"),
+    )
+
+
+@register(
+    "entity_find_class",
+    oracle="""
+    SELECT c_custkey AS key, TRUE AS found
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("entity", "semijoin"),
+)
+def entity_find_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FindClass (op #9): existence check as a left-semi join (the batch form
+    of state.exists; reference short-circuits misses to KeyNotFound,
+    stateful_operator.py:100-111)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("key"), F.lit(True).alias("found"))
+    )
+
+
+@register(
+    "entity_update_state",
+    oracle="""
+    SELECT c_custkey AS key,
+           c_acctbal AS old_balance,
+           CASE WHEN c_custkey % 100 = 0 THEN 0.0 ELSE c_acctbal END
+               AS new_balance
+    FROM customer
+    WHERE c_custkey % 100 = 0
+    """,
+    tags=("entity", "point-write"),
+)
+def entity_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateState (op #8): keyed attribute write, shown as the before/after
+    projection of a batch upsert (the MERGE form writes back to the entity
+    table; the transformation is identical)."""
+    c = load(spark, sf_dir, "customer")
+    cond = F.col("c_custkey") % 100 == 0
+    return c.filter(cond).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("old_balance"),
+        F.when(cond, F.lit(0.0)).otherwise(F.col("c_acctbal")).alias("new_balance"),
+    )
+
+
+@register(
+    "entity_init_class",
+    oracle="""
+    SELECT c_custkey AS key, c_name, c_acctbal
+    FROM (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        UNION ALL
+        SELECT 999999999 AS c_custkey, 'new-entity' AS c_name, 0.0 AS c_acctbal
+    )
+    WHERE c_custkey = 999999999 OR c_custkey < 5
+    """,
+    tags=("entity", "create"),
+)
+def entity_init_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InitClass (ops #4/#5): entity creation = append of an initialized state
+    row (key computed from __key__(), reference class_wrapper.py:58-81).
+    Projected to the new row + a few existing ones for the oracle check."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    new_row = spark.createDataFrame(
+        [(999999999, "new-entity", 0.0)], schema="c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"
+    )
+    u = c.unionByName(new_row)
+    return (
+        u.filter((F.col("c_custkey") == 999999999) | (F.col("c_custkey") < 5))
+        .select(F.col("c_custkey").alias("key"), "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "entity_invoke_fold",
+    oracle="""
+    SELECT c_custkey AS key,
+           c_acctbal AS old_balance,
+           c_acctbal + COALESCE(delta, 0.0) AS new_balance,
+           COALESCE(n_invocations, 0) AS n_invocations
+    FROM customer
+    LEFT JOIN (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS delta,
+               COUNT(*) AS n_invocations
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ) ON user_id = c_custkey
+    """,
+    tags=("entity", "invoke", "fold"),
+)
+def entity_invoke_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InvokeStateful (op #6), batch-vectorized: a stream of update_balance
+    invocations folds into one delta per key (map-side partial agg), then a
+    single keyed join applies it to the entity table — the scalable
+    re-expression of per-event method dispatch for commutative updates."""
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    deltas = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("delta"),
+        F.count(F.lit(1)).alias("n_invocations"),
+    )
+    return (
+        c.join(deltas, c.c_custkey == deltas.user_id, "left")
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_acctbal").alias("old_balance"),
+            (F.col("c_acctbal") + F.coalesce(F.col("delta"), F.lit(0.0))).alias(
+                "new_balance"
+            ),
+            F.coalesce(F.col("n_invocations"), F.lit(0)).alias("n_invocations"),
+        )
+    )
+
+
+@register(
+    "entity_ycsb_replay",
+    oracle="""
+    SELECT user_id AS key,
+           100.0 + CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                      WHEN event_type = 'error' THEN -value
+                                      ELSE 0.0 END AS DECIMAL(38,4)))
+                   AS DOUBLE) AS balance,
+           COUNT(*) FILTER (event_type IN ('view', 'click')) AS n_reads,
+           COUNT(*) FILTER (event_type IN ('purchase', 'error')) AS n_updates
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("entity", "ycsb", "fold", "bench"),
+)
+def entity_ycsb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YCSB-style replay (reference workload, demo_runtime_universalis_ycsb.py
+    :16-31): every entity starts at 100, updates apply deltas, reads count.
+    The commutative fold makes the final state expressible as one exact
+    aggregation — the same semantics the streaming stateful operator applies
+    event-at-a-time (tests assert both paths agree)."""
+    e = load(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "error", -F.col("value"))
+        .otherwise(F.lit(0.0))
+    )
+    return e.groupBy(F.col("user_id").alias("key")).agg(
+        (F.lit(100.0) + F.sum(delta.cast("decimal(38,4)")).cast("double")).alias(
+            "balance"
+        ),
+        F.count(F.when(F.col("event_type").isin("view", "click"), 1)).alias("n_reads"),
+        F.count(F.when(F.col("event_type").isin("purchase", "error"), 1)).alias(
+            "n_updates"
+        ),
+    )

@@ -1,0 +1,234 @@
+"""Event-stream analytics over the `events` table — the batch-checkable
+faces of the streaming surface (SURVEY.md §2.C: event-time windows,
+sessionization, dedup, JSON payload parsing — payload handling mirrors the
+reference's free-form event payload dicts, stateflow/dataflow/event.py:65-98).
+
+The same transformations run as Structured Streaming queries via
+``stateflow_spark.streaming``; here they execute in batch so the DuckDB
+oracle can verify the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stateflow_spark.catalog import load
+from stateflow_spark.queries.common import dsum, register
+
+
+@register(
+    "events_hourly_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("events", "window-tumbling", "bench"),
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate (epoch-aligned, so it
+    equals date_trunc('hour')). Streaming twin: groupBy(window(ts)) with a
+    watermark — see streaming/windows.py."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value", 4),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH floored AS (
+        SELECT *,
+               date_trunc('hour', ts)
+                 + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 0 MINUTE END AS w1
+        FROM events
+    ), exploded AS (
+        SELECT w1 AS window_start, value FROM floored
+        UNION ALL
+        SELECT w1 - INTERVAL 30 MINUTE AS window_start, value FROM floored
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM exploded
+    GROUP BY window_start
+    """,
+    tags=("events", "window-sliding"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour width, 30-minute slide (each event lands in
+    exactly two windows)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value", 4),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "events_session_windows",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), isl AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM isl
+    GROUP BY user_id, sid
+    """,
+    tags=("events", "session-window"),
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap via session_window() — the
+    native form of the reference's per-key activity grouping. Oracle is the
+    equivalent gaps-and-islands SQL."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value", 4),
+        )
+        .select("user_id", "session_start", "session_last", "n_events", "total_value")
+    )
+
+
+@register(
+    "events_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("events", "dedup"),
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest event per (user, type) — deterministic dedup (the
+    order-by makes it reproducible, unlike bare dropDuplicates). Streaming
+    twin: dropDuplicatesWithinWatermark."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "events_json_payload",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "json"),
+)
+def events_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the free-form JSON payload column (reference events carry a
+    payload dict, stateflow/dataflow/event.py:81-98) and aggregate on it."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "total_value", 4),
+        )
+    )
+
+
+@register(
+    "events_topk_users",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+    tags=("events", "topk"),
+)
+def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by exact total value."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(dsum("value", "total_value", 4), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "events_type_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'view')     AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events", "pivot"),
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types to columns (explicit value list keeps the schema
+    static — required for streaming parity and for plan stability at scale)."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = e.groupBy("user_id").pivot("event_type", types).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
