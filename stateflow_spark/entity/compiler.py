@@ -1,0 +1,447 @@
+"""Flow compiler: linked entity methods → a flat, serializable instruction
+program.
+
+This replaces the reference's libcst block-splitting + EventFlowGraph
+pipeline (stateflow/split/split_analyze.py:105-857, split_block.py:53-1136,
+event_flow.py:239-1159) with a deliberately different, Spark-first design:
+
+- The IR is a *flat instruction list* with jump targets (ip indices), not a
+  linked node graph. An event carries only (method_id, ip, ns, cache) — the
+  program itself is static and lives in the registry on every executor.
+- Statements with no external interaction stay as verbatim Python source
+  (EXEC) — no def/use re-codegen needed; the namespace dict is the scope.
+- External *method calls* are hoisted out of expressions into CALL
+  instructions (handles calls in if-tests, nested expressions, subscripted
+  targets like ``lst[i].m()`` — reference split_analyze.py:321-379).
+- External *attribute reads* stay inside EXEC fragments, served by state
+  proxies; each instruction carries the set of entity expressions whose
+  state must be fetched first (``needs``). Fetch-on-need with
+  invalidate-on-write replaces the reference's compile-time REQUEST_STATE
+  placement + invalidation analysis (split_analyze.py:666-781) with
+  identical observable semantics.
+- ``if``/``for``/``while`` bodies are split only when they actually contain
+  external interactions (the reference splits at every if/for).
+
+Control flow:
+  BRANCH(test, needs, false_ip)     — fall through when true
+  FOR_ITER(seq_var, idx_var, target, end_ip [, else start])
+  JUMP(ip)
+Data:
+  EXEC(src, needs)                  — exec Python source in the flow ns
+  CALL(target_src, method, arg_srcs, result_var, needs)
+  RETURN(expr_src, needs)
+"""
+
+from __future__ import annotations
+
+import ast
+from dataclasses import dataclass, field
+from typing import Optional
+
+from stateflow_spark.entity.descriptors import ClassDesc, MethodDesc
+
+
+# --------------------------------------------------------------------------
+# IR
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Instr:
+    pass
+
+
+@dataclass
+class Exec(Instr):
+    src: str
+    needs: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Branch(Instr):
+    test_src: str
+    false_ip: int = -1
+    needs: list[str] = field(default_factory=list)
+
+
+@dataclass
+class ForIter(Instr):
+    seq_var: str
+    idx_var: str
+    target: str
+    end_ip: int = -1
+
+
+@dataclass
+class Jump(Instr):
+    ip: int = -1
+
+
+@dataclass
+class Call(Instr):
+    target_src: str
+    method: str
+    arg_srcs: list[str]
+    result_var: Optional[str]
+    needs: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Return(Instr):
+    expr_src: Optional[str]
+    needs: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Program:
+    entity: str
+    method: str
+    params: list[str]
+    instrs: list[Instr]
+
+    def pretty(self) -> str:
+        out = [f"flow {self.entity}.{self.method}({', '.join(self.params)}):"]
+        for i, ins in enumerate(self.instrs):
+            out.append(f"  {i:3d}: {ins}")
+        return "\n".join(out)
+
+
+# --------------------------------------------------------------------------
+# entity-typedness tracking + external-interaction detection
+# --------------------------------------------------------------------------
+
+
+class _Types:
+    """Which local names are entity refs / lists of entity refs."""
+
+    def __init__(self, registry_names: set[str]):
+        self.names = registry_names
+        self.entity_vars: dict[str, str] = {}
+        self.list_vars: dict[str, str] = {}
+
+    def is_entity_expr(self, node: ast.expr) -> bool:
+        if isinstance(node, ast.Name):
+            return node.id in self.entity_vars
+        if isinstance(node, ast.Subscript) and isinstance(node.value, ast.Name):
+            return node.value.id in self.list_vars
+        return False
+
+    def note_stmt(self, stmt: ast.stmt) -> None:
+        """Propagate entity-typedness through simple assignments."""
+        if isinstance(stmt, ast.AnnAssign) and isinstance(stmt.target, ast.Name):
+            hint = ast.unparse(stmt.annotation).replace("'", "").replace('"', "")
+            if hint in self.names:
+                self.entity_vars[stmt.target.id] = hint
+            elif hint.startswith(("List[", "list[")) and hint[5:-1] in self.names:
+                self.list_vars[stmt.target.id] = hint[5:-1]
+        elif isinstance(stmt, ast.Assign) and len(stmt.targets) == 1:
+            t = stmt.targets[0]
+            if isinstance(t, ast.Name):
+                v = stmt.value
+                if isinstance(v, ast.Name) and v.id in self.entity_vars:
+                    self.entity_vars[t.id] = self.entity_vars[v.id]
+                elif (
+                    isinstance(v, ast.Subscript)
+                    and isinstance(v.value, ast.Name)
+                    and v.value.id in self.list_vars
+                ):
+                    self.entity_vars[t.id] = self.list_vars[v.value.id]
+
+    def note_loop_target(self, target: ast.expr, iter_: ast.expr) -> None:
+        if (
+            isinstance(target, ast.Name)
+            and isinstance(iter_, ast.Name)
+            and iter_.id in self.list_vars
+        ):
+            self.entity_vars[target.id] = self.list_vars[iter_.id]
+
+    def prescan(self, body: list[ast.stmt]) -> None:
+        """Flow-insensitive pre-pass: register entity-typedness of every
+        assignment / loop target anywhere in the method, so split detection
+        and needs analysis see names before their defining statement is
+        compiled. Over-approximation is safe — a 'need' that isn't a ref at
+        runtime is simply skipped."""
+        for stmt in body:
+            for node in ast.walk(stmt):
+                if isinstance(node, ast.stmt):
+                    self.note_stmt(node)
+                if isinstance(node, ast.For):
+                    self.note_loop_target(node.target, node.iter)
+
+
+def _external_calls_in(node: ast.AST, types: _Types) -> bool:
+    for n in ast.walk(node):
+        if (
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and types.is_entity_expr(n.func.value)
+        ):
+            return True
+    return False
+
+
+def _owning_loop_contains(stmt: ast.stmt, target: ast.AST) -> bool:
+    """True if `target` (a break/continue) sits inside a loop that is itself
+    contained in `stmt` (so exec'ing stmt whole keeps it legal)."""
+    for n in ast.walk(stmt):
+        if isinstance(n, (ast.For, ast.While)):
+            for inner in ast.walk(n):
+                if inner is target:
+                    return True
+    return False
+
+
+def _state_needs(node: ast.AST, types: _Types) -> list[str]:
+    """Entity expressions whose *attributes* are read inside node (method
+    calls are hoisted before this runs, so every remaining Attribute load on
+    an entity expression is a state read)."""
+    needs: list[str] = []
+    for n in ast.walk(node):
+        if (
+            isinstance(n, ast.Attribute)
+            and isinstance(n.ctx, ast.Load)
+            and types.is_entity_expr(n.value)
+        ):
+            src = ast.unparse(n.value)
+            if src not in needs:
+                needs.append(src)
+    return needs
+
+
+class _CallHoister(ast.NodeTransformer):
+    """Replace external calls inside an expression with temp names; emit the
+    hoisted (target, method, args, tmp) tuples in evaluation order.
+
+    Note: calls inside ``and``/``or``/ternary short-circuits are hoisted
+    unconditionally (both sides evaluate) — a documented deviation; the
+    reference's splitter rejects/mishandles these forms too."""
+
+    def __init__(self, types: _Types, tmp_prefix: str):
+        self.types = types
+        self.tmp_prefix = tmp_prefix
+        self.hoisted: list[tuple[str, str, list[str], str]] = []
+
+    def visit_Call(self, node: ast.Call):
+        self.generic_visit(node)  # inner-most first
+        if isinstance(node.func, ast.Attribute) and self.types.is_entity_expr(
+            node.func.value
+        ):
+            tmp = f"{self.tmp_prefix}{len(self.hoisted)}"
+            self.hoisted.append(
+                (
+                    ast.unparse(node.func.value),
+                    node.func.attr,
+                    [ast.unparse(a) for a in node.args],
+                    tmp,
+                )
+            )
+            return ast.copy_location(ast.Name(id=tmp, ctx=ast.Load()), node)
+        return node
+
+
+# --------------------------------------------------------------------------
+# compiler
+# --------------------------------------------------------------------------
+
+
+class _FlowCompiler:
+    def __init__(self, cls_desc: ClassDesc, method: MethodDesc, registry_names):
+        self.cls_desc = cls_desc
+        self.method = method
+        self.types = _Types(set(registry_names))
+        for p in method.params:
+            if p.entity and p.is_entity_list:
+                self.types.list_vars[p.name] = p.entity
+            elif p.entity:
+                self.types.entity_vars[p.name] = p.entity
+        self.instrs: list[Instr] = []
+        self.tmp_count = 0
+        # (break_patch_sites, head_ip) per active loop
+        self.loops: list[tuple[list[int], int]] = []
+
+    # -- emission helpers --
+    def emit(self, ins: Instr) -> int:
+        self.instrs.append(ins)
+        return len(self.instrs) - 1
+
+    def here(self) -> int:
+        return len(self.instrs)
+
+    def _tmp(self, kind: str) -> str:
+        self.tmp_count += 1
+        return f"__{kind}{self.tmp_count}"
+
+    # -- statement compilation --
+    def _needs_structural(self, stmt: ast.stmt) -> bool:
+        """A compound statement must be compiled into IR (not exec'd whole)
+        when it contains external calls, a return, or — while inside a split
+        loop — break/continue (those would be syntax errors in exec)."""
+        if _external_calls_in(stmt, self.types):
+            return True
+        for n in ast.walk(stmt):
+            if isinstance(n, ast.Return):
+                return True
+            if isinstance(n, (ast.Break, ast.Continue)) and self.loops:
+                # only a problem if the *enclosing* loop is split; a nested
+                # non-split loop inside this stmt keeps its own break legal
+                owner = _owning_loop_contains(stmt, n)
+                if not owner:
+                    return True
+        return False
+
+    def compile_body(self, body: list[ast.stmt]) -> None:
+        buffer: list[ast.stmt] = []
+        buffer_assigned: set[str] = set()
+
+        def flush():
+            if buffer:
+                mod = ast.Module(body=list(buffer), type_ignores=[])
+                self.emit(Exec(ast.unparse(mod), _state_needs(mod, self.types)))
+                buffer.clear()
+                buffer_assigned.clear()
+
+        def buffer_stmt(stmt: ast.stmt):
+            # if this statement reads entity state through a name assigned
+            # earlier in the buffer, the need can't be resolved before the
+            # fragment runs — split the fragment first
+            needs = _state_needs(stmt, self.types)
+            need_names = {
+                n.id
+                for src in needs
+                for n in ast.walk(ast.parse(src, mode="eval"))
+                if isinstance(n, ast.Name)
+            }
+            if need_names & buffer_assigned:
+                flush()
+            buffer.append(stmt)
+            for n in ast.walk(stmt):
+                if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Store):
+                    buffer_assigned.add(n.id)
+
+        for stmt in body:
+            if isinstance(stmt, ast.Return):
+                flush()
+                self._compile_return(stmt)
+            elif isinstance(stmt, (ast.If, ast.For, ast.While)) and self._needs_structural(stmt):
+                flush()
+                if isinstance(stmt, ast.If):
+                    self._compile_if(stmt)
+                elif isinstance(stmt, ast.For):
+                    self._compile_for(stmt)
+                else:
+                    self._compile_while(stmt)
+            elif isinstance(stmt, (ast.Break, ast.Continue)) and self.loops:
+                flush()
+                patches, head = self.loops[-1]
+                if isinstance(stmt, ast.Break):
+                    patches.append(self.emit(Jump()))
+                else:
+                    self.emit(Jump(head))
+            elif _external_calls_in(stmt, self.types):
+                flush()
+                self._compile_stmt_with_calls(stmt)
+            else:
+                buffer_stmt(stmt)
+        flush()
+
+    def _hoist(self, node: ast.AST):
+        h = _CallHoister(self.types, self._tmp("c") + "_")
+        new = h.visit(node)
+        ast.fix_missing_locations(new)
+        for target_src, mname, arg_srcs, tmp in h.hoisted:
+            needs = []
+            for a in arg_srcs:
+                needs.extend(
+                    n
+                    for n in _state_needs(ast.parse(a, mode="eval"), self.types)
+                    if n not in needs
+                )
+            self.emit(Call(target_src, mname, arg_srcs, tmp, needs))
+        return new
+
+    def _compile_stmt_with_calls(self, stmt: ast.stmt) -> None:
+        new = self._hoist(stmt)
+        # skip statements that became a bare temp-name expression
+        if isinstance(new, ast.Expr) and isinstance(new.value, ast.Name):
+            return
+        mod = ast.Module(body=[new], type_ignores=[])
+        self.emit(Exec(ast.unparse(mod), _state_needs(mod, self.types)))
+
+    def _compile_return(self, stmt: ast.Return) -> None:
+        if stmt.value is None:
+            self.emit(Return(None))
+            return
+        new = self._hoist(stmt.value)
+        self.emit(
+            Return(ast.unparse(new), _state_needs(new, self.types))
+        )
+
+    def _compile_if(self, stmt: ast.If) -> None:
+        test = self._hoist(stmt.test)
+        br = self.emit(Branch(ast.unparse(test), needs=_state_needs(test, self.types)))
+        self.compile_body(stmt.body)
+        if stmt.orelse:
+            j = self.emit(Jump())
+            self.instrs[br].false_ip = self.here()
+            self.compile_body(stmt.orelse)
+            self.instrs[j].ip = self.here()
+        else:
+            self.instrs[br].false_ip = self.here()
+
+    def _compile_for(self, stmt: ast.For) -> None:
+        if not isinstance(stmt.target, ast.Name):
+            raise NotImplementedError("tuple unpacking in split for-loops")
+        self.types.note_loop_target(stmt.target, stmt.iter)
+        seq = self._tmp("seq")
+        idx = self._tmp("idx")
+        it = self._hoist(stmt.iter)
+        self.emit(
+            Exec(
+                f"{seq} = list({ast.unparse(it)})\n{idx} = 0",
+                _state_needs(it, self.types),
+            )
+        )
+        head = self.emit(ForIter(seq, idx, stmt.target.id))
+        self.loops.append(([], head))
+        self.compile_body(stmt.body)
+        self.emit(Jump(head))
+        patches, _ = self.loops.pop()
+        self.instrs[head].end_ip = self.here()  # loop-done falls into else
+        if stmt.orelse:
+            self.compile_body(stmt.orelse)
+        for p in patches:  # break skips the else block
+            self.instrs[p].ip = self.here()
+
+    def _compile_while(self, stmt: ast.While) -> None:
+        head = self.here()
+        test = self._hoist(stmt.test)
+        # hoisted calls in the test re-run each iteration: they sit between
+        # `head` and the branch, and the loop jumps back to `head`
+        br = self.emit(Branch(ast.unparse(test), needs=_state_needs(test, self.types)))
+        self.loops.append(([], head))
+        self.compile_body(stmt.body)
+        self.emit(Jump(head))
+        patches, _ = self.loops.pop()
+        self.instrs[br].false_ip = self.here()
+        if stmt.orelse:
+            self.compile_body(stmt.orelse)
+        for p in patches:
+            self.instrs[p].ip = self.here()
+
+    def compile(self) -> Program:
+        self.types.prescan(self.method.node.body)
+        self.compile_body(self.method.node.body)
+        if not self.instrs or not isinstance(self.instrs[-1], Return):
+            self.emit(Return(None))
+        return Program(
+            entity=self.cls_desc.name,
+            method=self.method.name,
+            params=[p.name for p in self.method.params],
+            instrs=self.instrs,
+        )
+
+
+def compile_flow(cls_desc: ClassDesc, method: MethodDesc) -> Program:
+    from stateflow_spark.entity.registry import _REGISTRY
+
+    return _FlowCompiler(cls_desc, method, set(_REGISTRY)).compile()

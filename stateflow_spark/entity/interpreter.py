@@ -1,0 +1,323 @@
+"""Flow interpreter: executes a compiled Program against keyed state,
+hopping between entity keys.
+
+Reference analog: EventFlowGraph.step + per-node-type step() methods
+(stateflow/dataflow/event_flow.py:239-1159) and the same-key pipelining loop
+in StatefulOperator._handle_event_flow (stateful_operator.py:249-275).
+
+Execution model (designed for Spark partitioning):
+- The interpreter runs inside a keyed operator activation that owns ONE
+  partition's keys. It executes as many instructions as possible locally
+  (same-key pipelining), then returns a *hop*: the flow event re-addressed
+  to the key it needs next (reference loops these through the `internal`
+  Kafka topic; our runtimes loop them through a queue / next superstep).
+- EXEC/BRANCH/RETURN run at the flow owner's key. CALL runs at the callee's
+  key. Missing fetched-state runs at the owning key of the missing state.
+- Nested flows: a CALL whose callee method is itself linked starts a child
+  FlowState with a parent link (the reference instead inlines nested flows
+  at compile time, execution_plan_merging.py:24-252 — dynamic nesting is
+  this engine's equivalent).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from stateflow_spark.entity import wrapper
+from stateflow_spark.entity.compiler import (
+    Branch,
+    Call,
+    Exec,
+    ForIter,
+    Jump,
+    Program,
+    Return,
+)
+from stateflow_spark.entity.model import EntityRef
+from stateflow_spark.entity.proxy import (
+    EntityProxy,
+    FlowError,
+    RefListProxy,
+    SelfProxy,
+    unwrap,
+    wrap,
+)
+from stateflow_spark.entity.registry import get_entity_type
+
+
+@dataclass
+class PendingCall:
+    target: EntityRef
+    method: str
+    args: tuple
+    result_var: Optional[str]
+
+
+@dataclass
+class FlowState:
+    """Everything a flow event carries between partitions (picklable)."""
+
+    flow_id: str
+    entity: str
+    method: str
+    self_ref: EntityRef
+    ip: int = 0
+    ns: dict[str, Any] = field(default_factory=dict)
+    cache: dict[tuple[str, str], dict] = field(default_factory=dict)
+    pending: Optional[PendingCall] = None
+    parent: Optional["FlowState"] = None
+    parent_result_var: Optional[str] = None
+
+
+@dataclass
+class StepOutcome:
+    """Result of running the interpreter at one partition."""
+
+    hop_to: Optional[EntityRef] = None  # flow continues at this key
+    done: bool = False
+    result: Any = None
+    error: Optional[str] = None
+    flow: Optional[FlowState] = None
+
+
+class StateStore:
+    """Keyed state interface the interpreter sees. Runtimes implement access
+    to the keys *local to the current activation*; `owns` says whether a key
+    is local (LocalRuntime owns everything; Spark partitions own a subset)."""
+
+    def owns(self, ref: EntityRef) -> bool:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def get(self, ref: EntityRef) -> Optional[dict]:  # pragma: no cover
+        raise NotImplementedError
+
+    def put(self, ref: EntityRef, state: dict) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+def start_flow(ref: EntityRef, method: str, args: tuple) -> FlowState:
+    et = get_entity_type(ref.entity)
+    prog: Program = et.flows[method]
+    ns = dict(zip(prog.params, [unwrap_arg(a) for a in args]))
+    return FlowState(
+        flow_id=str(uuid.uuid4()),
+        entity=ref.entity,
+        method=method,
+        self_ref=ref,
+        ns=ns,
+    )
+
+
+def unwrap_arg(a: Any) -> Any:
+    if isinstance(a, list):
+        return [unwrap_arg(x) for x in a]
+    return unwrap(a)
+
+
+def _methods_of(entity: str) -> set[str]:
+    et = get_entity_type(entity)
+    return {m for m in et.desc.methods if not m.startswith("__")}
+
+
+class Interpreter:
+    def __init__(self, store: StateStore):
+        self.store = store
+
+    # -- namespace plumbing -------------------------------------------------
+    def _exec_ns(self, flow: FlowState, self_state: dict) -> dict:
+        ns: dict[str, Any] = {}
+        for k, v in flow.ns.items():
+            ns[k] = wrap(v, flow.cache, _methods_of)
+        ns["self"] = SelfProxy(self_state, _methods_of(flow.entity))
+        return ns
+
+    def _writeback(self, flow: FlowState, ns: dict) -> None:
+        for k, v in ns.items():
+            if k == "self" or k.startswith("__"):
+                if k.startswith("__") and not k.startswith("__builtins"):
+                    flow.ns[k] = unwrap(v)
+                continue
+            flow.ns[k] = unwrap(v)
+
+    def _resolve_need(self, flow: FlowState, need_src: str, self_state: dict) -> Optional[EntityRef]:
+        """Evaluate a need expression to a ref; None if cached or if the
+        expression isn't actually a ref at runtime (the compiler's needs
+        analysis over-approximates — see _Types.prescan)."""
+        ns = self._exec_ns(flow, self_state)
+        try:
+            val = eval(need_src, ns)  # noqa: S307 - compiler-generated source
+        except NameError:
+            return None  # name defined later in this fragment's own exec
+        ref = unwrap(val)
+        if not isinstance(ref, EntityRef):
+            return None
+        if (ref.entity, ref.key) in flow.cache:
+            return None
+        return ref
+
+    def _ensure_needs(
+        self, flow: FlowState, needs: list[str], self_state: dict
+    ) -> Optional[EntityRef]:
+        """Fetch locally-owned missing states; return a ref to hop to if a
+        remote state is missing (REQUEST_STATE hop — event_flow.py:1103-1159)."""
+        for src in needs:
+            ref = self._resolve_need(flow, src, self_state)
+            if ref is None:
+                continue
+            if self.store.owns(ref):
+                st = self.store.get(ref)
+                if st is None:
+                    raise FlowError(f"entity {ref} does not exist (state read)")
+                flow.cache[(ref.entity, ref.key)] = dict(st)
+            else:
+                return ref
+        return None
+
+    # -- main loop ----------------------------------------------------------
+    def run(self, flow: FlowState) -> StepOutcome:
+        """Execute from flow.ip until a hop is required or the flow returns.
+        The caller guarantees the store owns every key it reports as local."""
+        try:
+            return self._run(flow)
+        except FlowError as ex:
+            return StepOutcome(done=True, error=str(ex), flow=flow)
+
+    def _run(self, flow: FlowState) -> StepOutcome:
+        while True:
+            et = get_entity_type(flow.entity)
+            prog: Program = et.flows[flow.method]
+            instr = prog.instrs[flow.ip]
+
+            # CALL dispatches at the callee's partition; everything else at
+            # the flow owner's partition.
+            if isinstance(instr, Call):
+                out = self._step_call(flow, instr)
+            elif isinstance(instr, (Exec, Branch, Return, ForIter, Jump)):
+                out = self._step_local(flow, instr)
+            else:  # pragma: no cover
+                raise FlowError(f"unknown instruction {instr!r}")
+
+            if isinstance(out, FlowState):
+                # a nested linked call started a child flow — execute it; its
+                # RETURN resumes the parent below
+                flow = out
+                continue
+            if out is not None:
+                if out.done and flow.parent is not None and out.error is None:
+                    # resume parent flow with the child's result
+                    parent = flow.parent
+                    parent.ns[flow.parent_result_var] = out.result
+                    flow = parent
+                    continue
+                return out
+
+    # -- local instructions --------------------------------------------------
+    def _step_local(self, flow: FlowState, instr) -> Optional[StepOutcome]:
+        if isinstance(instr, Jump):
+            flow.ip = instr.ip
+            return None
+
+        if not self.store.owns(flow.self_ref):
+            return StepOutcome(hop_to=flow.self_ref, flow=flow)
+
+        self_state = self.store.get(flow.self_ref)
+        if self_state is None:
+            raise FlowError(f"flow owner {flow.self_ref} does not exist")
+
+        needs = getattr(instr, "needs", [])
+        hop = self._ensure_needs(flow, needs, self_state)
+        if hop is not None:
+            return StepOutcome(hop_to=hop, flow=flow)
+
+        if isinstance(instr, Exec):
+            ns = self._exec_ns(flow, self_state)
+            exec(compile(instr.src, f"<flow:{flow.entity}.{flow.method}>", "exec"), ns)  # noqa: S102
+            self._writeback(flow, ns)
+            self.store.put(flow.self_ref, self_state)
+            flow.ip += 1
+            return None
+
+        if isinstance(instr, Branch):
+            ns = self._exec_ns(flow, self_state)
+            val = eval(instr.test_src, ns)  # noqa: S307
+            flow.ip = flow.ip + 1 if val else instr.false_ip
+            return None
+
+        if isinstance(instr, ForIter):
+            seq = flow.ns.get(instr.seq_var, [])
+            idx = flow.ns.get(instr.idx_var, 0)
+            if idx < len(seq):
+                flow.ns[instr.target] = seq[idx]
+                flow.ns[instr.idx_var] = idx + 1
+                # iteration target may be an entity ref → update nothing;
+                # wrapping happens per-exec
+                flow.ip += 1
+            else:
+                flow.ip = instr.end_ip
+            return None
+
+        if isinstance(instr, Return):
+            result = None
+            if instr.expr_src is not None:
+                ns = self._exec_ns(flow, self_state)
+                result = unwrap(eval(instr.expr_src, ns))  # noqa: S307
+            self.store.put(flow.self_ref, self_state)
+            return StepOutcome(done=True, result=result, flow=flow)
+
+        raise FlowError(f"unhandled local instruction {instr!r}")
+
+    # -- external call ---------------------------------------------------
+    def _step_call(self, flow: FlowState, instr: Call) -> Optional[StepOutcome]:
+        # phase 1: evaluate target + args at the flow owner's partition
+        if flow.pending is None:
+            if not self.store.owns(flow.self_ref):
+                return StepOutcome(hop_to=flow.self_ref, flow=flow)
+            self_state = self.store.get(flow.self_ref)
+            hop = self._ensure_needs(flow, instr.needs, self_state)
+            if hop is not None:
+                return StepOutcome(hop_to=hop, flow=flow)
+            ns = self._exec_ns(flow, self_state)
+            target = unwrap(eval(instr.target_src, ns))  # noqa: S307
+            if not isinstance(target, EntityRef):
+                raise FlowError(
+                    f"call target {instr.target_src!r} is not an entity ref"
+                )
+            args = tuple(unwrap(eval(a, ns)) for a in instr.arg_srcs)  # noqa: S307
+            flow.pending = PendingCall(target, instr.method, args, instr.result_var)
+
+        # phase 2: execute at the callee's partition
+        pc = flow.pending
+        if not self.store.owns(pc.target):
+            return StepOutcome(hop_to=pc.target, flow=flow)
+
+        et = get_entity_type(pc.target.entity)
+        mdesc = et.desc.methods[pc.method]
+
+        if pc.method in et.flows:
+            # nested linked method → child flow (dynamic nesting); the main
+            # loop switches to the child and resumes us on its RETURN
+            child = start_flow(pc.target, pc.method, pc.args)
+            child.parent = flow
+            child.parent_result_var = pc.result_var
+            flow.pending = None
+            flow.ip += 1
+            return child
+
+        state = self.store.get(pc.target)
+        if state is None:
+            raise FlowError(f"callee {pc.target} does not exist")
+        result, new_state = wrapper.invoke(
+            et.cls, et.desc, state, pc.method, pc.args
+        )
+        if not mdesc.read_only:
+            self.store.put(pc.target, new_state)
+            # invalidate this entity's fetched snapshot: the next attribute
+            # read re-fetches (reference invalidation: split_analyze.py:666-781)
+            flow.cache.pop((pc.target.entity, pc.target.key), None)
+        if pc.result_var is not None:
+            flow.ns[pc.result_var] = result
+        flow.pending = None
+        flow.ip += 1
+        return None

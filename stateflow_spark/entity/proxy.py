@@ -1,0 +1,138 @@
+"""Runtime proxies that give flow fragments natural Python syntax over
+distributed state.
+
+Inside an EXEC fragment, entity-typed values are wrapped so that
+``item.price`` reads from the flow's fetched-state cache and ``self.balance``
+reads/writes the local state row. Method calls on proxies raise — the
+compiler hoists every external call into a CALL instruction, so a call
+reaching a proxy means a compiler gap (fail loudly, not wrongly)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from stateflow_spark.entity.model import EntityRef
+
+
+class FlowError(RuntimeError):
+    pass
+
+
+class StateNotFetched(FlowError):
+    def __init__(self, ref: EntityRef, attr: str):
+        super().__init__(f"state of {ref} not fetched (reading .{attr})")
+        self.ref = ref
+
+
+class UnhoistedCall(FlowError):
+    pass
+
+
+class EntityProxy:
+    """Read-only view of another entity's fetched state."""
+
+    __slots__ = ("_ref", "_cache", "_methods")
+
+    def __init__(self, ref: EntityRef, cache: dict, methods: set[str]):
+        object.__setattr__(self, "_ref", ref)
+        object.__setattr__(self, "_cache", cache)
+        object.__setattr__(self, "_methods", methods)
+
+    def __getattr__(self, attr: str) -> Any:
+        if attr in self._methods:
+            raise UnhoistedCall(
+                f"external call {self._ref}.{attr}() reached a proxy — "
+                "flow compiler should have hoisted it"
+            )
+        st = self._cache.get((self._ref.entity, self._ref.key))
+        if st is None:
+            raise StateNotFetched(self._ref, attr)
+        if attr not in st:
+            raise AttributeError(f"{self._ref} has no state attribute {attr!r}")
+        return st[attr]
+
+    def __setattr__(self, attr: str, value: Any):
+        raise FlowError(
+            f"cannot write {self._ref}.{attr} from another entity's flow — "
+            "call a method on it instead"
+        )
+
+    def __eq__(self, other):
+        return unwrap(other) == self._ref
+
+    def __hash__(self):
+        return hash(self._ref)
+
+    def __repr__(self):
+        return f"proxy:{self._ref}"
+
+
+class RefListProxy(list):
+    """List of entity refs: indexing / iteration yields proxies."""
+
+    def __init__(self, refs, cache, methods_of):
+        super().__init__(refs)
+        self._cache = cache
+        self._methods_of = methods_of
+
+    def _wrap(self, v):
+        if isinstance(v, EntityRef):
+            return EntityProxy(v, self._cache, self._methods_of(v.entity))
+        return v
+
+    def __getitem__(self, i):
+        v = super().__getitem__(i)
+        if isinstance(i, slice):
+            return RefListProxy(v, self._cache, self._methods_of)
+        return self._wrap(v)
+
+    def __iter__(self):
+        for v in super().__iter__():
+            yield self._wrap(v)
+
+
+class SelfProxy:
+    """Mutable view of the flow owner's own state dict (write-through)."""
+
+    __slots__ = ("_state", "_dirty", "_methods")
+
+    def __init__(self, state: dict, methods: set[str]):
+        object.__setattr__(self, "_state", state)
+        object.__setattr__(self, "_dirty", False)
+        object.__setattr__(self, "_methods", methods)
+
+    def __getattr__(self, attr: str) -> Any:
+        if attr in self._methods:
+            raise UnhoistedCall(
+                f"self.{attr}() inside a split method is not supported yet "
+                "(call it as a separate invocation)"
+            )
+        if attr not in self._state:
+            raise AttributeError(f"self has no state attribute {attr!r}")
+        return self._state[attr]
+
+    def __setattr__(self, attr: str, value: Any):
+        self._state[attr] = value
+        object.__setattr__(self, "_dirty", True)
+
+
+def wrap(value: Any, cache: dict, methods_of) -> Any:
+    """ns value → exec-namespace value."""
+    if isinstance(value, EntityRef):
+        return EntityProxy(value, cache, methods_of(value.entity))
+    if isinstance(value, list) and any(isinstance(v, EntityRef) for v in value):
+        return RefListProxy(value, cache, methods_of)
+    return value
+
+
+def unwrap(value: Any) -> Any:
+    """exec-namespace value → serializable ns value."""
+    if isinstance(value, EntityProxy):
+        return value._ref
+    if isinstance(value, RefListProxy):
+        return [unwrap(v) for v in list.__iter__(value)]
+    if isinstance(value, list):
+        return [unwrap(v) for v in value]
+    if isinstance(value, tuple):
+        return tuple(unwrap(v) for v in value)
+    return value

@@ -1,0 +1,70 @@
+"""Entity registration: the ``@entity`` decorator (reference analog:
+``@stateflow.stateflow`` + ``stateflow.init()``, stateflow/core.py:23-68,
+:104-127 — but linking/compilation here happens lazily on first use, so no
+separate init() call is needed)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from stateflow_spark.entity.descriptors import (
+    ClassDesc,
+    extract_class_desc,
+    link_descriptors,
+)
+
+
+@dataclass
+class EntityType:
+    cls: type
+    desc: ClassDesc
+    flows: dict[str, Any] = field(default_factory=dict)  # method -> Program
+
+
+_REGISTRY: dict[str, EntityType] = {}
+_linked = False
+
+
+def entity(cls: type) -> type:
+    """Register a class as a stateful entity. The class itself is returned
+    unchanged (plain Python use keeps working); runtimes look it up in the
+    registry. Requires a ``__key__(self) -> str`` method."""
+    global _linked
+    desc = extract_class_desc(cls)
+    if "__key__" not in desc.methods:
+        raise TypeError(f"{cls.__name__} needs a __key__() method")
+    _REGISTRY[cls.__name__] = EntityType(cls=cls, desc=desc)
+    _linked = False
+    return cls
+
+
+def get_registry() -> dict[str, EntityType]:
+    """Registry with descriptors linked and linked methods flow-compiled."""
+    global _linked
+    if not _linked:
+        link_descriptors({n: et.desc for n, et in _REGISTRY.items()})
+        from stateflow_spark.entity.compiler import compile_flow
+
+        for et in _REGISTRY.values():
+            et.flows = {}
+            for mname, m in et.desc.methods.items():
+                if mname.startswith("__"):
+                    continue
+                if m.linked:
+                    et.flows[mname] = compile_flow(et.desc, m)
+        _linked = True
+    return _REGISTRY
+
+
+def get_entity_type(name: str) -> EntityType:
+    reg = get_registry()
+    if name not in reg:
+        raise KeyError(f"entity type {name!r} not registered")
+    return reg[name]
+
+
+def clear_registry() -> None:
+    global _linked
+    _REGISTRY.clear()
+    _linked = False

@@ -1,0 +1,352 @@
+"""Entity-engine semantics tests against the reference's golden values.
+
+Fixture classes re-state the reference test corpus
+(/root/reference/tests/common/common_classes.py:1-218); golden assertions
+come from /root/reference/tests/stateflow_test.py:164-207 (buy_item →
+balance 5 / stock 1, simple_for_loops → 4) and :236-250 (state_requests →
+26), plus the semantics of each fixture method.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pytest
+
+from stateflow_spark.entity import LocalRuntime, entity
+from stateflow_spark.entity.registry import get_entity_type
+
+
+@entity
+class Item:
+    def __init__(self, item_name: str, price: int):
+        self.item_name: str = item_name
+        self.stock: int = 0
+        self.price: int = price
+
+    def update_stock(self, amount: int) -> bool:
+        if (self.stock + amount) < 0:
+            return False
+        self.stock += amount
+        return True
+
+    def __key__(self):
+        return self.item_name
+
+
+@entity
+class User:
+    def __init__(self, username: str):
+        self.username: str = username
+        self.balance: int = 0
+
+    def update_balance(self, x: int):
+        self.balance += x
+
+    def buy_item(self, amount: int, item: Item) -> bool:
+        total_price = amount * item.price
+        if self.balance < total_price:
+            return False
+        if not item.update_stock(-amount):
+            return False
+        self.balance -= total_price
+        return True
+
+    def simple_for_loops(self, users: List["User"]):
+        i = 0
+        for user in users:
+            if i > 0:
+                user.update_balance(9)
+            else:
+                user.update_balance(4)
+            i += 1
+        return i
+
+    def __key__(self):
+        return self.username
+
+
+@entity
+class B:
+    def __init__(self, name: str):
+        self.name = name
+        self.balance = 0
+
+    def add_balance(self, balance: int):
+        self.balance += balance
+
+    def set_balance(self, balance: int):
+        self.balance = balance
+
+    def balance_equal_to(self, equal_balance: int) -> bool:
+        return self.balance == equal_balance
+
+    def __key__(self):
+        return self.name
+
+
+@entity
+class A:
+    def __init__(self, name: str):
+        self.name = name
+        self.balance = 0
+
+    def complex_method(self, balance: int, other: B) -> bool:
+        self.balance += balance * 2
+        other.add_balance(balance * 2)
+        self.balance -= balance
+        other.add_balance(-balance)
+        self.balance -= balance
+        is_equal = other.balance_equal_to(balance)
+        return is_equal
+
+    def complex_if(self, balance: int, b_ins: B):
+        self.balance = balance
+        if self.balance > 10:
+            b_ins.add_balance(balance)
+            self.balance = 0
+        elif b_ins.balance_equal_to(5):
+            self.balance = 1
+        else:
+            self.balance = 2
+        return self.balance
+
+    def more_complex_if(self, balance: int, b_ins: B) -> int:
+        self.balance = balance
+        if balance >= 0:
+            self.balance = balance
+            if b_ins.balance_equal_to(balance * 2):
+                self.balance = 1
+            else:
+                return -1
+        return self.balance
+
+    def test_no_return(self, balance: int, b_ins: B):
+        if balance >= self.balance:
+            self.balance = 0
+            b_ins.add_balance(balance)
+        else:
+            self.balance = 1
+
+    def work_with_list(self, x: int, others: List[B]):
+        other_one: B = others[0]
+        other_one.add_balance(10)
+        if x > 0:
+            others[-1].add_balance(10)
+        else:
+            other_one.add_balance(-10)
+
+    def for_loops(self, x: int, others: List[B]):
+        for y in others:
+            y.add_balance(5)
+            if x > 0:
+                z = x
+            else:
+                z = -1
+        return z
+
+    def state_requests(self, items: List[B]):
+        total: int = 0
+        first_item: B = items[0]
+        total += first_item.balance
+        first_item.set_balance(10)
+        total += first_item.balance
+        first_item.set_balance(0)
+        for x in items:
+            total += x.balance
+            x.set_balance(5)
+            total += x.balance
+        total += first_item.balance
+        if total > 0:
+            first_item.set_balance(1)
+        total += first_item.balance
+        return total
+
+    def __key__(self):
+        return self.name
+
+
+@entity
+class Nest:
+    def __init__(self, nid: str):
+        self.nid = nid
+        self.x = 0
+
+    def is_really_true(self):
+        return True
+
+    def is_true(self, other: "Nest"):
+        is_really_true: bool = other.is_really_true()
+        return is_really_true
+
+    def nest_call(self, other: "Nest") -> bool:
+        z = 0
+        is_true = other.is_true(other)
+        return is_true
+
+    def __key__(self):
+        return self.nid
+
+
+@pytest.fixture
+def rt():
+    return LocalRuntime()
+
+
+def test_descriptors_and_linking():
+    et = get_entity_type("User")
+    assert set(et.desc.state_hints) == {"username", "balance"}
+    assert et.desc.methods["update_balance"].read_only is False
+    assert et.desc.methods["buy_item"].linked
+    assert not et.desc.methods["update_balance"].linked
+    assert "buy_item" in et.flows and "update_balance" not in et.flows
+    b = get_entity_type("B")
+    assert b.desc.methods["balance_equal_to"].read_only is True
+
+
+def test_create_and_simple_invoke(rt):
+    u = rt.create(User, "alice")
+    assert rt.get_attr(u, "balance") == 0
+    rt.invoke(u, "update_balance", 20)
+    assert rt.get_attr(u, "balance") == 20
+    rt.set_attr(u, "balance", 5)
+    assert rt.get_attr(u, "balance") == 5
+    assert rt.exists(u)
+
+
+def test_create_duplicate_fails(rt):
+    rt.create(User, "bob")
+    with pytest.raises(RuntimeError, match="already exists"):
+        rt.create(User, "bob")
+
+
+def test_buy_item_golden(rt):
+    """Reference test_full_e2e golden values (stateflow_test.py:164-207)."""
+    u = rt.create(User, "u1")
+    it = rt.create(Item, "thing", 5)
+    rt.invoke(u, "update_balance", 20)
+    rt.invoke(it, "update_stock", 4)
+    assert rt.get_attr(u, "balance") == 20
+    assert rt.get_attr(it, "stock") == 4
+    buy = rt.invoke(u, "buy_item", 3, it)
+    assert buy is True
+    assert rt.get_attr(u, "balance") == 5
+    assert rt.get_attr(it, "stock") == 1
+
+
+def test_buy_item_insufficient_balance(rt):
+    u = rt.create(User, "poor")
+    it = rt.create(Item, "gold", 100)
+    rt.invoke(it, "update_stock", 10)
+    assert rt.invoke(u, "buy_item", 1, it) is False
+    assert rt.get_attr(u, "balance") == 0
+    assert rt.get_attr(it, "stock") == 10
+
+
+def test_buy_item_insufficient_stock(rt):
+    u = rt.create(User, "rich")
+    it = rt.create(Item, "rare", 1)
+    rt.invoke(u, "update_balance", 100)
+    assert rt.invoke(u, "buy_item", 5, it) is False
+    assert rt.get_attr(u, "balance") == 100  # balance untouched on stock fail
+    assert rt.get_attr(it, "stock") == 0
+
+
+def test_simple_for_loops_golden(rt):
+    users = [rt.create(User, f"sfl{i}") for i in range(4)]
+    out = rt.invoke(users[0], "simple_for_loops", users)
+    assert out == 4
+    assert rt.get_attr(users[0], "balance") == 4
+    for u in users[1:]:
+        assert rt.get_attr(u, "balance") == 9
+
+
+def test_complex_method(rt):
+    """Reference test asserts b == 10 and a == 0 after complex_method(10, b)
+    returning is_equal (stateflow_test.py:84-89)."""
+    a = rt.create(A, "a1")
+    b = rt.create(B, "b1")
+    out = rt.invoke(a, "complex_method", 10, b)
+    assert out is True
+    assert rt.get_attr(b, "balance") == 10
+    assert rt.get_attr(a, "balance") == 0
+
+
+def test_complex_if_all_branches(rt):
+    a = rt.create(A, "a2")
+    b = rt.create(B, "b2")
+    # balance > 10 → b += balance, a.balance = 0
+    assert rt.invoke(a, "complex_if", 20, b) == 0
+    assert rt.get_attr(b, "balance") == 20
+    # elif b.balance == 5 → 1 (set b to 5 first)
+    rt.invoke(b, "set_balance", 5)
+    assert rt.invoke(a, "complex_if", 7, b) == 1
+    # else → 2
+    rt.invoke(b, "set_balance", 0)
+    assert rt.invoke(a, "complex_if", 7, b) == 2
+
+
+def test_more_complex_if(rt):
+    a = rt.create(A, "a3")
+    b = rt.create(B, "b3")
+    rt.invoke(b, "set_balance", 8)
+    assert rt.invoke(a, "more_complex_if", 4, b) == 1  # 8 == 4*2
+    rt.invoke(b, "set_balance", 0)
+    assert rt.invoke(a, "more_complex_if", 4, b) == -1  # early return in else
+    assert rt.invoke(a, "more_complex_if", -1, b) == -1  # skips outer if
+
+
+def test_no_return_method(rt):
+    a = rt.create(A, "a4")
+    b = rt.create(B, "b4")
+    assert rt.invoke(a, "test_no_return", 5, b) is None
+    assert rt.get_attr(a, "balance") == 0
+    assert rt.get_attr(b, "balance") == 5
+
+
+def test_work_with_list(rt):
+    a = rt.create(A, "a5")
+    b1 = rt.create(B, "wb1")
+    b2 = rt.create(B, "wb2")
+    rt.invoke(a, "work_with_list", 1, [b1, b2])
+    assert rt.get_attr(b1, "balance") == 10
+    assert rt.get_attr(b2, "balance") == 10
+    rt.invoke(a, "work_with_list", 0, [b1, b2])
+    assert rt.get_attr(b1, "balance") == 10  # +10 then -10
+    assert rt.get_attr(b2, "balance") == 10
+
+
+def test_for_loops(rt):
+    a = rt.create(A, "a6")
+    bs = [rt.create(B, f"fb{i}") for i in range(3)]
+    assert rt.invoke(a, "for_loops", 3, bs) == 3
+    for b in bs:
+        assert rt.get_attr(b, "balance") == 5
+    assert rt.invoke(a, "for_loops", -2, bs) == -1
+
+
+def test_state_requests_golden(rt):
+    """Reference expects 26 (stateflow_test.py:236-250) — exercises state
+    fetch caching + invalidation after writes."""
+    a = rt.create(A, "a7")
+    b1 = rt.create(B, "sb1")
+    b2 = rt.create(B, "sb2")
+    assert rt.invoke(a, "state_requests", [b1, b2]) == 26
+    assert rt.get_attr(b1, "balance") == 1
+    assert rt.get_attr(b2, "balance") == 5
+
+
+def test_nested_flow_calls(rt):
+    """Nested linked calls (reference inlines these via ExecutionPlanMerger;
+    we run them as child flows) — nest_call → is_true → is_really_true."""
+    n1 = rt.create(Nest, "n1")
+    n2 = rt.create(Nest, "n2")
+    assert rt.invoke(n1, "nest_call", n2) is True
+
+
+def test_missing_key(rt):
+    from stateflow_spark.entity.model import EntityRef
+
+    with pytest.raises(KeyError):
+        rt.get_attr(EntityRef("User", "ghost"), "balance")
+    assert not rt.exists(EntityRef("User", "ghost"))
