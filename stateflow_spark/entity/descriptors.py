@@ -158,7 +158,14 @@ def _parse_param_hint(hint: str, registry_names: set[str]) -> tuple[Optional[str
 
 
 def extract_class_desc(cls: type) -> ClassDesc:
-    src = textwrap.dedent(inspect.getsource(cls))
+    try:
+        src = textwrap.dedent(inspect.getsource(cls))
+    except OSError as ex:
+        raise TypeError(
+            f"@entity needs the source of {cls.__name__} (define it in a "
+            ".py file, not a REPL/exec string) — descriptor extraction is "
+            "AST-based, like the reference's libcst analysis"
+        ) from ex
     mod = ast.parse(src)
     cdef = mod.body[0]
     # strip our decorator so re-parse of fragments stays clean

@@ -157,6 +157,17 @@ class Interpreter:
             return None
         return ref
 
+    def _fetch_owned(self, flow: FlowState, needs: list[str]) -> None:
+        """Load locally-owned missing states into the flow cache (no self
+        state required: need expressions never reference `self`)."""
+        for src in needs:
+            ref = self._resolve_need(flow, src, {})
+            if ref is not None and self.store.owns(ref):
+                st = self.store.get(ref)
+                if st is None:
+                    raise FlowError(f"entity {ref} does not exist (state read)")
+                flow.cache[(ref.entity, ref.key)] = dict(st)
+
     def _ensure_needs(
         self, flow: FlowState, needs: list[str], self_state: dict
     ) -> Optional[EntityRef]:
@@ -189,6 +200,14 @@ class Interpreter:
             et = get_entity_type(flow.entity)
             prog: Program = et.flows[flow.method]
             instr = prog.instrs[flow.ip]
+
+            # a REQUEST_STATE hop lands here at the *state owner's*
+            # partition: load whatever this partition owns into the flow
+            # cache before dispatching (event_flow.py:1103-1159 attaches
+            # state at the request key's operator the same way)
+            needs = getattr(instr, "needs", None)
+            if needs:
+                self._fetch_owned(flow, needs)
 
             # CALL dispatches at the callee's partition; everything else at
             # the flow owner's partition.

@@ -1,0 +1,199 @@
+"""SuperstepRuntime: distributed BSP execution of the entity engine.
+
+Spark cannot express a cyclic streaming dataflow, and the reference has the
+same constraint — it loops flow hops through an external `internal` Kafka
+topic (stateflow/runtime/beam_runtime.py:192-204, SURVEY.md §3.3). Here each
+loop iteration is one Spark job (a superstep):
+
+    events ⟗ state  (cogroup on (entity, key))
+        → applyInPandas: per-key serial event handling (Arrow-batched)
+        → state' rows + replies + hop events
+
+State stays distributed across all supersteps; only replies and in-flight
+hop events (a handful per active flow) come to the driver. Per-key serial
+execution inside a group gives the reference's single-writer-per-key
+consistency (stateful_operator per-key handling; AWS variant's lock,
+aws/abstract_lambda.py:80-99); cross-key flows keep its non-isolated
+semantics.
+
+Scale: groups are per entity key — Spark hash-partitions them; skewed hot
+keys are bounded by per-key event counts, not data volume. State never
+collects to the driver; a production deployment would persist `state_df`
+between batches (parquet/Delta) instead of holding it cached.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from stateflow_spark.entity import operator
+from stateflow_spark.entity.interpreter import StateStore
+from stateflow_spark.entity.model import EntityRef, Event, EventType
+
+EVENT_SCHEMA = "entity string, key string, seq long, blob binary"
+STATE_SCHEMA = "entity string, key string, blob binary"
+OUT_SCHEMA = "kind string, entity string, key string, seq long, blob binary"
+
+
+class _SingleKeyStore(StateStore):
+    """The store one cogroup activation sees: it owns exactly one key."""
+
+    def __init__(self, entity: str, key: str, state: Optional[dict]):
+        self.entity = entity
+        self.key = key
+        self.state = state
+
+    def owns(self, ref: EntityRef) -> bool:
+        return ref.entity == self.entity and ref.key == self.key
+
+    def get(self, ref: EntityRef) -> Optional[dict]:
+        assert self.owns(ref), f"store for {self.entity}({self.key}) asked for {ref}"
+        return self.state
+
+    def put(self, ref: EntityRef, state: dict) -> None:
+        assert self.owns(ref)
+        self.state = state
+
+
+def _make_step_fn(registry_blob: bytes):
+    """Build the cogroup function; ships the linked+compiled registry to the
+    python workers (the registry module is re-populated there, so entity
+    classes defined in test/user modules need no importable path)."""
+
+    def step(keys, events_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+        from stateflow_spark.entity import registry as reg_mod
+
+        reg = pickle.loads(registry_blob)
+        reg_mod._REGISTRY.clear()
+        reg_mod._REGISTRY.update(reg)
+        reg_mod._linked = True
+
+        entity_name, key = keys
+        state = (
+            pickle.loads(state_pdf["blob"].iloc[0]) if len(state_pdf) else None
+        )
+        store = _SingleKeyStore(entity_name, key, state)
+
+        out: list[tuple] = []
+        if len(events_pdf):
+            for _, row in events_pdf.sort_values("seq").iterrows():
+                ev: Event = Event.from_bytes(row["blob"])
+                res = operator.handle(ev, store)
+                for r in res.replies:
+                    out.append(("reply", entity_name, key, r.seq, r.to_bytes()))
+                for h in res.hops:
+                    out.append(("hop", h.entity, h.key, h.seq, h.to_bytes()))
+        if store.state is not None:
+            out.append(("state", entity_name, key, 0, pickle.dumps(store.state)))
+        return pd.DataFrame(
+            out, columns=["kind", "entity", "key", "seq", "blob"]
+        )
+
+    return step
+
+
+@dataclass
+class RunResult:
+    replies: dict[str, Event] = field(default_factory=dict)  # event_id → reply
+    state_df: Optional[DataFrame] = None
+    supersteps: int = 0
+
+    def result_of(self, event: Event) -> Any:
+        reply = self.replies[event.event_id]
+        if reply.event_type == EventType.ERROR:
+            raise RuntimeError(reply.payload["error"])
+        if reply.event_type == EventType.KEY_NOT_FOUND:
+            raise KeyError(f"{reply.entity}({reply.key}) not found")
+        return reply.payload.get("result")
+
+    def collect_state(self) -> dict[tuple[str, str], dict]:
+        rows = self.state_df.collect()
+        return {(r.entity, r.key): pickle.loads(bytes(r.blob)) for r in rows}
+
+
+class SuperstepRuntime:
+    def __init__(self, spark: SparkSession, max_supersteps: int = 200):
+        self.spark = spark
+        self.max_supersteps = max_supersteps
+
+    def _events_df(self, events: Iterable[Event]) -> DataFrame:
+        rows = [(e.entity, e.key, e.seq, e.to_bytes()) for e in events]
+        return self.spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    def run(
+        self,
+        events: list[Event],
+        state_df: Optional[DataFrame] = None,
+    ) -> RunResult:
+        import sys
+
+        import cloudpickle
+
+        from stateflow_spark.entity.registry import get_registry
+
+        # entity classes live in user/test modules the Python workers can't
+        # necessarily import — embed their definitions in the blob instead of
+        # referencing them by module path
+        reg = dict(get_registry())
+        mods = {
+            et.cls.__module__: sys.modules[et.cls.__module__]
+            for et in reg.values()
+            if et.cls.__module__ in sys.modules
+            and not et.cls.__module__.startswith("stateflow_spark")
+        }
+        by_value = []
+        for mod in mods.values():
+            cloudpickle.register_pickle_by_value(mod)
+            by_value.append(mod)
+        try:
+            registry_blob = cloudpickle.dumps(reg)
+        finally:
+            for mod in by_value:
+                cloudpickle.unregister_pickle_by_value(mod)
+        step = _make_step_fn(registry_blob)
+
+        if state_df is None:
+            state_df = self.spark.createDataFrame([], STATE_SCHEMA)
+
+        result = RunResult()
+        pending = list(events)
+        while pending:
+            result.supersteps += 1
+            if result.supersteps > self.max_supersteps:
+                raise RuntimeError(
+                    f"flows still in flight after {self.max_supersteps} supersteps"
+                )
+            events_df = self._events_df(pending)
+            out = (
+                events_df.groupBy("entity", "key")
+                .cogroup(state_df.groupBy("entity", "key"))
+                .applyInPandas(step, OUT_SCHEMA)
+                .persist()
+            )
+            # replies + hops are tiny (one row per request / in-flight flow);
+            # state stays distributed
+            small = out.filter(out.kind != "state").collect()
+            # localCheckpoint truncates lineage — without it every superstep's
+            # plan chains all previous ones (heap blow-up, replanning cost)
+            state_df = (
+                out.filter(out.kind == "state")
+                .select("entity", "key", "blob")
+                .localCheckpoint()
+            )
+            out.unpersist()
+
+            pending = []
+            for r in small:
+                ev = Event.from_bytes(bytes(r.blob))
+                if r.kind == "reply":
+                    result.replies[ev.event_id] = ev
+                else:
+                    pending.append(ev)
+
+        result.state_df = state_df
+        return result

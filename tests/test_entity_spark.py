@@ -1,0 +1,120 @@
+"""Distributed entity execution on Spark (SuperstepRuntime) must agree with
+LocalRuntime on the reference golden values — cross-key flows hop across
+partitions here, so this exercises the real serialization + routing paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from stateflow_spark.entity import operator
+from stateflow_spark.streaming.superstep import SuperstepRuntime
+
+# reuse the registered fixture classes
+from tests.test_entity_local import A, B, Item, User  # noqa: F401
+
+
+def run_ops(spark, ops):
+    """ops: list of (cls_name_or_ref, ...) client actions → replies list."""
+    rt = SuperstepRuntime(spark)
+    events = []
+    for op in ops:
+        events.append(op)
+    res = rt.run(events)
+    return res
+
+
+def test_superstep_create_and_invoke(spark):
+    e1 = operator.make_init_event("User", ("su1",))
+    res = SuperstepRuntime(spark).run([e1])
+    ref = res.result_of(e1)
+    assert ref.key == "su1"
+
+    e2 = operator.make_invoke_event(ref, "update_balance", (20,))
+    res2 = SuperstepRuntime(spark).run([e2], state_df=res.state_df)
+    assert res2.result_of(e2) is None
+    state = res2.collect_state()
+    assert state[("User", "su1")]["balance"] == 20
+    assert res2.supersteps == 1  # non-split invoke: single round
+
+
+def test_superstep_buy_item_golden(spark):
+    """buy_item hops user→item→user: 3+ supersteps, reference golden values
+    (balance 5 / stock 1)."""
+    init_u = operator.make_init_event("User", ("su2",))
+    init_i = operator.make_init_event("Item", ("sitem", 5))
+    rt = SuperstepRuntime(spark)
+    res = rt.run([init_u, init_i])
+    uref = res.result_of(init_u)
+    iref = res.result_of(init_i)
+
+    setup = [
+        operator.make_invoke_event(uref, "update_balance", (20,)),
+        operator.make_invoke_event(iref, "update_stock", (4,)),
+    ]
+    res = rt.run(setup, state_df=res.state_df)
+
+    buy = operator.make_invoke_event(uref, "buy_item", (3, iref))
+    res = rt.run([buy], state_df=res.state_df)
+    assert res.result_of(buy) is True
+    assert res.supersteps >= 3  # user → item (stock) → user (balance)
+
+    state = res.collect_state()
+    assert state[("User", "su2")]["balance"] == 5
+    assert state[("Item", "sitem")]["stock"] == 1
+
+
+def test_superstep_state_requests_golden(spark):
+    """state_requests == 26 across partitions (fetch + invalidation hops)."""
+    rt = SuperstepRuntime(spark)
+    inits = [
+        operator.make_init_event("A", ("sa1",)),
+        operator.make_init_event("B", ("sb1",)),
+        operator.make_init_event("B", ("sb2",)),
+    ]
+    res = rt.run(inits)
+    aref, b1, b2 = (res.result_of(e) for e in inits)
+
+    ev = operator.make_invoke_event(aref, "state_requests", ([b1, b2],))
+    res = rt.run([ev], state_df=res.state_df)
+    assert res.result_of(ev) == 26
+    state = res.collect_state()
+    assert state[("B", "sb1")]["balance"] == 1
+    assert state[("B", "sb2")]["balance"] == 5
+
+
+def test_superstep_concurrent_flows(spark):
+    """Many independent flows in one batch resolve in parallel supersteps."""
+    rt = SuperstepRuntime(spark)
+    inits = [operator.make_init_event("User", (f"cu{i}",)) for i in range(8)]
+    inits += [operator.make_init_event("Item", (f"ci{i}", 2)) for i in range(8)]
+    res = rt.run(inits)
+    users = [res.result_of(e) for e in inits[:8]]
+    items = [res.result_of(e) for e in inits[8:]]
+
+    setup = [operator.make_invoke_event(u, "update_balance", (10,)) for u in users]
+    setup += [operator.make_invoke_event(i, "update_stock", (5,)) for i in items]
+    res = rt.run(setup, state_df=res.state_df)
+
+    buys = [
+        operator.make_invoke_event(users[i], "buy_item", (2, items[i]))
+        for i in range(8)
+    ]
+    res = rt.run(buys, state_df=res.state_df)
+    for b in buys:
+        assert res.result_of(b) is True
+    state = res.collect_state()
+    for i in range(8):
+        assert state[("User", f"cu{i}")]["balance"] == 6  # 10 - 2*2
+        assert state[("Item", f"ci{i}")]["stock"] == 3
+
+    # all 8 flows advanced together: supersteps stay O(flow length), not O(flows)
+    assert res.supersteps <= 6
+
+
+def test_superstep_key_not_found(spark):
+    from stateflow_spark.entity.model import EntityRef
+
+    ev = operator.make_invoke_event(EntityRef("User", "ghost"), "update_balance", (1,))
+    res = SuperstepRuntime(spark).run([ev])
+    with pytest.raises(KeyError):
+        res.result_of(ev)
