@@ -1,0 +1,246 @@
+"""Continuous entity engine on Structured Streaming.
+
+The streaming twin of SuperstepRuntime: one long-running query
+
+    event stream → groupBy(entity, key) → applyInPandasWithState(operator)
+                 → replies sink + loopback sink
+
+Reference parity (SURVEY.md §2.A):
+- op #1 ingress: streaming source (file source here; Kafka via
+  ``spark.readStream.format("kafka")`` in production — same rows)
+- op #2/#3 routing: the (entity, key) groupBy IS the ingress router; the
+  reply/hop split below is the egress router (dataflow.py:52-210)
+- ops #4-#18: the same ``operator.handle`` dispatch used everywhere
+- op #19 keyed partitioning: Spark shuffles the groupBy; the state store
+  keeps per-key state partition-local across batches (unlike the superstep
+  engine, state never re-shuffles)
+- op #22 egress + loopback: cross-key flow hops are written back into the
+  source directory — the reference's `internal` Kafka topic realized as a
+  file-source cycle (beam_runtime.py:192-204); Spark cannot express a
+  cyclic streaming DAG, so the cycle goes through storage, exactly like
+  the reference goes through the broker.
+
+State is one binary column (pickled state dict) per key — the reference
+serializes per-key state dicts the same way (stateflow/dataflow/state.py:
+26-32).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import uuid
+from typing import Any, Iterable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from stateflow_spark.entity import operator
+from stateflow_spark.entity.interpreter import StateStore
+from stateflow_spark.entity.model import EntityRef, Event, EventType
+
+EVENT_STRUCT = StructType(
+    [
+        StructField("entity", StringType(), False),
+        StructField("key", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("blob", BinaryType(), False),
+    ]
+)
+
+OUT_STRUCT = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("entity", StringType(), False),
+        StructField("key", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("blob", BinaryType(), False),
+    ]
+)
+
+STATE_STRUCT = StructType([StructField("blob", BinaryType(), True)])
+
+
+class _GroupStateStore(StateStore):
+    """Adapter from the interpreter's store interface to one group's
+    GroupState handle."""
+
+    def __init__(self, entity: str, key: str, state: Optional[dict]):
+        self.entity = entity
+        self.key = key
+        self.state = state
+        self.touched = False
+
+    def owns(self, ref: EntityRef) -> bool:
+        return ref.entity == self.entity and ref.key == self.key
+
+    def get(self, ref: EntityRef) -> Optional[dict]:
+        assert self.owns(ref)
+        return self.state
+
+    def put(self, ref: EntityRef, state: dict) -> None:
+        assert self.owns(ref)
+        self.state = state
+        self.touched = True
+
+
+def _make_stateful_fn(registry_blob: bytes):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from stateflow_spark.entity import registry as reg_mod
+
+        reg = pickle.loads(registry_blob)
+        reg_mod._REGISTRY.clear()
+        reg_mod._REGISTRY.update(reg)
+        reg_mod._linked = True
+
+        entity_name, k = key
+        current = pickle.loads(state.get[0]) if state.exists else None
+        store = _GroupStateStore(entity_name, k, current)
+
+        rows: list[tuple] = []
+        events: list[Event] = []
+        for pdf in pdfs:
+            for b, s in zip(pdf["blob"], pdf["seq"]):
+                events.append((s, Event.from_bytes(bytes(b))))
+        events.sort(key=lambda t: t[0])
+        for _, ev in events:
+            res = operator.handle(ev, store)
+            for r in res.replies:
+                rows.append(("reply", r.entity, r.key or "", r.seq, r.to_bytes()))
+            for h in res.hops:
+                rows.append(("hop", h.entity, h.key, h.seq, h.to_bytes()))
+
+        if store.touched and store.state is not None:
+            state.update((pickle.dumps(store.state),))
+        yield pd.DataFrame(rows, columns=["kind", "entity", "key", "seq", "blob"])
+
+    return fn
+
+
+class StreamingEntityEngine:
+    """One continuous query processing entity events from a directory
+    (events-in + loopback), emitting replies to a parquet sink."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.in_dir = os.path.join(workdir, "events_in")
+        self.replies_dir = os.path.join(workdir, "replies")
+        self.checkpoint = os.path.join(workdir, "checkpoint")
+        os.makedirs(self.in_dir, exist_ok=True)
+        os.makedirs(self.replies_dir, exist_ok=True)
+        self.query = None
+
+    # -- client side --------------------------------------------------------
+    def send(self, events: Iterable[Event]) -> None:
+        rows = [(e.entity, e.key, e.seq, e.to_bytes()) for e in events]
+        df = self.spark.createDataFrame(rows, EVENT_STRUCT)
+        df.coalesce(1).write.mode("append").parquet(self.in_dir)
+
+    def replies(self) -> dict[str, Event]:
+        try:
+            df = self.spark.read.parquet(self.replies_dir)
+        except Exception:
+            return {}
+        out = {}
+        for r in df.collect():
+            ev = Event.from_bytes(bytes(r.blob))
+            out[ev.event_id] = ev
+        return out
+
+    # -- engine -------------------------------------------------------------
+    def start(self) -> None:
+        import sys
+
+        import cloudpickle
+
+        from stateflow_spark.entity.registry import get_registry
+
+        reg = dict(get_registry())
+        mods = {
+            et.cls.__module__: sys.modules[et.cls.__module__]
+            for et in reg.values()
+            if et.cls.__module__ in sys.modules
+            and not et.cls.__module__.startswith("stateflow_spark")
+        }
+        for mod in mods.values():
+            cloudpickle.register_pickle_by_value(mod)
+        try:
+            blob = cloudpickle.dumps(reg)
+        finally:
+            for mod in mods.values():
+                cloudpickle.unregister_pickle_by_value(mod)
+
+        stream = (
+            self.spark.readStream.schema(EVENT_STRUCT)
+            .parquet(self.in_dir)
+            .groupBy("entity", "key")
+            .applyInPandasWithState(
+                _make_stateful_fn(blob),
+                OUT_STRUCT,
+                STATE_STRUCT,
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+
+        in_dir, replies_dir = self.in_dir, self.replies_dir
+
+        def route(batch_df: DataFrame, batch_id: int) -> None:
+            # egress router (dataflow.py:52-128): replies to the client sink,
+            # hops back into the source directory (the `internal` topic)
+            batch_df.persist()
+            batch_df.filter(F.col("kind") == "reply").select(
+                "entity", "key", "seq", "blob"
+            ).write.mode("append").parquet(replies_dir)
+            hops = batch_df.filter(F.col("kind") == "hop").select(
+                "entity", "key", "seq", "blob"
+            )
+            if hops.limit(1).count() > 0:
+                hops.coalesce(1).write.mode("append").parquet(in_dir)
+            batch_df.unpersist()
+
+        self.query = (
+            stream.writeStream.foreachBatch(route)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def drain(self) -> None:
+        """Block until every pending event (including loopback hops written
+        mid-batch) has been processed.
+
+        Hop files are written into the source directory by foreachBatch
+        *before* the batch commits, so processAllAvailable — which returns
+        only when the source reports no new data — already chases the
+        loopback cycle to quiescence. A second pass guards against a hop
+        file racing the final source-availability check."""
+        assert self.query is not None
+        self.query.processAllAvailable()
+        self.query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+
+def make_client_events(
+    creates: list[tuple[str, tuple]] = (),
+    invokes: list[tuple[EntityRef, str, tuple]] = (),
+) -> list[Event]:
+    evs = [operator.make_init_event(c, a) for c, a in creates]
+    evs += [operator.make_invoke_event(r, m, a) for r, m, a in invokes]
+    return evs

@@ -1,0 +1,67 @@
+"""Streaming event-time analytics: the Structured Streaming twins of the
+batch queries in queries/events.py (SURVEY.md §2.C rows: watermarks,
+event-time windows, streaming dedup).
+
+Each builder takes a *streaming* DataFrame with an event-time column and
+returns the transformed streaming DataFrame — the transformations are
+identical to their batch forms, which is what the batch-vs-stream parity
+test asserts (run the same input through both → equal results)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stateflow_spark.queries.common import dsum
+
+
+def hourly_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h window with watermark-bounded state (late rows beyond the
+    watermark are dropped; at 100 TB/day the watermark is what keeps window
+    state finite)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value", 4),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value", 4),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on (user_id, event_type): state for a key is dropped
+    once the watermark passes it — the unbounded-state-safe form of
+    dropDuplicates."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

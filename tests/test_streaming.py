@@ -1,0 +1,156 @@
+"""Structured Streaming tests: the continuous entity engine (file-source
+loopback) and batch/stream parity for event-time analytics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from stateflow_spark.catalog import load
+from stateflow_spark.entity import operator
+from stateflow_spark.streaming import windows as sw
+from stateflow_spark.streaming.stateful import StreamingEntityEngine
+from tests.conftest import SF_DIR
+
+# registers User/Item/A/B fixtures
+from tests.test_entity_local import A, B, Item, User  # noqa: F401
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    eng = StreamingEntityEngine(spark, str(tmp_path / "engine"))
+    yield eng
+    eng.stop()
+
+
+def test_streaming_engine_invoke(engine):
+    init = operator.make_init_event("User", ("stream-u1",))
+    engine.send([init])
+    engine.start()
+    engine.drain()
+    replies = engine.replies()
+    ref = replies[init.event_id].payload["result"]
+    assert ref.key == "stream-u1"
+
+    up = operator.make_invoke_event(ref, "update_balance", (42,))
+    get = operator.make_invoke_event(ref, "update_balance", (-2,))
+    engine.send([up, get])
+    engine.drain()
+    replies = engine.replies()
+    assert up.event_id in replies and get.event_id in replies
+
+
+def test_streaming_engine_cross_key_flow(engine):
+    """buy_item through the continuous engine: the flow loops through the
+    loopback sink across micro-batches (reference golden values)."""
+    init_u = operator.make_init_event("User", ("stream-u2",))
+    init_i = operator.make_init_event("Item", ("stream-item", 5))
+    engine.send([init_u, init_i])
+    engine.start()
+    engine.drain()
+    replies = engine.replies()
+    uref = replies[init_u.event_id].payload["result"]
+    iref = replies[init_i.event_id].payload["result"]
+
+    setup = [
+        operator.make_invoke_event(uref, "update_balance", (20,)),
+        operator.make_invoke_event(iref, "update_stock", (4,)),
+    ]
+    engine.send(setup)
+    engine.drain()
+
+    buy = operator.make_invoke_event(uref, "buy_item", (3, iref))
+    engine.send([buy])
+    engine.drain()
+    replies = engine.replies()
+    assert replies[buy.event_id].payload["result"] is True
+
+    # state checks via GET_STATE events through the stream
+    from stateflow_spark.entity.model import Event, EventType
+    import uuid
+
+    g1 = Event(str(uuid.uuid4()), "User", "stream-u2", EventType.GET_STATE,
+               {"attr": "balance"})
+    g2 = Event(str(uuid.uuid4()), "Item", "stream-item", EventType.GET_STATE,
+               {"attr": "stock"})
+    engine.send([g1, g2])
+    engine.drain()
+    replies = engine.replies()
+    assert replies[g1.event_id].payload["result"] == 5
+    assert replies[g2.event_id].payload["result"] == 1
+
+
+def _stream_events(spark, tmp_path):
+    """Re-serve the events table through a file stream (maxFilesPerTrigger
+    exercises multi-batch accumulation)."""
+    src = str(tmp_path / "events_src")
+    e = load(spark, SF_DIR, "events")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(e.schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src)
+
+
+def _run_to_memory(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_batch_parity_tumbling(spark, tmp_path):
+    stream = _stream_events(spark, tmp_path)
+    _run_to_memory(sw.hourly_tumbling(stream), "t_tumb", mode="append")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_tumb").collect()
+    }
+    from stateflow_spark.queries import REGISTRY
+
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in REGISTRY["events_hourly_tumbling"].fn(spark, SF_DIR).collect()
+    }
+    # append mode emits only windows finalized by the watermark; every
+    # emitted window must match the batch result exactly, and most windows
+    # must have been emitted (the tail of the stream stays open)
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert expected[(k[0], k[1])][0] == v[0]
+        assert expected[(k[0], k[1])][1] == v[1]
+    assert len(got) >= len(expected) - 25  # open tail windows per type
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    stream = _stream_events(spark, tmp_path)
+    _run_to_memory(sw.dedup_within_watermark(stream), "t_dedup")
+    n = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0].n
+    # exact first-per-(user,type) count from batch
+    expected = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert n == expected
+
+
+def test_stream_session_windows_run(spark, tmp_path):
+    stream = _stream_events(spark, tmp_path)
+    _run_to_memory(sw.session_windows(stream), "t_sess")
+    rows = spark.sql("SELECT * FROM t_sess").collect()
+    # closed sessions must agree with the batch gaps-and-islands result
+    from stateflow_spark.queries import REGISTRY
+
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in REGISTRY["events_session_windows"].fn(spark, SF_DIR).collect()
+    }
+    assert rows
+    for r in rows:
+        assert batch[(r.user_id, r.session_start)] == (r.n_events, r.total_value)
