@@ -11,6 +11,7 @@ from stateflow_spark.queries.common import REGISTRY, QueryDef, register  # noqa:
 
 # Each module registers its queries on import.
 from stateflow_spark.queries import tpch  # noqa: F401, E402
+from stateflow_spark.queries import tpch2  # noqa: F401, E402
 from stateflow_spark.queries import windows  # noqa: F401, E402
 from stateflow_spark.queries import setops  # noqa: F401, E402
 from stateflow_spark.queries import aggregates  # noqa: F401, E402
