@@ -43,6 +43,14 @@ def main() -> None:
     for name in BENCH_QUERIES:
         times[name] = round(run_one(spark, name), 4)
 
+    # streaming-path bench (BASELINE.md): YCSB A and T over the distributed
+    # entity engine — 1000 Zipf(0.99) ops on 100 entities, T = cross-entity
+    # transfer flows (the reference's own workload harness)
+    from stateflow_spark import ycsb
+
+    times["ycsb_a_superstep"] = ycsb.run_superstep(spark, "a")["sec"]
+    times["ycsb_t_superstep"] = ycsb.run_superstep(spark, "t")["sec"]
+
     total = round(sum(times.values()), 4)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

@@ -1,0 +1,242 @@
+"""YCSB-style workload harness over the entity engine.
+
+This re-creates the only benchmark the reference itself defines
+(BASELINE.md; /root/reference/demo_runtime_universalis_ycsb.py:16-31 and
+demo_ycsb.py:12-27): 100 key/value entities, 1000 operations drawn from a
+Zipf(0.99) key distribution, three mixes —
+
+    A: 50% read / 50% update
+    B: 95% read /  5% update
+    T: 100% cross-entity ``transfer`` (a split two-entity flow)
+
+and per-request latency CSVs in the same ``(request_id, timestamp)`` shape
+the reference's Kafka client captures
+(stateflow/client/kafka_client.py:78-91,144-145).
+
+The Zipf skew generator is the standard bounded-zipfian algorithm from
+"Quickly Generating Billion-Record Synthetic Databases" (Gray, Sundaresan,
+Englert, Baclawski, Weinberger — SIGMOD 1994), the same published source the
+reference cites; implemented from the paper, seeded for determinism.
+
+Two runtimes are driven:
+- LocalRuntime       — per-op latency (the client-side view)
+- SuperstepRuntime   — distributed throughput: the full op batch executes
+                       as cogrouped Spark jobs; per-key serial application
+                       preserves YCSB's read-modify-write consistency, and
+                       Zipf-hot keys exercise exactly the skew a 1000-
+                       executor deployment would see (one straggling group
+                       per hot key, bounded by events-per-key not bytes).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from stateflow_spark.entity import LocalRuntime, entity
+from stateflow_spark.entity.model import EntityRef
+
+N_ENTITIES = 100
+N_TASKS = 1000
+STARTING_AMOUNT = 100
+ZIPF_CONSTANT = 0.99
+
+MIXES = {  # (read, update, transfer) fractions — demo_runtime_universalis_ycsb.py:27-31
+    "a": (0.5, 0.5, 0.0),
+    "b": (0.95, 0.05, 0.0),
+    "t": (0.0, 0.0, 1.0),
+}
+
+
+@entity
+class YCSBEntity:
+    def __init__(self, key: str, value: int):
+        self.key: str = key
+        self.value: int = value
+
+    def read(self) -> int:
+        return self.value
+
+    def update(self, delta: int) -> int:
+        self.value += delta
+        return self.value
+
+    def transfer(self, amount: int, other: "YCSBEntity") -> bool:
+        if self.value < amount:
+            return False
+        self.value -= amount
+        other.update(amount)
+        return True
+
+    def __key__(self):
+        return self.key
+
+
+class ZipfGenerator:
+    """Bounded zipfian over [0, n) with skew theta (Gray et al., SIGMOD 1994)."""
+
+    def __init__(self, n: int, theta: float = ZIPF_CONSTANT, seed: int = 42):
+        self.n = n
+        self.theta = theta
+        self.rng = random.Random(seed)
+        self.zetan = sum(1.0 / (i ** theta) for i in range(1, n + 1))
+        zeta2 = 1.0 + 0.5 ** theta
+        self.alpha = 1.0 / (1.0 - theta)
+        self.eta = (1.0 - (2.0 / n) ** (1.0 - theta)) / (1.0 - zeta2 / self.zetan)
+
+    def next(self) -> int:
+        u = self.rng.random()
+        uz = u * self.zetan
+        if uz < 1.0:
+            return 0
+        if uz < 1.0 + 0.5 ** self.theta:
+            return 1
+        return int(self.n * (self.eta * u - self.eta + 1.0) ** self.alpha)
+
+
+@dataclass
+class Op:
+    kind: str  # read | update | transfer
+    key: int
+    other: Optional[int] = None  # transfer target
+    amount: int = 0
+
+
+def make_workload(
+    mix: str, n_tasks: int = N_TASKS, n_entities: int = N_ENTITIES, seed: int = 42
+) -> list[Op]:
+    read_f, update_f, _ = MIXES[mix]
+    zipf = ZipfGenerator(n_entities, seed=seed)
+    rng = random.Random(seed + 1)
+    ops = []
+    for _ in range(n_tasks):
+        k = zipf.next()
+        r = rng.random()
+        if r < read_f:
+            ops.append(Op("read", k))
+        elif r < read_f + update_f:
+            ops.append(Op("update", k, amount=rng.randint(-10, 10)))
+        else:
+            o = zipf.next()
+            if o == k:
+                o = (k + 1) % n_entities
+            ops.append(Op("transfer", k, other=o, amount=rng.randint(1, 5)))
+    return ops
+
+
+def _refs(n_entities: int) -> list[EntityRef]:
+    return [EntityRef("YCSBEntity", f"entity-{i}") for i in range(n_entities)]
+
+
+def run_local(
+    mix: str,
+    n_tasks: int = N_TASKS,
+    n_entities: int = N_ENTITIES,
+    latency_csv: Optional[str] = None,
+) -> dict:
+    """Client-side view: one synchronous op at a time; per-op latency."""
+    rt = LocalRuntime()
+    refs = [rt.create(YCSBEntity, f"entity-{i}", STARTING_AMOUNT) for i in range(n_entities)]
+    ops = make_workload(mix, n_tasks, n_entities)
+
+    lat: list[tuple[str, float, float]] = []  # request_id, start, end
+    t0 = time.perf_counter()
+    for i, op in enumerate(ops):
+        s = time.perf_counter()
+        if op.kind == "read":
+            rt.invoke(refs[op.key], "read")
+        elif op.kind == "update":
+            rt.invoke(refs[op.key], "update", op.amount)
+        else:
+            rt.invoke(refs[op.key], "transfer", op.amount, refs[op.other])
+        lat.append((f"req-{i}", s, time.perf_counter()))
+    wall = time.perf_counter() - t0
+
+    if latency_csv:  # reference CSV shape: request_id, timestamp
+        with open(latency_csv, "w") as f:
+            f.write("request_id,timestamp\n")
+            for rid, _, e in lat:
+                f.write(f"{rid},{e}\n")
+
+    lats = sorted((e - s) * 1000 for _, s, e in lat)
+    return {
+        "runtime": "local",
+        "mix": mix,
+        "ops": n_tasks,
+        "sec": round(wall, 4),
+        "ops_per_sec": round(n_tasks / wall, 1),
+        "p50_ms": round(lats[len(lats) // 2], 4),
+        "p99_ms": round(lats[int(len(lats) * 0.99)], 4),
+    }
+
+
+def run_superstep(spark, mix: str, n_tasks: int = N_TASKS,
+                  n_entities: int = N_ENTITIES) -> dict:
+    """Distributed throughput view: the whole op batch in one superstep run
+    (reads/updates finish in superstep 1; transfers hop once per cross-key
+    call, so T converges in a handful of supersteps)."""
+    from stateflow_spark.entity import operator
+    from stateflow_spark.streaming.superstep import SuperstepRuntime
+
+    rt = SuperstepRuntime(spark)
+    creates = [
+        operator.make_init_event("YCSBEntity", (f"entity-{i}", STARTING_AMOUNT))
+        for i in range(n_entities)
+    ]
+    seeded = rt.run(creates)
+    refs = _refs(n_entities)
+
+    ops = make_workload(mix, n_tasks, n_entities)
+    events = []
+    for op in ops:
+        if op.kind == "read":
+            events.append(operator.make_invoke_event(refs[op.key], "read", ()))
+        elif op.kind == "update":
+            events.append(
+                operator.make_invoke_event(refs[op.key], "update", (op.amount,))
+            )
+        else:
+            events.append(
+                operator.make_invoke_event(
+                    refs[op.key], "transfer", (op.amount, refs[op.other])
+                )
+            )
+    t0 = time.perf_counter()
+    res = rt.run(events, state_df=seeded.state_df)
+    wall = time.perf_counter() - t0
+    assert len(res.replies) == n_tasks
+    return {
+        "runtime": "superstep",
+        "mix": mix,
+        "ops": n_tasks,
+        "sec": round(wall, 4),
+        "ops_per_sec": round(n_tasks / wall, 1),
+        "supersteps": res.supersteps,
+    }
+
+
+def main() -> None:
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="YCSB A/B/T over the entity engine")
+    ap.add_argument("--mix", choices=["a", "b", "t"], default="a")
+    ap.add_argument("--runtime", choices=["local", "superstep"], default="local")
+    ap.add_argument("--tasks", type=int, default=N_TASKS)
+    ap.add_argument("--latency-csv", default=None)
+    args = ap.parse_args()
+
+    if args.runtime == "local":
+        out = run_local(args.mix, args.tasks, latency_csv=args.latency_csv)
+    else:
+        from stateflow_spark.session import get_spark
+
+        out = run_superstep(get_spark(), args.mix, args.tasks)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""YCSB harness semantics: local/superstep parity and the money-conservation
+invariant for the transfer mix (the reference asserts deterministic final
+balances the same way, tests/stateflow_test.py:164-207)."""
+
+from __future__ import annotations
+
+from stateflow_spark import ycsb
+
+
+def _local_final_state(mix: str, n_tasks: int = 200):
+    rt = ycsb.LocalRuntime()
+    refs = [
+        rt.create(ycsb.YCSBEntity, f"entity-{i}", ycsb.STARTING_AMOUNT)
+        for i in range(ycsb.N_ENTITIES)
+    ]
+    for op in ycsb.make_workload(mix, n_tasks):
+        if op.kind == "read":
+            rt.invoke(refs[op.key], "read")
+        elif op.kind == "update":
+            rt.invoke(refs[op.key], "update", op.amount)
+        else:
+            rt.invoke(refs[op.key], "transfer", op.amount, refs[op.other])
+    return {r.key: rt.get_attr(r, "value") for r in refs}
+
+
+def test_zipf_determinism_and_skew():
+    z1, z2 = ycsb.ZipfGenerator(100, seed=7), ycsb.ZipfGenerator(100, seed=7)
+    g1 = [z1.next() for _ in range(1000)]
+    g2 = [z2.next() for _ in range(1000)]
+    assert g1 == g2
+    assert all(0 <= k < 100 for k in g1)
+    # Zipf(0.99): rank-0 must dominate a uniform draw's 1% share
+    assert g1.count(0) > 100
+
+
+def test_local_transfer_conserves_money():
+    final = _local_final_state("t")
+    assert sum(final.values()) == ycsb.N_ENTITIES * ycsb.STARTING_AMOUNT
+
+
+def test_superstep_matches_local(spark):
+    """Distributed-vs-local semantics per mix.
+
+    Mix A (single-key read/update): updates commute per key, so the final
+    state must equal the sequential local run exactly.
+
+    Mix T (cross-key transfers): flows are NON-isolated — the reference's
+    documented semantics (SURVEY.md §4: intermediate states are visible,
+    no cross-key atomicity) — so the set of overdraft-rejected transfers
+    depends on interleaving and the sequential run is not the oracle.
+    The invariants that must hold regardless of interleaving: money
+    conservation and one reply per request."""
+    from stateflow_spark.entity import operator
+    from stateflow_spark.streaming.superstep import SuperstepRuntime
+
+    for mix in ("a", "t"):
+        rt = SuperstepRuntime(spark)
+        seeded = rt.run(
+            [
+                operator.make_init_event(
+                    "YCSBEntity", (f"entity-{i}", ycsb.STARTING_AMOUNT)
+                )
+                for i in range(ycsb.N_ENTITIES)
+            ]
+        )
+        refs = ycsb._refs(ycsb.N_ENTITIES)
+        events = []
+        for op in ycsb.make_workload(mix, 200):
+            if op.kind == "read":
+                events.append(operator.make_invoke_event(refs[op.key], "read", ()))
+            elif op.kind == "update":
+                events.append(
+                    operator.make_invoke_event(refs[op.key], "update", (op.amount,))
+                )
+            else:
+                events.append(
+                    operator.make_invoke_event(
+                        refs[op.key], "transfer", (op.amount, refs[op.other])
+                    )
+                )
+        res = rt.run(events, state_df=seeded.state_df)
+        assert len(res.replies) == 200
+        got = {k[1]: st["value"] for k, st in res.collect_state().items()}
+        total = sum(got.values())
+        if mix == "a":
+            assert got == _local_final_state(mix, 200), "mix a diverged"
+        else:
+            # conservation: the local total reflects the same op amounts, so
+            # totals agree even though per-key rejections may differ
+            assert total == sum(_local_final_state(mix, 200).values())
