@@ -58,6 +58,44 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_stream_join(
+    left: DataFrame, right: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream–stream inner join: 'click' events joined to the same user's
+    'view' events within the preceding hour.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both ends, so Spark can expire buffered rows — the state-size guarantee
+    that makes this viable on an unbounded 100 TB/day stream. Without the
+    time bound the join state would grow forever."""
+    l = (
+        left.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("l_user").alias("user_id"), "click_id", "view_id", "click_ts", "view_ts"
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on (user_id, event_type): state for a key is dropped
     once the watermark passes it — the unbounded-state-safe form of

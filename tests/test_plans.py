@@ -1,0 +1,83 @@
+"""Physical-plan quality gates: the 100 TB design assertions.
+
+These tests pin the *plan*, not the result: filters reach the parquet scan,
+projection prunes the read schema, fixed-size dims broadcast, no relational
+query ever degenerates to a cartesian product, and the hot path stays inside
+whole-stage codegen. A regression here is a 100×-scale performance bug even
+when results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from stateflow_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+RELATIONAL_TAGS = {"tpch", "join", "agg", "window", "setops"}
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark):
+    plan = explain_str(REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR))
+    # every predicate reaches the parquet reader
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "GreaterThanOrEqual(l_discount,0.019)" in plan
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    # the scan reads exactly the 4 referenced columns of 11
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    struct = read.split("struct<", 1)[1]
+    assert struct.count(",") + 1 == 4, read
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = explain_str(REGISTRY["q5_local_supplier_volume"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_physical(spark):
+    plan = explain_str(REGISTRY["q4_order_priority"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_physical(spark):
+    plan = explain_str(REGISTRY["q22_global_sales_opportunity"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """A missing join condition silently becomes a cartesian product — at
+    100 TB that is a non-terminating query. One-row scalar-subquery cross
+    joins must plan as BroadcastNestedLoopJoin, never CartesianProduct."""
+    for name, qd in sorted(REGISTRY.items()):
+        if not (RELATIONAL_TAGS & set(qd.tags)):
+            continue
+        plan = explain_str(qd.fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_aggregates_are_partial_final(spark):
+    """Map-side partial aggregation must precede the shuffle (partial_sum
+    in the pre-Exchange HashAggregate) — the difference between shuffling
+    600 M rows and 4."""
+    plan = explain_str(REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR))
+    assert "partial_sum" in plan
+    assert "HashAggregate" in plan
+
+
+def test_hot_path_in_wholestage_codegen(spark):
+    """simple-mode explain marks codegen stages with '*(n)'; the scan →
+    filter → project → partial-agg pipeline must be inside one. AQE only
+    annotates codegen in the final (executed) plan, so run the query first."""
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    df.collect()
+    plan = explain_str(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan

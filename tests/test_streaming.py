@@ -140,6 +140,27 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert n == expected
 
 
+def test_stream_stream_join_parity(spark, tmp_path):
+    """Stream–stream time-bounded join equals the same join run in batch.
+
+    Inner stream-stream joins emit a match as soon as both sides arrive;
+    nothing is retracted, so the streamed output must be exactly the batch
+    result once the stream is fully consumed."""
+    stream = _stream_events(spark, tmp_path)
+    _run_to_memory(sw.stream_stream_join(stream, stream), "t_ssj")
+    got = {
+        (r.user_id, r.click_id, r.view_id)
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+    e = load(spark, SF_DIR, "events")
+    batch = {
+        (r.user_id, r.click_id, r.view_id)
+        for r in sw.stream_stream_join(e, e).collect()
+    }
+    assert got == batch
+    assert batch, "no click-view pairs in testdata"
+
+
 def test_stream_session_windows_run(spark, tmp_path):
     stream = _stream_events(spark, tmp_path)
     _run_to_memory(sw.session_windows(stream), "t_sess")
