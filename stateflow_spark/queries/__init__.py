@@ -22,3 +22,4 @@ from stateflow_spark.queries import dedup  # noqa: F401, E402
 from stateflow_spark.queries import similarity  # noqa: F401, E402
 from stateflow_spark.queries import multimodal  # noqa: F401, E402
 from stateflow_spark.queries import udtfs  # noqa: F401, E402
+from stateflow_spark.queries import joins  # noqa: F401, E402

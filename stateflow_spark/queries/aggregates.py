@@ -144,3 +144,43 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(F.col("n") > 1).select(
         "c_nationkey", "n", "s1", "s2", var.alias("var_bal")
     )
+
+
+@register(
+    "agg_pandas_udaf_median",
+    oracle="""
+    SELECT c_mktsegment, MEDIAN(c_acctbal) AS median_bal, COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "udaf"),
+)
+def agg_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF row of SURVEY.md §2.C): exact
+    per-group median, which no order-independent built-in provides.
+
+    Arrow ships each group's column to Python once; numpy's interpolated
+    median matches DuckDB's MEDIAN on doubles (same (a+b)/2 IEEE step for
+    even counts). At scale this shuffles only (segment, acctbal) — two
+    narrow columns — and parallelizes per group."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: module-level `from __future__ import annotations`
+    # stringifies hints, so signature-based eval-type inference can't apply
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return float(np.median(v.to_numpy()))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates in
+    # one agg (INVALID_PANDAS_UDF_PLACEMENT) — the count rides along as a
+    # second pandas UDAF over the same Arrow batch
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v):
+        return len(v)
+
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        median_udaf("c_acctbal").alias("median_bal"),
+        count_udaf("c_acctbal").alias("n"),
+    )

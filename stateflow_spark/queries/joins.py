@@ -1,0 +1,94 @@
+"""Join-family completions (SURVEY.md §2.C joins row): as-of join and
+full-outer join — shapes the earlier TPC-H queries don't cover.
+
+The as-of join is the canonical "operator Spark lacks" case (instruction:
+compose from existing DataFrame ops when semantics allow). The naive form
+— range self-join then max() per left row — explodes quadratically on hot
+keys. The scalable composition used here: union both sides with a marker,
+one window pass per user ordered by time carrying the last view timestamp
+forward (``last(..., ignorenulls=True)``), then keep the click rows. One
+shuffle on the join key, linear work, no pair blow-up — this survives
+100 TB where the range-join form does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stateflow_spark.catalog import load
+from stateflow_spark.queries.common import oracle_dsum, register
+
+
+@register(
+    "join_asof_click_view",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the same user's most recent view
+    at or before it (NULL if none). Emits the matched view's timestamp —
+    a value both engines agree on even when two views share an instant."""
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_click"), F.col("ts").alias("view_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("is_click"), F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    # views sort before clicks at the same ts (is_click asc) → ts-equal views
+    # are visible to the click, matching ASOF's >= bound
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(clicks)
+        .withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("last_view_ts").alias("view_ts"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_part_sales",
+    oracle=f"""
+    SELECT COALESCE(p_partkey, l_partkey) AS partkey,
+           p_name,
+           {oracle_dsum('l_extendedprice * (1.0 - l_discount)', 'revenue', 6)}
+    FROM (SELECT * FROM part WHERE p_size <= 25) p
+    FULL OUTER JOIN lineitem ON p_partkey = l_partkey
+    GROUP BY COALESCE(p_partkey, l_partkey), p_name
+    """,
+    tags=("join", "outerjoin"),
+)
+def join_full_outer_part_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with genuine rows on both exclusive sides: small
+    parts that never sold (NULL revenue) and sales of large parts excluded
+    from the dimension (NULL p_name)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    l = load(spark, sf_dir, "lineitem")
+    from stateflow_spark.queries.common import dsum
+
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "full_outer")
+        .groupBy(
+            F.coalesce("p_partkey", "l_partkey").alias("partkey"), F.col("p_name")
+        )
+        .agg(dsum(rev, "revenue", 6))
+    )
