@@ -235,33 +235,105 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_PERM, _N_BANDS = 16, 4
+_ROWS_PER_BAND = _N_PERM // _N_BANDS
+
+# engine-neutral 60-bit hash of a string expression (same md5 recipe as
+# SimHash above) — DuckDB reproduces it bit-for-bit, so the whole LSH
+# pipeline is oracle-checkable. Production would swap in xxhash64 (one JVM
+# call vs md5+conv) at the single _h60 seam; the plan shape is identical.
+_MINHASH_ORACLE = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    mh AS (
+        SELECT doc_id, p.i,
+               MIN(list_reduce(list_transform(range(1, 16),
+                   j -> CAST(strpos('0123456789abcdef',
+                             substr(md5(CAST(p.i AS VARCHAR) || ':' || s),
+                                    j, 1)) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b)) AS v
+        FROM ex, (SELECT unnest(range(0, {_N_PERM})) AS i) p
+        GROUP BY doc_id, p.i
+    ),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"MIN(CASE WHEN i = {i} THEN v END) AS mh{i}"
+                          for i in range(_N_PERM))}
+        FROM mh GROUP BY doc_id
+    ),
+    stacked AS (
+        {" UNION ALL ".join(
+            "SELECT doc_id, " + str(b) + " AS band, md5("
+            + " || ',' || ".join(
+                f"CAST(mh{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(_ROWS_PER_BAND))
+            + ") AS bucket FROM sig"
+            for b in range(_N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM stacked a
+        JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id
+    ),
+    ex2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+        SELECT doc_a, doc_b, COUNT(*) AS n_common
+        FROM cand
+        JOIN ex2 a ON a.doc_id = doc_a
+        JOIN ex2 b ON b.doc_id = doc_b AND a.s = b.s
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _h60(expr) -> F.Column:
+    """60-bit engine-neutral hash: first 15 hex chars of md5 as a bigint."""
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("bigint")
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # engine-specific hash → driver does the rows-only check;
-    # tests/test_dedup.py asserts recall against the exact-Jaccard oracle.
+    oracle=_MINHASH_ORACLE,
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified by exact Jaccard.
 
-    shingle → 16 minhash signatures (xxhash64 with per-permutation seeds) →
-    4 bands × 4 rows → band-bucket join → exact-Jaccard verification of the
-    candidates only. This is the 100 TB path: cost is O(docs × shingles)
-    plus a join keyed on (band, bucket); the exact verify touches only
-    banded candidates."""
+    shingle → 16 minhash signatures (one 60-bit hash per permutation seed)
+    → 4 bands × 4 rows → band-bucket join → exact-Jaccard verification of
+    the candidates only. This is the 100 TB path: cost is O(docs ×
+    shingles) plus a join keyed on (band, bucket); the exact verify touches
+    only banded candidates. The DuckDB oracle replays the identical
+    pipeline (same hashes), so banding recall is pinned, not sampled."""
     sh = _shingles_df(spark, sf_dir)
-    n_perm, n_bands = 16, 4
-    rows_per_band = n_perm // n_bands
+    n_perm, n_bands = _N_PERM, _N_BANDS
+    rows_per_band = _ROWS_PER_BAND
     ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
     sig = ex.groupBy("doc_id", "n").agg(
         *[
-            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+            F.min(_h60(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
             for i in range(n_perm)
         ]
     )
     band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
