@@ -81,6 +81,37 @@ def test_streaming_engine_cross_key_flow(engine):
     assert replies[g2.event_id].payload["result"] == 1
 
 
+def test_streaming_engine_recovery(spark, tmp_path):
+    """Kill the query and restart from the same checkpoint: entity state
+    must survive (the state store + checkpoint replaces the reference's
+    Beam/Flink state backends and DynamoDB locks — SURVEY.md §7)."""
+    from stateflow_spark.entity.model import Event, EventType
+    import uuid
+
+    workdir = str(tmp_path / "recover_engine")
+    eng1 = StreamingEntityEngine(spark, workdir)
+    init = operator.make_init_event("User", ("recover-u1",))
+    eng1.send([init])
+    eng1.start()
+    eng1.drain()
+    ref = eng1.replies()[init.event_id].payload["result"]
+    up = operator.make_invoke_event(ref, "update_balance", (99,))
+    eng1.send([up])
+    eng1.drain()
+    eng1.stop()
+
+    eng2 = StreamingEntityEngine(spark, workdir)
+    g = Event(str(uuid.uuid4()), "User", "recover-u1", EventType.GET_STATE,
+              {"attr": "balance"})
+    eng2.send([g])
+    eng2.start()
+    try:
+        eng2.drain()
+        assert eng2.replies()[g.event_id].payload["result"] == 99
+    finally:
+        eng2.stop()
+
+
 def _stream_events(spark, tmp_path):
     """Re-serve the events table through a file stream (maxFilesPerTrigger
     exercises multi-batch accumulation)."""
