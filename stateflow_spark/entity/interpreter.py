@@ -194,6 +194,16 @@ class Interpreter:
             return self._run(flow)
         except FlowError as ex:
             return StepOutcome(done=True, error=str(ex), flow=flow)
+        except Exception as ex:  # user-code failure inside a fragment/call:
+            # becomes an error reply, never a crashed task (the reference
+            # converts invocation failures the same way,
+            # wrappers/class_wrapper.py:113-149). Partial state writes
+            # before the raise stay visible — non-isolated flow semantics.
+            return StepOutcome(
+                done=True,
+                error=f"{type(ex).__name__}: {ex}",
+                flow=flow,
+            )
 
     def _run(self, flow: FlowState) -> StepOutcome:
         while True:

@@ -109,7 +109,19 @@ def handle(event: Event, store: StateStore) -> HandleResult:
             else:
                 res.replies.append(event.reply(EventType.OK, result=out.result))
         else:
-            result, new_state = wrapper.invoke(et.cls, et.desc, state, method, args)
+            try:
+                result, new_state = wrapper.invoke(
+                    et.cls, et.desc, state, method, args
+                )
+            except Exception as ex:  # failed invocation → error reply, not a
+                # crashed task (reference: class_wrapper.py:113-149 returns
+                # InvokeMethodFailure); state is untouched on failure
+                res.replies.append(
+                    event.reply(
+                        EventType.ERROR, error=f"{type(ex).__name__}: {ex}"
+                    )
+                )
+                return res
             store.put(ref, new_state)
             res.replies.append(event.reply(EventType.OK, result=result))
     else:  # pragma: no cover

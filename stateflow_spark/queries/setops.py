@@ -90,3 +90,37 @@ def setops_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "setops_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setops",),
+)
+def setops_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): per-key multiplicity is the MIN of the
+    two sides' counts — duplicates survive, unlike INTERSECT."""
+    return _custkeys_with_status(spark, sf_dir, "O").intersectAll(
+        _custkeys_with_status(spark, sf_dir, "F")
+    )
+
+
+@register(
+    "setops_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setops",),
+)
+def setops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): per-key multiplicity is left count minus
+    right count, floored at zero."""
+    return _custkeys_with_status(spark, sf_dir, "O").exceptAll(
+        _custkeys_with_status(spark, sf_dir, "F")
+    )

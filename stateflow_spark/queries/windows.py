@@ -122,3 +122,35 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value").over(w).alias("prev_value"),
         F.lead("event_type").over(w).alias("next_event_type"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+           ) AS orders_last_90d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per customer, how many of their orders
+    fell in the trailing 90 days (inclusive). Value-based frames are the
+    window shape ROWS frames cannot express; state per partition is bounded
+    by the frame span, which is what keeps this viable on a 100 TB fact
+    table."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("orders_last_90d"),
+    )
