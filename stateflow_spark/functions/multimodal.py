@@ -54,6 +54,54 @@ def fake_decode_features(payload: bytes) -> list[float]:
     return [b / 256.0 for b in digest[:8]]
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_hash", StringType(), False),
+    ]
+)
+
+
+def fake_frame_count(payload: bytes) -> int:
+    """DETERMINISTIC STUB for container probing: 1-4 pseudo-frames derived
+    from payload length (a real probe would read the media header)."""
+    return (len(payload) // 256) % 4 + 1
+
+
+def frame_sample(blobs: DataFrame) -> DataFrame:
+    """Frame-sampling stage: one input row → N output rows (N data-dependent).
+
+    This is the mapInPandas shape scalar UDFs cannot express — a video
+    decoder emitting k sampled frames per clip. The stub derives the frame
+    count from payload length and each frame 'content' hash from the
+    payload hash + index; a real implementation would seek/decode frames::
+
+        for idx in sample_indices(n_frames(payload), k):
+            frame = decode_frame(payload, idx)          # decode + seek
+            frame = resize(frame, (224, 224))           # resize
+            yield doc_id, idx, frame_bytes
+
+    Input columns: doc_id (long), payload (binary)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc, out_idx, out_hash = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.md5(payload).hexdigest()
+                for i in range(fake_frame_count(payload)):
+                    out_doc.append(int(doc_id))
+                    out_idx.append(i)
+                    out_hash.append(
+                        hashlib.md5(f"{h}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_hash": out_hash}
+            )
+
+    return blobs.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def decode_features(blobs: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over a binary `payload` column.
 

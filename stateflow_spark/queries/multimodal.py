@@ -43,10 +43,28 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the stub decoder derives features from the md5 hex digest; DuckDB can
+# replay that byte-for-byte, so even the Python mapInPandas stage gets a
+# full value oracle: byte i of the digest = hex pair (2i, 2i+1) scaled /256
+_HEXB = (
+    "(CAST(strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1 AS BIGINT)"
+    " * 16 + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)"
+)
+_FEAT_SQL = ", ".join(
+    _HEXB.format(a=2 * i + 1, b=2 * i + 2) + " / 256.0" for i in range(8)
+)
+
+
 @register(
     "multimodal_decode_features",
-    oracle=None,  # the decode stage is Python (mapInPandas); rows-only check.
-    # tests/test_multimodal.py asserts the feature values directly.
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash,
+           [{_FEAT_SQL}] AS feat,
+           'ok' AS decode_status
+    FROM documents
+    """,
     tags=("multimodal", "mapinpandas"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,3 +85,29 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return decode_features(blobs)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH probed AS (
+        SELECT doc_id, md5(text) AS h,
+               (octet_length(encode(text)) // 256) % 4 + 1 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, i.i AS frame_idx, md5(h || ':' || CAST(i.i AS VARCHAR)) AS frame_hash
+    FROM probed, (SELECT unnest(range(0, 4)) AS i) i
+    WHERE i.i < n_frames
+    """,
+    tags=("multimodal", "mapinpandas", "frame-sample"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over binary payloads: one row in, 1-4 frame rows out
+    (data-dependent fan-out through mapInPandas — the shape a video
+    pipeline's decode+sample stage needs). Frame hashes are md5-derived in
+    the stub, so DuckDB replays the exact output."""
+    from stateflow_spark.functions.multimodal import frame_sample
+
+    d = load(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return frame_sample(blobs)
