@@ -210,7 +210,44 @@ def sim_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_topk",
-    oracle=None,  # scale-path variant; recall asserted vs sim_cosine_topk in tests
+    oracle=f"""
+    WITH ex AS ({_EX_SQL}),
+    labeled AS (
+        SELECT e.vec_id, emb.label, e.pos, e.x
+        FROM ex e JOIN embeddings emb ON emb.vec_id = e.vec_id
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS c
+        FROM labeled GROUP BY label, pos
+    ),
+    qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
+    probe AS (
+        SELECT label,
+               CAST(SUM(CAST(c * qv AS DECIMAL(38,12))) AS DOUBLE) AS cdot
+        FROM cent JOIN qx USING (pos)
+        GROUP BY label
+        ORDER BY cdot DESC, label
+        LIMIT 3
+    ),
+    dots AS (
+        SELECT l.vec_id,
+               CAST(SUM(CAST(l.x * qx.qv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(l.x * l.x AS DECIMAL(38,12))) AS DOUBLE) AS norm2
+        FROM labeled l
+        JOIN probe USING (label)
+        JOIN qx USING (pos)
+        WHERE l.vec_id <> 0
+        GROUP BY l.vec_id
+    ),
+    qn AS (SELECT CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS DOUBLE) AS qnorm2
+           FROM qx)
+    SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
+    FROM dots, qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
     tags=("similarity", "ivf", "ann"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
