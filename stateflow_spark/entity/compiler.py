@@ -429,8 +429,15 @@ class _FlowCompiler:
             self.instrs[p].ip = self.here()
 
     def compile(self) -> Program:
-        self.types.prescan(self.method.node.body)
-        self.compile_body(self.method.node.body)
+        # compile from a copy: _CallHoister rewrites call sites in place, and
+        # the descriptor's AST must stay pristine — flows are recompiled
+        # whenever a later entity registration re-links the registry, and a
+        # second pass over a mutated tree would see the temps but no calls
+        import copy
+
+        body = copy.deepcopy(self.method.node.body)
+        self.types.prescan(body)
+        self.compile_body(body)
         if not self.instrs or not isinstance(self.instrs[-1], Return):
             self.emit(Return(None))
         return Program(

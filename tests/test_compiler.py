@@ -139,3 +139,24 @@ def test_branch_targets_in_range():
                     assert 0 <= ins.ip <= n, f"{name}: {ins}"
                 if isinstance(ins, ForIter):
                     assert 0 <= ins.end_ip <= n, f"{name}: {ins}"
+
+
+def test_recompilation_is_idempotent():
+    """Registering a new entity after flows were compiled re-links and
+    recompiles every flow; the compiler must not mutate descriptor ASTs
+    (a mutated tree loses its call sites on the second pass — caught by
+    the hypothesis equivalence test, pinned here)."""
+    from stateflow_spark.entity import registry as reg
+
+    first = {
+        (e, m): p.pretty()
+        for e, et in reg.get_registry().items()
+        for m, p in et.flows.items()
+    }
+    reg._linked = False  # what any later entity() registration does
+    second = {
+        (e, m): p.pretty()
+        for e, et in reg.get_registry().items()
+        for m, p in et.flows.items()
+    }
+    assert first == second
