@@ -112,7 +112,9 @@ class SelfProxy:
         return self._state[attr]
 
     def __setattr__(self, attr: str, value: Any):
-        self._state[attr] = value
+        # unwrap: exec-namespace values may be (or contain) entity proxies;
+        # persisted state must hold plain EntityRefs, never live proxies
+        self._state[attr] = unwrap(value)
         object.__setattr__(self, "_dirty", True)
 
 
