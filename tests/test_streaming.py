@@ -157,6 +157,24 @@ def test_stream_batch_parity_tumbling(spark, tmp_path):
     assert len(got) >= len(expected) - 25  # open tail windows per type
 
 
+def test_stream_batch_parity_sliding(spark, tmp_path):
+    stream = _stream_events(spark, tmp_path)
+    _run_to_memory(sw.sliding_counts(stream), "t_slide", mode="append")
+    got = {
+        r.window_start: r.n_events
+        for r in spark.sql("SELECT * FROM t_slide").collect()
+    }
+    from stateflow_spark.queries import REGISTRY
+
+    expected = {
+        r.window_start: r.n_events
+        for r in REGISTRY["events_sliding_window"].fn(spark, SF_DIR).collect()
+    }
+    assert got, "no sliding windows emitted"
+    for k, v in got.items():
+        assert expected[k] == v
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     stream = _stream_events(spark, tmp_path)
     _run_to_memory(sw.dedup_within_watermark(stream), "t_dedup")
