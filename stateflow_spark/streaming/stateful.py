@@ -93,10 +93,38 @@ class _GroupStateStore(StateStore):
         self.touched = True
 
 
-def _make_stateful_fn(registry_blob: bytes):
+def _cold_load(cold_dir: str, entity: str, key: str) -> Optional[dict]:
+    """Latest evicted state for a key from the cold tier (parquet dir written
+    by the egress router). At cluster scale this is a shared-FS/S3 point read
+    — the same pattern as RocksDB state restore or a lakehouse lookup; the
+    cold layout would be partitioned/compacted by entity there."""
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(cold_dir, format="parquet")
+        if "entity" not in dataset.schema.names:  # empty tier (no files yet)
+            return None
+        tbl = dataset.to_table(
+            filter=(pc.field("entity") == entity) & (pc.field("key") == key)
+        )
+    except (FileNotFoundError, OSError):
+        return None
+    if tbl.num_rows == 0:
+        return None
+    seqs = tbl.column("seq").to_pylist()
+    blobs = tbl.column("blob").to_pylist()
+    return pickle.loads(blobs[seqs.index(max(seqs))])
+
+
+def _make_stateful_fn(
+    registry_blob: bytes, ttl_ms: Optional[int], cold_dir: Optional[str]
+):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import time
+
         from stateflow_spark.entity import registry as reg_mod
 
         reg = pickle.loads(registry_blob)
@@ -105,7 +133,33 @@ def _make_stateful_fn(registry_blob: bytes):
         reg_mod._linked = True
 
         entity_name, k = key
+
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle key: move hot state to the cold tier and drop it from the
+            # state store — store size tracks ACTIVE keys, not total keys
+            rows = []
+            if state.exists:
+                rows.append(
+                    (
+                        "evict",
+                        entity_name,
+                        k,
+                        time.time_ns(),
+                        pickle.dumps(pickle.loads(state.get[0])),
+                    )
+                )
+            state.remove()
+            yield pd.DataFrame(
+                rows, columns=["kind", "entity", "key", "seq", "blob"]
+            )
+            return
+
         current = pickle.loads(state.get[0]) if state.exists else None
+        if current is None and cold_dir is not None:
+            current = _cold_load(cold_dir, entity_name, k)
+            reheated = current is not None
+        else:
+            reheated = False
         store = _GroupStateStore(entity_name, k, current)
 
         rows: list[tuple] = []
@@ -121,8 +175,10 @@ def _make_stateful_fn(registry_blob: bytes):
             for h in res.hops:
                 rows.append(("hop", h.entity, h.key, h.seq, h.to_bytes()))
 
-        if store.touched and store.state is not None:
+        if (store.touched or reheated) and store.state is not None:
             state.update((pickle.dumps(store.state),))
+        if ttl_ms is not None and state.exists:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(rows, columns=["kind", "entity", "key", "seq", "blob"])
 
     return fn
@@ -132,19 +188,41 @@ class StreamingEntityEngine:
     """One continuous query processing entity events from a directory
     (events-in + loopback), emitting replies to a parquet sink."""
 
-    def __init__(self, spark: SparkSession, workdir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        state_ttl_ms: Optional[int] = None,
+    ):
+        """state_ttl_ms: optional hot/cold state tiering. Keys idle longer
+        than the TTL are evicted from the state store into a cold parquet
+        tier and lazily reloaded on their next event — state-store size
+        tracks the ACTIVE key set, which is what keeps a 100 TB deployment's
+        per-executor state bounded when total key cardinality is unbounded.
+        (Timeouts fire when a micro-batch runs, per Spark's processing-time
+        timeout semantics.)"""
         self.spark = spark
         self.workdir = workdir
         self.in_dir = os.path.join(workdir, "events_in")
         self.replies_dir = os.path.join(workdir, "replies")
         self.checkpoint = os.path.join(workdir, "checkpoint")
+        self.state_ttl_ms = state_ttl_ms
+        self.cold_dir = (
+            os.path.join(workdir, "cold_state") if state_ttl_ms else None
+        )
         os.makedirs(self.in_dir, exist_ok=True)
         os.makedirs(self.replies_dir, exist_ok=True)
+        if self.cold_dir:
+            os.makedirs(self.cold_dir, exist_ok=True)
         self.query = None
 
     # -- client side --------------------------------------------------------
     def send(self, events: Iterable[Event]) -> None:
+        events = list(events)
         rows = [(e.entity, e.key, e.seq, e.to_bytes()) for e in events]
+        if not hasattr(self, "_sent_ids"):
+            self._sent_ids: set[str] = set()
+        self._sent_ids.update(e.event_id for e in events)
         df = self.spark.createDataFrame(rows, EVENT_STRUCT)
         df.coalesce(1).write.mode("append").parquet(self.in_dir)
 
@@ -182,24 +260,30 @@ class StreamingEntityEngine:
             for mod in mods.values():
                 cloudpickle.unregister_pickle_by_value(mod)
 
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout
+            if self.state_ttl_ms
+            else GroupStateTimeout.NoTimeout
+        )
         stream = (
             self.spark.readStream.schema(EVENT_STRUCT)
             .parquet(self.in_dir)
             .groupBy("entity", "key")
             .applyInPandasWithState(
-                _make_stateful_fn(blob),
+                _make_stateful_fn(blob, self.state_ttl_ms, self.cold_dir),
                 OUT_STRUCT,
                 STATE_STRUCT,
                 "append",
-                GroupStateTimeout.NoTimeout,
+                timeout,
             )
         )
 
-        in_dir, replies_dir = self.in_dir, self.replies_dir
+        in_dir, replies_dir, cold_dir = self.in_dir, self.replies_dir, self.cold_dir
 
         def route(batch_df: DataFrame, batch_id: int) -> None:
             # egress router (dataflow.py:52-128): replies to the client sink,
-            # hops back into the source directory (the `internal` topic)
+            # hops back into the source directory (the `internal` topic),
+            # evicted state into the cold tier
             batch_df.persist()
             batch_df.filter(F.col("kind") == "reply").select(
                 "entity", "key", "seq", "blob"
@@ -209,27 +293,54 @@ class StreamingEntityEngine:
             )
             if hops.limit(1).count() > 0:
                 hops.coalesce(1).write.mode("append").parquet(in_dir)
+            if cold_dir is not None:
+                evicted = batch_df.filter(F.col("kind") == "evict").select(
+                    "entity", "key", "seq", "blob"
+                )
+                if evicted.limit(1).count() > 0:
+                    evicted.coalesce(1).write.mode("append").parquet(cold_dir)
             batch_df.unpersist()
 
+        # with a TTL, every trigger runs a timeout-check batch even with no
+        # data — pace them, instead of spinning at trigger-0
+        trigger = "500 milliseconds" if self.state_ttl_ms else "0 seconds"
         self.query = (
             stream.writeStream.foreachBatch(route)
             .option("checkpointLocation", self.checkpoint)
-            .trigger(processingTime="0 seconds")
+            .trigger(processingTime=trigger)
             .start()
         )
 
-    def drain(self) -> None:
+    def drain(self, timeout_s: float = 120.0) -> None:
         """Block until every pending event (including loopback hops written
         mid-batch) has been processed.
 
-        Hop files are written into the source directory by foreachBatch
-        *before* the batch commits, so processAllAvailable — which returns
-        only when the source reports no new data — already chases the
-        loopback cycle to quiescence. A second pass guards against a hop
-        file racing the final source-availability check."""
+        Without a TTL: hop files are written into the source directory by
+        foreachBatch *before* the batch commits, so processAllAvailable —
+        which returns only when the source reports no new data — already
+        chases the loopback cycle to quiescence (second pass guards a race).
+
+        With a TTL: ProcessingTimeTimeout makes Spark schedule timeout-check
+        micro-batches continuously, so source quiescence never settles;
+        instead poll the reply sink until every event this client sent has
+        its reply (replies carry the originating event_id end-to-end, so
+        this also covers multi-hop flows)."""
         assert self.query is not None
-        self.query.processAllAvailable()
-        self.query.processAllAvailable()
+        if not self.state_ttl_ms:
+            self.query.processAllAvailable()
+            self.query.processAllAvailable()
+            return
+        import time
+
+        want = set(getattr(self, "_sent_ids", ()))
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            have = set(self.replies())
+            if want <= have:
+                return
+            time.sleep(0.25)
+        missing = want - set(self.replies())
+        raise TimeoutError(f"{len(missing)} events got no reply: {list(missing)[:3]}")
 
     def stop(self) -> None:
         if self.query is not None:

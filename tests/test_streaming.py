@@ -112,6 +112,49 @@ def test_streaming_engine_recovery(spark, tmp_path):
         eng2.stop()
 
 
+def test_streaming_engine_state_ttl_tiering(spark, tmp_path):
+    """Hot/cold state tiering: an idle key is evicted to the cold parquet
+    tier (state-store size tracks active keys) and transparently reheated
+    by its next event."""
+    import os
+    import time
+    import uuid
+
+    from stateflow_spark.entity.model import Event, EventType
+
+    eng = StreamingEntityEngine(
+        spark, str(tmp_path / "ttl_engine"), state_ttl_ms=1500
+    )
+    init = operator.make_init_event("User", ("ttl-u1",))
+    eng.send([init])
+    eng.start()
+    try:
+        eng.drain()
+        ref = eng.replies()[init.event_id].payload["result"]
+        eng.send([operator.make_invoke_event(ref, "update_balance", (77,))])
+        eng.drain()
+
+        # let the TTL lapse; the engine's own timeout-check batches evict
+        # the idle key into the cold tier
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and not any(
+            f.endswith(".parquet") for f in os.listdir(eng.cold_dir)
+        ):
+            time.sleep(0.5)
+        assert any(
+            f.endswith(".parquet") for f in os.listdir(eng.cold_dir)
+        ), "idle key was never evicted"
+
+        # the evicted key's next event reheats from the cold tier
+        g = Event(str(uuid.uuid4()), "User", "ttl-u1", EventType.GET_STATE,
+                  {"attr": "balance"})
+        eng.send([g])
+        eng.drain()
+        assert eng.replies()[g.event_id].payload["result"] == 77
+    finally:
+        eng.stop()
+
+
 def _stream_events(spark, tmp_path):
     """Re-serve the events table through a file stream (maxFilesPerTrigger
     exercises multi-batch accumulation)."""
