@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stateflow_spark.catalog import load, register_views
-from stateflow_spark.queries.common import dsum, register
+from stateflow_spark.queries.common import dec, dsum, register
 
 
 @register(
@@ -183,4 +183,42 @@ def agg_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(
         median_udaf("c_acctbal").alias("median_bal"),
         count_udaf("c_acctbal").alias("n"),
+    )
+
+
+@register(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating two-phase aggregate: events has only a handful of
+    event_type values, so at 100 TB a plain groupBy sends each type's
+    entire volume to one reducer. Salting splits every hot key across 16
+    partial groups, then a second (tiny) aggregation merges the partials.
+    Decimal accumulators keep both phases exact, so the result is
+    bit-identical to the unsalted plan — which is exactly what the oracle
+    checks. (AQE's skew handling covers joins; aggregate skew is handled
+    by this pattern.)"""
+    from stateflow_spark.catalog import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    n_salts = 16
+    partial = (
+        e.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(n_salts)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec("value", 4)).alias("pv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
     )

@@ -350,3 +350,42 @@ def test_missing_key(rt):
     with pytest.raises(KeyError):
         rt.get_attr(EntityRef("User", "ghost"), "balance")
     assert not rt.exists(EntityRef("User", "ghost"))
+
+
+@entity
+class Countdown:
+    def __init__(self, name: str):
+        self.name = name
+        self.fuel: int = 0
+
+    def refuel(self, x: int) -> int:
+        self.fuel += x
+        return self.fuel
+
+    def burn_down(self, other: "B") -> int:
+        """while-loop with an external call per iteration — a shape the
+        reference's splitter does not support (it splits for/if only); our
+        compiler emits Branch + back-Jump with the hoisted call inside."""
+        burns = 0
+        while self.fuel > 0:
+            other.add_balance(self.fuel)
+            self.fuel -= 2
+            burns += 1
+        return burns
+
+    def __key__(self):
+        return self.name
+
+
+def test_while_loop_flow(rt):
+    c = rt.create(Countdown, "cd1")
+    b = rt.create(B, "cd-sink")
+    rt.invoke(c, "refuel", 5)
+    burns = rt.invoke(c, "burn_down", b)
+    # fuel 5 → add 5, fuel 3 → add 3, fuel 1 → add 1 → fuel -1 stops
+    assert burns == 3
+    assert rt.get_attr(b, "balance") == 9
+    assert rt.get_attr(c, "fuel") == -1
+    # empty loop: zero iterations, no external calls
+    assert rt.invoke(c, "burn_down", b) == 0
+    assert rt.get_attr(b, "balance") == 9
