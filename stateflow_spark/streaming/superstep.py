@@ -121,6 +121,16 @@ class SuperstepRuntime:
         self.spark = spark
         self.max_supersteps = max_supersteps
 
+    # -- durable state ------------------------------------------------------
+    @staticmethod
+    def save_state(state_df: DataFrame, path: str) -> None:
+        """Persist an entity-state snapshot (the production between-batches
+        story: state lives in parquet/Delta, not driver memory)."""
+        state_df.write.mode("overwrite").parquet(path)
+
+    def load_state(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
     def _events_df(self, events: Iterable[Event]) -> DataFrame:
         rows = [(e.entity, e.key, e.seq, e.to_bytes()) for e in events]
         return self.spark.createDataFrame(rows, EVENT_SCHEMA)

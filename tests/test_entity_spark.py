@@ -118,3 +118,31 @@ def test_superstep_key_not_found(spark):
     res = SuperstepRuntime(spark).run([ev])
     with pytest.raises(KeyError):
         res.result_of(ev)
+
+
+def test_superstep_state_persistence(spark, tmp_path):
+    """State snapshot round-trips through parquet: a fresh runtime resumes
+    from the saved snapshot (the production between-batches pattern)."""
+    from stateflow_spark.entity import operator
+    from stateflow_spark.entity.model import EntityRef
+    from stateflow_spark.streaming.superstep import SuperstepRuntime
+
+    rt = SuperstepRuntime(spark)
+    init = operator.make_init_event("User", ("persist-u1",))
+    seeded = rt.run([init])
+    ref = seeded.replies[init.event_id].payload["result"]
+    res = rt.run(
+        [operator.make_invoke_event(ref, "update_balance", (33,))],
+        state_df=seeded.state_df,
+    )
+    path = str(tmp_path / "state_snapshot")
+    SuperstepRuntime.save_state(res.state_df, path)
+
+    rt2 = SuperstepRuntime(spark)
+    restored = rt2.load_state(path)
+    ev = operator.make_invoke_event(
+        EntityRef("User", "persist-u1"), "update_balance", (7,)
+    )
+    res2 = rt2.run([ev], state_df=restored)
+    state = res2.collect_state()
+    assert state[("User", "persist-u1")]["balance"] == 40
