@@ -232,3 +232,66 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > t_view
+            AND e.ts <= t_view + INTERVAL 12 HOUR
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t_click
+            AND e.ts <= t_click + INTERVAL 12 HOUR
+          GROUP BY e.user_id)
+    SELECT
+      (SELECT COUNT(*) FROM v) AS n_view,
+      (SELECT COUNT(*) FROM c) AS n_view_click,
+      (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, time-bounded 3-step funnel: first view → click within 12h →
+    purchase within 12h of that click. Each stage is one aggregation + one re-join
+    on user_id — the standard scalable funnel shape (state per user is a
+    single timestamp per stage, never the event history). Counts are
+    integers: engine-exact."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
