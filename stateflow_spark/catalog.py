@@ -47,6 +47,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); a session built outside
+        # get_spark (e.g. the driver's own) rejects it without this legacy
+        # conf — it is runtime-settable, so set it defensively here
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
