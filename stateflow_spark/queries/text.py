@@ -166,3 +166,37 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# GPT-2-style pretokenizer approximation: optional-space letter runs, digit
+# runs, punctuation runs, whitespace runs — plain alternation only, so the
+# Java (Spark) and RE2 (DuckDB) regex engines tokenize identically
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS bpe_per_word
+    FROM documents
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document. The regex runs
+    JVM-side (regexp_extract_all inside codegen) — the pretokenization pass
+    of an LLM data pipeline without a Python UDF in the hot path; a real
+    BPE merge step would follow as a pandas UDF over these pretokens."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(_tokens())
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_RE}', 0)"))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (bpe.cast("double") / ws.cast("double")).alias("bpe_per_word"),
+    )
