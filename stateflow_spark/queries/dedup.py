@@ -382,3 +382,88 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+EMB_COSINE_THRESHOLD = 0.32
+
+_EMB_EX_SQL = """
+        SELECT e.vec_id, emb.label,
+               generate_subscripts(e.embedding, 1) AS pos,
+               CAST(unnest(e.embedding) AS DOUBLE) AS x
+        FROM embeddings e, embeddings emb
+        WHERE emb.vec_id = e.vec_id
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+        FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM ex a
+        JOIN ex b ON a.pos = b.pos AND a.label = b.label
+                  AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {EMB_COSINE_THRESHOLD}
+    """,
+    tags=("dedup", "embedding", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by cluster label.
+
+    All-pairs cosine is quadratic; blocking compares only within-cluster
+    pairs (the IVF partition doubling as the dedup block — standard
+    practice for embedding dedup at scale; cross-cluster near-dups are the
+    recall cost, bounded by the quantizer quality). Decimal-exact dot
+    products keep both engines bit-identical."""
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    dec12 = lambda c: c.cast("decimal(38,12)")
+    norms = ex.groupBy("vec_id").agg(
+        F.sum(dec12(F.col("x") * F.col("x"))).cast("double").alias("n2")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.sum(dec12(F.col("a.x") * F.col("b.x"))).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
+    cos = F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )

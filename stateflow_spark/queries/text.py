@@ -200,3 +200,56 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("bpe_tokens"),
         (bpe.cast("double") / ws.cast("double")).alias("bpe_per_word"),
     )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                   t -> CAST(list_reduce(list_transform(range(1, 5),
+                            j -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(t), j, 1)) - 1 AS BIGINT)),
+                            (a, b) -> a * 16 + b) AS BIGINT)) AS vs
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    )
+    SELECT doc_id,
+           list_min(list_transform(range(1, len(vs) - 6),
+               i -> list_reduce(list_transform(range(0, 8), j -> vs[i + j]),
+                                (acc, v) -> acc * 31 + v))) AS fingerprint,
+           len(vs) - 7 AS n_windows
+    FROM toks
+    """,
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint: per token a 16-bit
+    md5-derived value, per 8-token window a base-31 polynomial hash, per
+    document the MIN window hash (the winnowing selection). Bounds:
+    65535 * 31^7 * 8 < 2^63, so the arithmetic is exact int64 on both
+    engines — no mod step needed. Everything runs inside array lambdas
+    (whole-stage codegen), one row per document, no explode shuffle."""
+    d = load(spark, sf_dir, "documents")
+    vs = F.expr(
+        """
+        transform(split(text, ' '),
+            t -> cast(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT))
+        """
+    )
+    return (
+        d.filter(F.size(F.split(F.col("text"), " ")) >= 8)
+        .select("doc_id", vs.alias("vs"))
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                array_min(transform(sequence(1, size(vs) - 7),
+                    i -> aggregate(sequence(0, 7), 0L,
+                         (acc, j) -> acc * 31L + element_at(vs, i + j))))
+                """
+            ).alias("fingerprint"),
+            (F.size(F.col("vs")) - 7).alias("n_windows"),
+        )
+    )
