@@ -154,3 +154,43 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.count(F.lit(1)).over(w).alias("orders_last_90d"),
     )
+
+
+@register(
+    "window_distribution_functions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(c_custkey) OVER wf AS richest_key,
+           NTH_VALUE(c_custkey, 2) OVER wf AS second_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey),
+           wf AS (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: NTILE, PERCENT_RANK, CUME_DIST,
+    FIRST/NTH_VALUE over a full-partition frame. Ordering carries a key
+    tiebreak so both engines assign identical ranks; pct/cume are integer
+    ratios — engine-exact doubles."""
+    c = load(spark, sf_dir, "customer")
+    # ranking funcs require the default frame; value funcs get the full one
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(wf).alias("richest_key"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_key"),
+    )
