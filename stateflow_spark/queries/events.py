@@ -295,3 +295,50 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
         )
     )
+
+
+@register(
+    "scalar_function_zoo",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_upper,
+           substr(o_orderstatus, 1, 1) AS status_c,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           len(o_orderpriority) AS prio_len,
+           levenshtein(o_orderstatus, o_orderpriority) AS edit_dist,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           dayofweek(o_orderdate) + 1 AS order_dow,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch,
+           abs(o_totalprice - 1000.0) AS abs_delta,
+           CAST(floor(o_totalprice / 100.0) AS BIGINT) AS price_bucket,
+           sqrt(o_totalprice) AS price_sqrt,
+           o_orderkey % 7 AS key_mod
+    FROM orders
+    """,
+    tags=("scalar", "functions"),
+)
+def scalar_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression-language sweep: string (upper/substr/concat/length/
+    levenshtein), date (date_trunc/dayofweek/datediff), math (abs/floor/
+    sqrt/mod) — all chosen to be bit-exact across engines (sqrt is IEEE
+    correctly-rounded; log/exp/pow are excluded because libm
+    implementations may differ in the last ulp). Everything runs inside
+    whole-stage codegen."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.levenshtein("o_orderstatus", "o_orderpriority").alias("edit_dist"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_epoch"),
+        F.abs(F.col("o_totalprice") - F.lit(1000.0)).alias("abs_delta"),
+        F.floor(F.col("o_totalprice") / F.lit(100.0)).alias("price_bucket"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+    )
