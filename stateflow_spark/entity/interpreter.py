@@ -46,6 +46,16 @@ from stateflow_spark.entity.proxy import (
 )
 from stateflow_spark.entity.registry import get_entity_type
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
+def _code(src: str, mode: str, tag: str = "<flow>"):
+    """Compile cache: flow programs are static, so each fragment's source
+    compiles once per worker instead of once per execution (a transfer-mix
+    superstep would otherwise recompile thousands of identical fragments)."""
+    return compile(src, tag, mode)
+
 
 @dataclass
 class PendingCall:
@@ -147,7 +157,7 @@ class Interpreter:
         analysis over-approximates — see _Types.prescan)."""
         ns = self._exec_ns(flow, self_state)
         try:
-            val = eval(need_src, ns)  # noqa: S307 - compiler-generated source
+            val = eval(_code(need_src, "eval"), ns)  # noqa: S307 - compiler-generated source
         except NameError:
             return None  # name defined later in this fragment's own exec
         ref = unwrap(val)
@@ -262,7 +272,7 @@ class Interpreter:
 
         if isinstance(instr, Exec):
             ns = self._exec_ns(flow, self_state)
-            exec(compile(instr.src, f"<flow:{flow.entity}.{flow.method}>", "exec"), ns)  # noqa: S102
+            exec(_code(instr.src, "exec", f"<flow:{flow.entity}.{flow.method}>"), ns)  # noqa: S102
             self._writeback(flow, ns)
             self.store.put(flow.self_ref, self_state)
             flow.ip += 1
@@ -270,7 +280,7 @@ class Interpreter:
 
         if isinstance(instr, Branch):
             ns = self._exec_ns(flow, self_state)
-            val = eval(instr.test_src, ns)  # noqa: S307
+            val = eval(_code(instr.test_src, "eval"), ns)  # noqa: S307
             flow.ip = flow.ip + 1 if val else instr.false_ip
             return None
 
@@ -291,7 +301,7 @@ class Interpreter:
             result = None
             if instr.expr_src is not None:
                 ns = self._exec_ns(flow, self_state)
-                result = unwrap(eval(instr.expr_src, ns))  # noqa: S307
+                result = unwrap(eval(_code(instr.expr_src, "eval"), ns))  # noqa: S307
             self.store.put(flow.self_ref, self_state)
             return StepOutcome(done=True, result=result, flow=flow)
 
@@ -308,12 +318,12 @@ class Interpreter:
             if hop is not None:
                 return StepOutcome(hop_to=hop, flow=flow)
             ns = self._exec_ns(flow, self_state)
-            target = unwrap(eval(instr.target_src, ns))  # noqa: S307
+            target = unwrap(eval(_code(instr.target_src, "eval"), ns))  # noqa: S307
             if not isinstance(target, EntityRef):
                 raise FlowError(
                     f"call target {instr.target_src!r} is not an entity ref"
                 )
-            args = tuple(unwrap(eval(a, ns)) for a in instr.arg_srcs)  # noqa: S307
+            args = tuple(unwrap(eval(_code(a, "eval"), ns)) for a in instr.arg_srcs)  # noqa: S307
             flow.pending = PendingCall(target, instr.method, args, instr.result_var)
 
         # phase 2: execute at the callee's partition
