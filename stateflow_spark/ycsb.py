@@ -218,23 +218,83 @@ def run_superstep(spark, mix: str, n_tasks: int = N_TASKS,
     }
 
 
+def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
+                  n_entities: int = N_ENTITIES,
+                  workdir: Optional[str] = None) -> dict:
+    """Continuous-engine throughput: the op batch flows through the
+    long-running Structured Streaming query (file-source micro-batches,
+    loopback hops for transfers) — the closest analog to the reference's
+    Kafka-driven deployment."""
+    import tempfile
+
+    from stateflow_spark.entity import operator
+    from stateflow_spark.streaming.stateful import StreamingEntityEngine
+
+    eng = StreamingEntityEngine(
+        spark, workdir or tempfile.mkdtemp(prefix="ycsb_stream_")
+    )
+    try:
+        eng.send(
+            operator.make_init_event("YCSBEntity", (f"entity-{i}", STARTING_AMOUNT))
+            for i in range(n_entities)
+        )
+        eng.start()
+        eng.drain()
+
+        refs = _refs(n_entities)
+        events = []
+        for op in make_workload(mix, n_tasks, n_entities):
+            if op.kind == "read":
+                events.append(operator.make_invoke_event(refs[op.key], "read", ()))
+            elif op.kind == "update":
+                events.append(
+                    operator.make_invoke_event(refs[op.key], "update", (op.amount,))
+                )
+            else:
+                events.append(
+                    operator.make_invoke_event(
+                        refs[op.key], "transfer", (op.amount, refs[op.other])
+                    )
+                )
+        t0 = time.perf_counter()
+        eng.send(events)
+        eng.drain()
+        wall = time.perf_counter() - t0
+        replies = eng.replies()
+        n_ok = sum(1 for e in events if e.event_id in replies)
+        assert n_ok == n_tasks, f"only {n_ok}/{n_tasks} replies"
+        return {
+            "runtime": "streaming",
+            "mix": mix,
+            "ops": n_tasks,
+            "sec": round(wall, 4),
+            "ops_per_sec": round(n_tasks / wall, 1),
+        }
+    finally:
+        eng.stop()
+
+
 def main() -> None:
     import argparse
     import json
 
     ap = argparse.ArgumentParser(description="YCSB A/B/T over the entity engine")
     ap.add_argument("--mix", choices=["a", "b", "t"], default="a")
-    ap.add_argument("--runtime", choices=["local", "superstep"], default="local")
+    ap.add_argument("--runtime", choices=["local", "superstep", "streaming"], default="local")
     ap.add_argument("--tasks", type=int, default=N_TASKS)
     ap.add_argument("--latency-csv", default=None)
     args = ap.parse_args()
 
     if args.runtime == "local":
         out = run_local(args.mix, args.tasks, latency_csv=args.latency_csv)
-    else:
+    elif args.runtime == "superstep":
         from stateflow_spark.session import get_spark
 
         out = run_superstep(get_spark(), args.mix, args.tasks)
+    else:
+        from stateflow_spark.session import get_spark
+
+        out = run_streaming(get_spark(), args.mix, args.tasks)
     print(json.dumps(out))
 
 
