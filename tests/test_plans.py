@@ -81,3 +81,29 @@ def test_hot_path_in_wholestage_codegen(spark):
     plan = explain_str(df, "simple")
     assert "isFinalPlan=true" in plan
     assert "*(" in plan
+
+
+def test_asof_join_is_window_not_join(spark):
+    """The as-of join must plan as union + window — zero join operators.
+    A Join appearing here means the quadratic range-join form snuck back
+    in, which dies at 100 TB."""
+    plan = explain_str(REGISTRY["join_asof_click_view"].fn(spark, SF_DIR))
+    assert "Window" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_minhash_banding_no_cartesian(spark):
+    """LSH candidate generation joins on (band, bucket) — equi-join only."""
+    plan = explain_str(REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # the band-bucket equi-join exists
+
+
+def test_funnel_stages_shuffle_on_user_only(spark):
+    plan = explain_str(REGISTRY["events_funnel"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the three scalar counts combine via one-row BNLJ cross joins — fine;
+    # stage joins themselves must be hash/merge equi-joins on user_id
+    assert "user_id" in plan
