@@ -50,6 +50,19 @@ class Future:
     def is_done(self) -> bool:
         return self._reply is not None
 
+    def __await__(self):
+        """Awaitable form (reference AsyncClassRef, client/class_ref.py):
+        the blocking flush runs in a worker thread so an event loop can
+        drive many outstanding futures concurrently."""
+        import asyncio
+
+        async def _aget():
+            if self._reply is None:
+                await asyncio.to_thread(self._client.flush)
+            return self.get()
+
+        return _aget().__await__()
+
     def get(self) -> Any:
         if self._reply is None:
             self._client.flush()
@@ -152,8 +165,14 @@ class ClassClient:
 
 class Client:
     def __init__(self, transport: "Transport"):
+        import threading
+
         self._transport = transport
         self._pending: dict[str, Future] = {}
+        # one flush at a time: concurrent awaiters (async futures) must not
+        # interleave on the transport queue — the first flush settles all,
+        # later ones see nothing pending and return
+        self._flush_lock = threading.Lock()
 
     def entity(self, cls: type | str) -> ClassClient:
         name = cls if isinstance(cls, str) else cls.__name__
@@ -199,6 +218,10 @@ class Client:
 
     def flush(self) -> None:
         """Drive the transport until every pending future completes."""
+        with self._flush_lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         if not self._pending:
             return
         replies = self._transport.flush()

@@ -85,3 +85,22 @@ def test_client_streaming_transport(spark, tmp_path):
         assert user.balance == 11
     finally:
         engine.stop()
+
+
+def test_client_async_futures(spark):
+    """Awaitable futures (reference AsyncClassRef): queue many calls, await
+    them concurrently — one flush settles the whole batch."""
+    import asyncio
+
+    client = Client(SuperstepTransport(spark))
+    User_ = client.entity(User)
+
+    async def scenario():
+        creates = [User_(f"async-u{i}") for i in range(8)]
+        handles = await asyncio.gather(*creates)
+        ups = [h.update_balance(i) for i, h in enumerate(handles)]
+        await asyncio.gather(*ups)
+        return handles
+
+    handles = asyncio.run(scenario())
+    assert handles[5].balance == 5
