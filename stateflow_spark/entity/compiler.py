@@ -221,6 +221,42 @@ class _CallHoister(ast.NodeTransformer):
         self.tmp_prefix = tmp_prefix
         self.hoisted: list[tuple[str, str, list[str], str]] = []
 
+    def _reject_deferred(self, node: ast.AST, kind: str) -> ast.AST:
+        """External calls inside deferred-evaluation constructs cannot be
+        hoisted to a single pre-evaluated CALL — that would change how many
+        times (and when) the call runs, e.g. ``[c.next() for i in range(3)]``
+        would invoke once instead of three times. Fail loudly instead of
+        compiling wrong code (policy: fail-loudly-not-wrongly)."""
+        if _external_calls_in(node, self.types):
+            raise NotImplementedError(
+                f"external entity call inside a {kind} cannot be split: "
+                "hoisting would evaluate it once, outside the construct. "
+                "Rewrite as an explicit for-loop, or move the call to its "
+                "own statement before the construct."
+            )
+        return node  # no external calls inside → safe to leave untouched
+
+    def visit_Lambda(self, node: ast.Lambda):
+        return self._reject_deferred(node, "lambda")
+
+    def visit_ListComp(self, node: ast.ListComp):
+        return self._reject_deferred(node, "list comprehension")
+
+    def visit_SetComp(self, node: ast.SetComp):
+        return self._reject_deferred(node, "set comprehension")
+
+    def visit_DictComp(self, node: ast.DictComp):
+        return self._reject_deferred(node, "dict comprehension")
+
+    def visit_GeneratorExp(self, node: ast.GeneratorExp):
+        return self._reject_deferred(node, "generator expression")
+
+    def visit_FunctionDef(self, node: ast.FunctionDef):
+        return self._reject_deferred(node, "nested function")
+
+    def visit_AsyncFunctionDef(self, node: ast.AsyncFunctionDef):
+        return self._reject_deferred(node, "nested async function")
+
     def visit_Call(self, node: ast.Call):
         self.generic_visit(node)  # inner-most first
         if isinstance(node.func, ast.Attribute) and self.types.is_entity_expr(
@@ -339,6 +375,15 @@ class _FlowCompiler:
                     self.emit(Jump(head))
             elif _external_calls_in(stmt, self.types):
                 flush()
+                if isinstance(stmt, (ast.Try, ast.With)):
+                    # hoisting would execute the call OUTSIDE the try/with —
+                    # wrong exception/context semantics; fail loudly
+                    raise NotImplementedError(
+                        "external entity call inside a try/with block cannot "
+                        "be split: the call would run outside the construct. "
+                        "Move the call before/after the block, or keep only "
+                        "local logic inside it."
+                    )
                 self._compile_stmt_with_calls(stmt)
             else:
                 buffer_stmt(stmt)
@@ -390,7 +435,30 @@ class _FlowCompiler:
 
     def _compile_for(self, stmt: ast.For) -> None:
         if not isinstance(stmt.target, ast.Name):
-            raise NotImplementedError("tuple unpacking in split for-loops")
+            # desugar `for a, b in pairs:` into `for __u in pairs: (a, b) =
+            # __u; ...` (the reference's ForBlock handles only simple targets,
+            # for_block.py:13-136 — we go one step further). Tuple elements
+            # get no entity typing; an external call on one fails loudly at
+            # runtime via EntityProxy.UnhoistedCall rather than silently.
+            orig = stmt
+            tmp = self._tmp("u")
+            unpack = ast.copy_location(
+                ast.Assign(
+                    targets=[orig.target],
+                    value=ast.Name(id=tmp, ctx=ast.Load()),
+                ),
+                orig,
+            )
+            stmt = ast.copy_location(
+                ast.For(
+                    target=ast.Name(id=tmp, ctx=ast.Store()),
+                    iter=orig.iter,
+                    body=[unpack] + orig.body,
+                    orelse=orig.orelse,
+                ),
+                orig,
+            )
+            ast.fix_missing_locations(stmt)
         self.types.note_loop_target(stmt.target, stmt.iter)
         seq = self._tmp("seq")
         idx = self._tmp("idx")

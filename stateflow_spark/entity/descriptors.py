@@ -200,9 +200,12 @@ def extract_class_desc(cls: type) -> ClassDesc:
                 f"{cls.__name__}.{item.name}: *args/**kwargs/defaults are not "
                 "supported for entity methods (matches reference restriction)"
             )
+        # positional-only params (`/` marker) bind positionally like plain
+        # params — include them rather than silently dropping them (which
+        # would misbind every argument after the marker)
         params = [
             ParamDesc(a.arg, _hint_str(a.annotation) if a.annotation else "")
-            for a in args.args
+            for a in list(args.posonlyargs) + list(args.args)
             if a.arg != "self"
         ]
         methods[item.name] = MethodDesc(

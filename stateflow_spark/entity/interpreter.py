@@ -79,6 +79,10 @@ class FlowState:
     pending: Optional[PendingCall] = None
     parent: Optional["FlowState"] = None
     parent_result_var: Optional[str] = None
+    # entity keys this flow (incl. completed children) has written — used to
+    # invalidate the parent's cached snapshots when a child flow returns
+    # (reference invalidation semantics: split_analyze.py:666-781)
+    written: set = field(default_factory=set)
 
 
 @dataclass
@@ -245,8 +249,13 @@ class Interpreter:
                 continue
             if out is not None:
                 if out.done and flow.parent is not None and out.error is None:
-                    # resume parent flow with the child's result
+                    # resume parent flow with the child's result; invalidate
+                    # every cached snapshot the child (or its descendants)
+                    # wrote so the parent re-fetches fresh state
                     parent = flow.parent
+                    for key in flow.written:
+                        parent.cache.pop(key, None)
+                    parent.written |= flow.written
                     parent.ns[flow.parent_result_var] = out.result
                     flow = parent
                     continue
@@ -275,6 +284,7 @@ class Interpreter:
             exec(_code(instr.src, "exec", f"<flow:{flow.entity}.{flow.method}>"), ns)  # noqa: S102
             self._writeback(flow, ns)
             self.store.put(flow.self_ref, self_state)
+            flow.written.add((flow.self_ref.entity, flow.self_ref.key))
             flow.ip += 1
             return None
 
@@ -303,6 +313,7 @@ class Interpreter:
                 ns = self._exec_ns(flow, self_state)
                 result = unwrap(eval(_code(instr.expr_src, "eval"), ns))  # noqa: S307
             self.store.put(flow.self_ref, self_state)
+            flow.written.add((flow.self_ref.entity, flow.self_ref.key))
             return StepOutcome(done=True, result=result, flow=flow)
 
         raise FlowError(f"unhandled local instruction {instr!r}")
@@ -336,7 +347,11 @@ class Interpreter:
 
         if pc.method in et.flows:
             # nested linked method → child flow (dynamic nesting); the main
-            # loop switches to the child and resumes us on its RETURN
+            # loop switches to the child and resumes us on its RETURN.
+            # Drop our cached snapshot of the callee NOW — the child will
+            # mutate it and a later `a.x` read must re-fetch (the plain-CALL
+            # path at the bottom of this method does the same).
+            flow.cache.pop((pc.target.entity, pc.target.key), None)
             child = start_flow(pc.target, pc.method, pc.args)
             child.parent = flow
             child.parent_result_var = pc.result_var
@@ -355,6 +370,7 @@ class Interpreter:
             # invalidate this entity's fetched snapshot: the next attribute
             # read re-fetches (reference invalidation: split_analyze.py:666-781)
             flow.cache.pop((pc.target.entity, pc.target.key), None)
+            flow.written.add((pc.target.entity, pc.target.key))
         if pc.result_var is not None:
             flow.ns[pc.result_var] = result
         flow.pending = None

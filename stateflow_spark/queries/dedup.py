@@ -146,8 +146,8 @@ _SIMHASH_SQL = f"""
             GROUP BY doc_id, b
         )
         SELECT doc_id,
-               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
-                        ELSE CAST(0 AS BIGINT) END) AS simhash
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id
 """
 

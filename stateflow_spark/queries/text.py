@@ -25,7 +25,7 @@ def _tokens():
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
            MAX(len(string_split(text, ' '))) AS max_tokens,
@@ -152,7 +152,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT (len(string_split(text, ' ')) // 10) * 10 AS token_bucket,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
     """,

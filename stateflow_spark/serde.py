@@ -54,6 +54,7 @@ def _encode(v: Any) -> Any:
             "pending": _encode(v.pending) if v.pending else None,
             "parent": _encode(v.parent) if v.parent else None,
             "parent_result_var": v.parent_result_var,
+            "written": sorted(list(k) for k in v.written),
         }
     if isinstance(v, PendingCall):
         return {
@@ -96,6 +97,7 @@ def _decode(v: Any) -> Any:
                 pending=_decode(v["pending"]) if v["pending"] else None,
                 parent=_decode(v["parent"]) if v["parent"] else None,
                 parent_result_var=v["parent_result_var"],
+                written={tuple(k) for k in v.get("written", [])},
             )
         if t == "PendingCall":
             return PendingCall(

@@ -389,3 +389,39 @@ def test_while_loop_flow(rt):
     # empty loop: zero iterations, no external calls
     assert rt.invoke(c, "burn_down", b) == 0
     assert rt.get_attr(b, "balance") == 9
+
+
+@entity
+class Cascade:
+    def __init__(self, cid: str):
+        self.cid = cid
+        self.x: int = 0
+
+    def bump(self, sink: B) -> int:
+        """Linked (calls another entity) → compiles to a flow, so invoking it
+        from another flow runs it as a nested child flow."""
+        self.x += 1
+        sink.add_balance(1)
+        return self.x
+
+    def read_after_nested_write(self, other: "Cascade", sink: B) -> int:
+        before = other.x  # caches other's state snapshot
+        other.bump(sink)  # nested child flow writes other.x
+        after = other.x  # must re-fetch, not read the stale snapshot
+        return before * 100 + after
+
+    def __key__(self):
+        return self.cid
+
+
+def test_nested_flow_invalidates_parent_cache(rt):
+    """A child flow's writes must invalidate the parent flow's cached
+    snapshots (reference invalidation: split_analyze.py:666-781); without
+    this, `after` reads the pre-bump 0 while the store holds 1."""
+    c1 = rt.create(Cascade, "c1")
+    c2 = rt.create(Cascade, "c2")
+    sink = rt.create(B, "casc-sink")
+    out = rt.invoke(c1, "read_after_nested_write", c2, sink)
+    assert out == 1  # before=0, after=1 → 0*100 + 1
+    assert rt.get_attr(c2, "x") == 1
+    assert rt.get_attr(sink, "balance") == 1

@@ -13,11 +13,37 @@ ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
 
+_KIND = {
+    "b": "int", "i": "int", "u": "int",  # bool counts as int for hashing
+    "f": "float",
+}
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, duck, name):
     qd = REGISTRY[name]
     sdf = qd.fn(spark, SF_DIR)
     drows = duck.execute(qd.oracle).fetchall()
+    # Driver converts DuckDB results via pandas/Arrow before hashing, where
+    # HUGEINT (e.g. SUM over INTEGER) degrades to float64 and hash-mismatches
+    # Spark's bigint even when values are identical (round-1 q12). Pin the
+    # pandas dtype *kind* of each numeric column to match Spark's type.
+    ddf = duck.execute(qd.oracle).df()
+    spark_kinds = {
+        f.name: ("int" if f.dataType.typeName() in
+                 ("byte", "short", "integer", "long", "boolean") else
+                 "float" if f.dataType.typeName() in ("float", "double") else
+                 None)
+        for f in sdf.schema.fields
+    }
+    for col in ddf.columns:
+        dk = _KIND.get(ddf[col].dtype.kind)
+        sk = spark_kinds.get(col)
+        if sk is not None and dk is not None and ddf[col].notna().all():
+            assert dk == sk, (
+                f"{name}.{col}: oracle pandas dtype kind {dk!r} != spark "
+                f"{sk!r} — driver will hash-mismatch (CAST the oracle column)"
+            )
     # schema sanity: same column count; driver also sorts columns by name,
     # so names must match too
     duck_cols = [d[0] for d in duck.description]
