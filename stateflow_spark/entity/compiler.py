@@ -169,6 +169,14 @@ class _Types:
                     self.note_loop_target(node.target, node.iter)
 
 
+# Statements whose bodies run deferred/conditionally relative to their header:
+# hoisting an external call out of one changes semantics (try/except
+# protection, with-context, which match case actually runs). try* is 3.11+.
+_DEFERRED_BLOCK_STMTS = (ast.Try, ast.With, ast.Match) + (
+    (ast.TryStar,) if hasattr(ast, "TryStar") else ()
+)
+
+
 def _external_calls_in(node: ast.AST, types: _Types) -> bool:
     for n in ast.walk(node):
         if (
@@ -375,14 +383,17 @@ class _FlowCompiler:
                     self.emit(Jump(head))
             elif _external_calls_in(stmt, self.types):
                 flush()
-                if isinstance(stmt, (ast.Try, ast.With)):
-                    # hoisting would execute the call OUTSIDE the try/with —
-                    # wrong exception/context semantics; fail loudly
+                if isinstance(stmt, _DEFERRED_BLOCK_STMTS):
+                    # hoisting would execute the call OUTSIDE the construct
+                    # (try/try*: outside exception protection; with: outside
+                    # the context; match: every case's calls run
+                    # unconditionally before the match) — fail loudly
                     raise NotImplementedError(
-                        "external entity call inside a try/with block cannot "
-                        "be split: the call would run outside the construct. "
-                        "Move the call before/after the block, or keep only "
-                        "local logic inside it."
+                        "external entity call inside a try/try*/with/match "
+                        "block cannot be split: the call would run outside "
+                        "the construct (or unconditionally for every match "
+                        "case). Move the call before/after the block, or "
+                        "keep only local logic inside it."
                     )
                 self._compile_stmt_with_calls(stmt)
             else:

@@ -17,7 +17,6 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -27,12 +26,21 @@ from pyspark.sql.types import (
 
 # Output schema of the decode/feature stage. Fixed and explicit: required by
 # mapInPandas, and the thing that keeps the downstream plan stable.
+#
+# The 8 features are emitted as scalar feat_0..feat_7 doubles rather than one
+# array<double> column: scalar columns survive any downstream row-wise
+# canonicalization (pandas sort_values chokes on list cells), join/group on
+# individual dimensions, and store columnar in parquet. A genuinely wide
+# embedding stays an array (see the embeddings table) — 8 named features is
+# the "typed metadata" shape.
+N_FEATURES = 8
+FEAT_COLS = [f"feat_{i}" for i in range(N_FEATURES)]
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("content_hash", StringType(), False),
-        StructField("feat", ArrayType(DoubleType()), False),
+        *[StructField(c, DoubleType(), False) for c in FEAT_COLS],
         StructField("decode_status", StringType(), False),
     ]
 )
@@ -114,16 +122,17 @@ def decode_features(blobs: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "content_hash": payloads.map(
-                        lambda b: hashlib.md5(b).hexdigest()
-                    ),
-                    "feat": payloads.map(fake_decode_features),
-                    "decode_status": "ok",
-                }
-            )
+            feats = payloads.map(fake_decode_features)
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": payloads.map(len).astype("int64"),
+                "content_hash": payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                ),
+            }
+            for i, c in enumerate(FEAT_COLS):
+                out[c] = feats.map(lambda f, i=i: f[i]).astype("float64")
+            out["decode_status"] = "ok"
+            yield pd.DataFrame(out)
 
     return blobs.mapInPandas(batches, FEATURE_SCHEMA)

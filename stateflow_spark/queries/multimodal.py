@@ -45,13 +45,17 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the stub decoder derives features from the md5 hex digest; DuckDB can
 # replay that byte-for-byte, so even the Python mapInPandas stage gets a
-# full value oracle: byte i of the digest = hex pair (2i, 2i+1) scaled /256
+# full value oracle: byte i of the digest = hex pair (2i, 2i+1) scaled /256.
+# Features are emitted as scalar feat_0..feat_7 columns (not array<double>):
+# the driver canonicalizes results with pandas sort_values over every column,
+# which cannot hash list cells.
 _HEXB = (
     "(CAST(strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1 AS BIGINT)"
     " * 16 + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)"
 )
 _FEAT_SQL = ", ".join(
-    _HEXB.format(a=2 * i + 1, b=2 * i + 2) + " / 256.0" for i in range(8)
+    _HEXB.format(a=2 * i + 1, b=2 * i + 2) + f" / 256.0 AS feat_{i}"
+    for i in range(8)
 )
 
 
@@ -61,7 +65,7 @@ _FEAT_SQL = ", ".join(
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
            md5(text) AS content_hash,
-           [{_FEAT_SQL}] AS feat,
+           {_FEAT_SQL},
            'ok' AS decode_status
     FROM documents
     """,

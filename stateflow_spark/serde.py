@@ -54,7 +54,13 @@ def _encode(v: Any) -> Any:
             "pending": _encode(v.pending) if v.pending else None,
             "parent": _encode(v.parent) if v.parent else None,
             "parent_result_var": v.parent_result_var,
-            "written": sorted(list(k) for k in v.written),
+            # stable order for wire determinism; string-keyed sort because
+            # entity keys may mix types (int vs str __key__) and a plain
+            # list sort would TypeError on heterogeneous pairs
+            "written": sorted(
+                (list(k) for k in v.written),
+                key=lambda p: (str(p[0]), str(p[1])),
+            ),
         }
     if isinstance(v, PendingCall):
         return {

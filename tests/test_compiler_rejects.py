@@ -97,7 +97,77 @@ def test_reject_call_in_try():
         def __key__(self):
             return self.name
 
-    expect_reject(TryCall, "go", match="try/with")
+    expect_reject(TryCall, "go", match="cannot be split")
+
+
+def test_reject_call_in_try_star():
+    """try/except* (3.11+) carries the same outside-protection hazard as
+    plain try and must be rejected, not silently hoisted (round-2 ADVICE)."""
+
+    class TryStarCall:
+        def __init__(self, name: str):
+            self.name = name
+
+        def go(self, other: B):
+            try:
+                other.add_balance(1)
+            except* ValueError:
+                pass
+            return 1
+
+        def __key__(self):
+            return self.name
+
+    expect_reject(TryStarCall, "go", match="cannot be split")
+
+
+def test_reject_call_in_match():
+    """A match statement with external calls in case bodies would have every
+    case's calls hoisted and run unconditionally (round-2 ADVICE: a 2-case
+    match executed both add_balance calls) — reject loudly instead."""
+
+    class MatchCall:
+        def __init__(self, name: str):
+            self.name = name
+
+        def go(self, other: B, v: int):
+            match v:
+                case 1:
+                    other.add_balance(10)
+                case _:
+                    other.add_balance(20)
+            return v
+
+        def __key__(self):
+            return self.name
+
+    expect_reject(MatchCall, "go", 1, match="cannot be split")
+
+
+def test_match_without_external_call_still_compiles():
+    class CleanMatch:
+        def __init__(self, name: str):
+            self.name = name
+            self.tag: str = ""
+
+        def go(self, other: B, v: int):
+            match v:
+                case 1:
+                    self.tag = "one"
+                case _:
+                    self.tag = "other"
+            other.add_balance(v)
+            return self.tag
+
+        def __key__(self):
+            return self.name
+
+    with temp_entity(CleanMatch):
+        rt = LocalRuntime()
+        c = rt.create(CleanMatch, "cm1")
+        sink = rt.create(B, "cm-sink")
+        assert rt.invoke(c, "go", sink, 1) == "one"
+        assert rt.get_attr(sink, "balance") == 1
 
 
 def test_reject_call_in_dict_comprehension():

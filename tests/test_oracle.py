@@ -56,6 +56,18 @@ def test_query_matches_oracle(spark, duck, name):
     sdf = sdf.select(*cols)
     idx = [duck_cols.index(c) for c in cols]
     drows = [tuple(r[i] for i in idx) for r in drows]
+    # The driver canonicalizes through pandas sort_values over ALL columns,
+    # which raises on unhashable cells (list/dict from array/map columns) —
+    # round-2 multimodal_decode_features failure. Replay that exact step so
+    # any future array-typed oracled output fails here first.
+    spdf = sdf.toPandas()
+    try:
+        spdf.sort_values(by=list(spdf.columns))
+    except TypeError as e:
+        pytest.fail(
+            f"{name}: driver's pandas sort_values canonicalization would "
+            f"crash ({e}) — flatten array/map output columns to scalars"
+        )
     assert_same_result(sdf, drows, name=name)
 
 

@@ -60,6 +60,26 @@ def test_json_wire_shape():
     assert args[1] == {"_type": "InternalClassRef", "entity": "Item", "key": "i1"}
 
 
+def test_json_written_set_mixed_key_types():
+    """written-set encoding must not assume homogeneous entity key types:
+    int and str __key__ values in one flow used to TypeError during the
+    sort (round-2 ADVICE)."""
+    flow = FlowState(
+        flow_id="f2",
+        entity="User",
+        method="m",
+        self_ref=EntityRef("User", "u1"),
+        ip=0,
+        ns={},
+        written={("User", "u1"), ("Counter", 7), ("Counter", 2)},
+    )
+    ev = Event("e6", "User", "u1", EventType.FLOW, {"flow": flow})
+    back = JsonSerde().from_bytes(JsonSerde().to_bytes(ev))
+    got = back.payload["flow"].written
+    assert ("Counter", 7) in got and ("User", "u1") in got
+    assert len(got) == 3
+
+
 def test_json_rejects_unserializable():
     ev = Event("e", "User", "u1", EventType.OK, {"result": object()})
     with pytest.raises(TypeError, match="PickleSerde"):
