@@ -30,7 +30,7 @@ with the shared filter pushed down.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stateflow_spark.catalog import load
@@ -494,11 +494,19 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: suppliers who were the *sole* late shipper in a finished
-    multi-supplier order — EXISTS (semi-join) + NOT EXISTS (anti-join)
-    self-references on the fact table. The lineitem⋈orders projection `lo`
-    is built once and reused for all three roles, so the status filter is
-    pushed into a single scan shape; both self-joins shuffle on
-    l_orderkey only."""
+    multi-supplier order.
+
+    Single-pass formulation (round-2 VERDICT next-round #7): instead of
+    EXISTS/NOT EXISTS self-joins — which recomputed the lineitem⋈orders
+    projection three times and shuffled it twice more — compute per
+    orderkey, in ONE window pass, the distinct supplier set and the
+    distinct *late* supplier set. A late row qualifies iff its order has
+    ≥2 suppliers and exactly 1 late supplier (itself). The window's
+    partitionBy(l_orderkey) reuses the join's hash partitioning on the
+    same key, so the whole query is: shuffle lineitem + shuffle orders
+    (the join), window with no extra exchange, then a small final agg —
+    the plan that survives 100×. collect_set stays tiny: orders have ≤7
+    lineitems."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load(spark, sf_dir, "lineitem")
     lo = (
@@ -510,28 +518,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("late"),
         )
     )
-    l1 = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
-    l2 = lo.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    w = Window.partitionBy("l_orderkey")
+    marked = lo.select(
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
-    l3 = lo.filter(F.col("late")).select(
-        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    waiting = marked.filter(
+        F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     s = load(spark, sf_dir, "supplier")
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("ok2"))
-            & (F.col("l_suppkey") != F.col("sk2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("ok3"))
-            & (F.col("l_suppkey") != F.col("sk3")),
-            "left_anti",
-        )
-    )
     return (
         waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
