@@ -1,16 +1,27 @@
 """Event wire formats (reference parity: stateflow/serialization/ —
-json_serde.py:8-48, pickle_serializer.py, proto_serde.py).
+json_serde.py:8-48, pickle_serializer.py, cloudpickle_serializer.py,
+proto/proto_serde.py).
 
-Two interchangeable serdes:
+Four interchangeable serdes:
 
 - PickleSerde — the default engine wire form: arbitrary Python payloads
   (the reference's pickle serializer makes the same trade).
+- CloudpickleSerde — same wire shape, serialized with cloudpickle, so
+  events can carry closures/locally-defined classes (the reference ships
+  the same variant, serialization/cloudpickle_serializer.py).
 - JsonSerde — language-neutral form for cross-system topics. Entity
   references are tagged ``{"_type": "InternalClassRef", ...}`` exactly
   like the reference's wire convention (event_flow.py:34-59); in-flight
   flow state, tuples, and bytes get analogous tags. Values must be
   JSON-representable (the reference's json serde has the same
   restriction — its payloads are dicts of primitives).
+- ProtoSerde — protobuf envelope with a pickled payload, mirroring the
+  reference's proto_serde.py: routing fields (event_id, address, type,
+  seq) are plain proto fields a router in ANY language can read without
+  unpickling the Python payload. Encoded with a hand-rolled protobuf
+  wire-format codec (varint + length-delimited fields) so no protobuf
+  runtime is required; the bytes are exactly what protoc-generated code
+  for ``proto/event.proto`` would produce.
 
 At 100 TB the serde choice is a real knob: JSON events are ~2-3× larger
 and ~10× slower to decode than pickled/Arrow rows, but are consumable by
@@ -144,3 +155,129 @@ class JsonSerde:
             payload=_decode(doc["payload"]),
             seq=doc["seq"],
         )
+
+
+class CloudpickleSerde:
+    """Pickle wire shape via cloudpickle: payloads may close over local
+    functions/classes (reference cloudpickle_serializer.py)."""
+
+    def to_bytes(self, event: Event) -> bytes:
+        import cloudpickle
+
+        return cloudpickle.dumps(event)
+
+    def from_bytes(self, b: bytes) -> Event:
+        import pickle
+
+        return pickle.loads(b)  # cloudpickle output is plain-pickle readable
+
+
+# -- protobuf envelope -------------------------------------------------------
+#
+# Schema (what a ``proto/event.proto`` would declare; the codec below emits
+# the identical wire bytes):
+#
+#   message Event {                       // proto_serde.py's envelope shape
+#     string event_id   = 1;
+#     string entity     = 2;              // FunctionType name
+#     string key        = 3;              // FunctionAddress key
+#     string event_type = 4;              // EventType enum value
+#     int64  seq        = 5;
+#     bytes  payload    = 6;              // pickled payload (as reference)
+#   }
+#
+# Wire format is public protobuf encoding: each field is a varint tag
+# ((field_number << 3) | wire_type) followed by a varint (int64) or a
+# length-delimited byte run (string/bytes).
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _ld(field: int, data: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(data)) + data
+
+
+class ProtoSerde:
+    """Proto envelope + pickled payload (reference proto_serde.py): routing
+    metadata stays language-neutral; only the payload needs Python."""
+
+    def to_bytes(self, event: Event) -> bytes:
+        import pickle
+
+        return (
+            _ld(1, event.event_id.encode())
+            + _ld(2, event.entity.encode())
+            + _ld(3, (event.key or "").encode())
+            + _ld(4, event.event_type.value.encode())
+            + _varint((5 << 3) | 0)
+            + _varint(event.seq)
+            + _ld(6, pickle.dumps(event.payload))
+        )
+
+    def from_bytes(self, b: bytes) -> Event:
+        import pickle
+
+        fields: dict[int, Any] = {}
+        i = 0
+        while i < len(b):
+            tag, i = _read_varint(b, i)
+            fnum, wt = tag >> 3, tag & 7
+            if wt == 0:
+                fields[fnum], i = _read_varint(b, i)
+            elif wt == 2:
+                ln, i = _read_varint(b, i)
+                fields[fnum] = b[i : i + ln]
+                i += ln
+            else:  # pragma: no cover - schema uses only wt 0/2
+                raise ValueError(f"unsupported wire type {wt}")
+        return Event(
+            event_id=fields[1].decode(),
+            entity=fields[2].decode(),
+            key=fields[3].decode() or None,
+            event_type=EventType(fields[4].decode()),
+            payload=pickle.loads(fields[6]),
+            seq=fields.get(5, 0),
+        )
+
+    @staticmethod
+    def routing_header(b: bytes) -> dict[str, Any]:
+        """Decode ONLY the language-neutral routing fields — what a non-
+        Python router (the reference's ingress router reading proto fields,
+        dataflow.py:131-210) needs, without touching the pickled payload."""
+        out: dict[str, Any] = {}
+        names = {1: "event_id", 2: "entity", 3: "key", 4: "event_type", 5: "seq"}
+        i = 0
+        while i < len(b):
+            tag, i = _read_varint(b, i)
+            fnum, wt = tag >> 3, tag & 7
+            if wt == 0:
+                v, i = _read_varint(b, i)
+            else:
+                ln, i = _read_varint(b, i)
+                v = b[i : i + ln]
+                i += ln
+            if fnum in names and fnum != 6:
+                out[names[fnum]] = v.decode() if isinstance(v, bytes) else v
+        return out

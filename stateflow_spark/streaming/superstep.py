@@ -60,14 +60,18 @@ class _SingleKeyStore(StateStore):
         self.state = state
 
 
-def _make_step_fn(registry_blob: bytes):
+def _make_step_fn(registry_blob: bytes, serde=None):
     """Build the cogroup function; ships the linked+compiled registry to the
     python workers (the registry module is re-populated there, so entity
-    classes defined in test/user modules need no importable path)."""
+    classes defined in test/user modules need no importable path). The wire
+    serde (Pickle default; Json/Proto/Cloudpickle per deployment) travels in
+    the closure — it is a stateless object."""
 
     def step(keys, events_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
         from stateflow_spark.entity import registry as reg_mod
+        from stateflow_spark.serde import PickleSerde
 
+        sd = serde or PickleSerde()
         reg = pickle.loads(registry_blob)
         reg_mod._REGISTRY.clear()
         reg_mod._REGISTRY.update(reg)
@@ -82,12 +86,12 @@ def _make_step_fn(registry_blob: bytes):
         out: list[tuple] = []
         if len(events_pdf):
             for _, row in events_pdf.sort_values("seq").iterrows():
-                ev: Event = Event.from_bytes(row["blob"])
+                ev: Event = sd.from_bytes(row["blob"])
                 res = operator.handle(ev, store)
                 for r in res.replies:
-                    out.append(("reply", entity_name, key, r.seq, r.to_bytes()))
+                    out.append(("reply", entity_name, key, r.seq, sd.to_bytes(r)))
                 for h in res.hops:
-                    out.append(("hop", h.entity, h.key, h.seq, h.to_bytes()))
+                    out.append(("hop", h.entity, h.key, h.seq, sd.to_bytes(h)))
         if store.state is not None:
             out.append(("state", entity_name, key, 0, pickle.dumps(store.state)))
         return pd.DataFrame(
@@ -117,9 +121,17 @@ class RunResult:
 
 
 class SuperstepRuntime:
-    def __init__(self, spark: SparkSession, max_supersteps: int = 200):
+    def __init__(
+        self, spark: SparkSession, max_supersteps: int = 200, serde=None
+    ):
+        """serde: wire format for events on the shuffle/reply path
+        (stateflow_spark.serde.{Pickle,Json,Proto,Cloudpickle}Serde;
+        default Pickle — the reference's serializer choice knob)."""
+        from stateflow_spark.serde import PickleSerde
+
         self.spark = spark
         self.max_supersteps = max_supersteps
+        self.serde = serde or PickleSerde()
 
     # -- durable state ------------------------------------------------------
     @staticmethod
@@ -132,7 +144,7 @@ class SuperstepRuntime:
         return self.spark.read.parquet(path)
 
     def _events_df(self, events: Iterable[Event]) -> DataFrame:
-        rows = [(e.entity, e.key, e.seq, e.to_bytes()) for e in events]
+        rows = [(e.entity, e.key, e.seq, self.serde.to_bytes(e)) for e in events]
         return self.spark.createDataFrame(rows, EVENT_SCHEMA)
 
     def run(
@@ -165,7 +177,7 @@ class SuperstepRuntime:
         finally:
             for mod in by_value:
                 cloudpickle.unregister_pickle_by_value(mod)
-        step = _make_step_fn(registry_blob)
+        step = _make_step_fn(registry_blob, self.serde)
 
         if state_df is None:
             state_df = self.spark.createDataFrame([], STATE_SCHEMA)
@@ -199,7 +211,7 @@ class SuperstepRuntime:
 
             pending = []
             for r in small:
-                ev = Event.from_bytes(bytes(r.blob))
+                ev = self.serde.from_bytes(bytes(r.blob))
                 if r.kind == "reply":
                     result.replies[ev.event_id] = ev
                 else:
