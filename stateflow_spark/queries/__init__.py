@@ -10,20 +10,28 @@ from __future__ import annotations
 from stateflow_spark.queries.common import REGISTRY, QueryDef, register  # noqa: F401
 
 # Each module registers its queries on import.  Registration order matters:
-# the driver's correctness harness checks the first N registered queries, so
-# families that have never had a driver-green row import FIRST; families
-# proven green in a previous round rotate to the back (round 1 covered
-# tpch/tpch2/windows/setops/aggregates/events — see CORRECTNESS_r01.json).
-from stateflow_spark.queries import entity_ops  # noqa: F401, E402
-from stateflow_spark.queries import dedup  # noqa: F401, E402
-from stateflow_spark.queries import similarity  # noqa: F401, E402
+# the driver's correctness harness checks the first ~50 registered queries
+# per round, so the prefix holds (a) every family whose code CHANGED this
+# round and (b) the families longest without a fresh driver row. Local
+# tests/test_oracle.py checks ALL oracled queries every run regardless —
+# that is the regression net for rotated-out families (round-2 ADVICE).
+#
+# Round 3 prefix: multimodal (decode_features flattened this round) and
+# tpch2 (q21 rewritten this round) first — note importing tpch2 pulls in
+# tpch (helper imports), so the realized order is multimodal, tpch, tpch2,
+# then windows/setops/aggregates/events (last driver-checked in round 1).
+# Rotated to the back: joins/entity/dedup/similarity/text/udtfs
+# (driver-green in round 2, CORRECTNESS_r02.json).
 from stateflow_spark.queries import multimodal  # noqa: F401, E402
-from stateflow_spark.queries import text  # noqa: F401, E402
-from stateflow_spark.queries import udtfs  # noqa: F401, E402
-from stateflow_spark.queries import joins  # noqa: F401, E402
-from stateflow_spark.queries import tpch  # noqa: F401, E402
 from stateflow_spark.queries import tpch2  # noqa: F401, E402
 from stateflow_spark.queries import windows  # noqa: F401, E402
 from stateflow_spark.queries import setops  # noqa: F401, E402
 from stateflow_spark.queries import aggregates  # noqa: F401, E402
 from stateflow_spark.queries import events  # noqa: F401, E402
+from stateflow_spark.queries import joins  # noqa: F401, E402
+from stateflow_spark.queries import tpch  # noqa: F401, E402
+from stateflow_spark.queries import entity_ops  # noqa: F401, E402
+from stateflow_spark.queries import dedup  # noqa: F401, E402
+from stateflow_spark.queries import similarity  # noqa: F401, E402
+from stateflow_spark.queries import text  # noqa: F401, E402
+from stateflow_spark.queries import udtfs  # noqa: F401, E402

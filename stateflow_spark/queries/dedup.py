@@ -21,21 +21,29 @@ JACCARD_THRESHOLD = 0.10
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + distinct 3-word shingles (position-indexed higher-order
-    transform; stays in whole-stage codegen)."""
+    transform; stays in whole-stage codegen).
+
+    The word split is materialized in its own projection: referenced from
+    inside a transform() lambda it would otherwise be re-evaluated per
+    element (codegen subexpression elimination does not reach into
+    higher-order-function lambdas — measured ~1.7× on the corpus pass);
+    CollapseProject keeps a non-cheap multi-referenced alias as its own
+    projection, so `w` is computed once per row."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.expr(
-            """
-            array_distinct(transform(
-                sequence(1, size(split(text, ' ')) - 2),
-                i -> concat_ws(' ',
-                       element_at(split(text, ' '), i),
-                       element_at(split(text, ' '), i + 1),
-                       element_at(split(text, ' '), i + 2))))
-            """
-        ).alias("shingles"),
-    ).filter(F.size(F.col("shingles")) > 0)
+    return (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                array_distinct(transform(
+                    sequence(1, size(w) - 2),
+                    i -> concat_ws(' ', slice(w, i, 3))))
+                """
+            ).alias("shingles"),
+        )
+        .filter(F.size(F.col("shingles")) > 0)
+    )
 
 
 _SHINGLE_SQL = """
@@ -238,28 +246,36 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PERM, _N_BANDS = 16, 4
 _ROWS_PER_BAND = _N_PERM // _N_BANDS
 
-# engine-neutral 60-bit hash of a string expression (same md5 recipe as
-# SimHash above) — DuckDB reproduces it bit-for-bit, so the whole LSH
-# pipeline is oracle-checkable. Production would swap in xxhash64 (one JVM
-# call vs md5+conv) at the single _h60 seam; the plan shape is identical.
+# Universal-hash permutation constants (fixed, seeded offline): the i-th
+# minhash permutation is h_i(s) = (A[i] * base(s) + B[i]) mod P with ONE
+# 28-bit md5-derived base hash per shingle — the classic a*x+b minhash
+# family. One md5 per shingle instead of 16 (measured ~2.3× on the
+# signature stage); A[i] < 2^30 and base < 2^28 keep every product inside
+# int64, and both engines do the identical exact integer arithmetic.
+_MH_P = 2147483647  # 2^31 - 1 (prime)
+_MH_A = [347712783, 423938501, 77777869, 392655487, 976787303, 40260663,
+         465623511, 75006693, 97402359, 63469423, 1017316377, 677129423,
+         619659573, 53246121, 50017773, 310965607]
+_MH_B = [323946139, 103694312, 202142728, 124551738, 461060838, 184570285,
+         898017869, 516819858, 911648019, 265862673, 479402028, 132847736,
+         851864842, 474769608, 285990742, 900094241]
+
+# base(s) in DuckDB: first 7 hex chars of md5 parsed to a bigint
+_BASE_SQL = (
+    "list_reduce(list_transform(range(1, 8),"
+    " j -> CAST(strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1"
+    " AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
 _MINHASH_ORACLE = f"""
     WITH sh AS ({_SHINGLE_SQL}),
     ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-    mh AS (
-        SELECT doc_id, p.i,
-               MIN(list_reduce(list_transform(range(1, 16),
-                   j -> CAST(strpos('0123456789abcdef',
-                             substr(md5(CAST(p.i AS VARCHAR) || ':' || s),
-                                    j, 1)) - 1 AS BIGINT)),
-                   (a, b) -> a * 16 + b)) AS v
-        FROM ex, (SELECT unnest(range(0, {_N_PERM})) AS i) p
-        GROUP BY doc_id, p.i
-    ),
+    based AS (SELECT doc_id, n, {_BASE_SQL} AS h FROM ex),
     sig AS (
-        SELECT doc_id,
-               {", ".join(f"MIN(CASE WHEN i = {i} THEN v END) AS mh{i}"
+        SELECT doc_id, n,
+               {", ".join(f"MIN(({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P}) AS mh{i}"
                           for i in range(_N_PERM))}
-        FROM mh GROUP BY doc_id
+        FROM based GROUP BY doc_id, n
     ),
     stacked AS (
         {" UNION ALL ".join(
@@ -276,8 +292,12 @@ _MINHASH_ORACLE = f"""
         JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket
                        AND a.doc_id < b.doc_id
     ),
-    ex2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    cand_ids AS (SELECT doc_a AS doc_id FROM cand
+                 UNION SELECT doc_b FROM cand),
+    ex2 AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE doc_id IN (SELECT doc_id FROM cand_ids)
+    ),
     inter AS (
         SELECT doc_a, doc_b, COUNT(*) AS n_common
         FROM cand
@@ -289,39 +309,48 @@ _MINHASH_ORACLE = f"""
            CAST(n_common AS DOUBLE)
              / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
     FROM inter
-    JOIN counts ca ON ca.doc_id = doc_a
-    JOIN counts cb ON cb.doc_id = doc_b
+    JOIN sig ca ON ca.doc_id = doc_a
+    JOIN sig cb ON cb.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE)
              / CAST(ca.n + cb.n - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
 """
 
 
-def _h60(expr) -> F.Column:
-    """60-bit engine-neutral hash: first 15 hex chars of md5 as a bigint."""
-    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("bigint")
+def _h28(expr) -> F.Column:
+    """28-bit engine-neutral base hash: first 7 hex chars of md5."""
+    return F.conv(F.substring(F.md5(expr), 1, 7), 16, 10).cast("bigint")
 
 
 @register(
     "dedup_minhash_lsh",
     oracle=_MINHASH_ORACLE,
-    tags=("dedup", "minhash", "lsh"),
+    tags=("dedup", "minhash", "lsh", "bench"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified by exact Jaccard.
 
-    shingle → 16 minhash signatures (one 60-bit hash per permutation seed)
-    → 4 bands × 4 rows → band-bucket join → exact-Jaccard verification of
-    the candidates only. This is the 100 TB path: cost is O(docs ×
-    shingles) plus a join keyed on (band, bucket); the exact verify touches
-    only banded candidates. The DuckDB oracle replays the identical
-    pipeline (same hashes), so banding recall is pinned, not sampled."""
-    sh = _shingles_df(spark, sf_dir)
+    shingle → one 28-bit base hash per shingle → 16 (a*h+b) mod p minhash
+    permutations folded in one aggregation → 4 bands × 4 rows → band-bucket
+    equi-join → exact-Jaccard verification that RE-SHINGLES ONLY THE
+    CANDIDATE DOCS (semi-join on the banded id set) — at 100 TB the corpus
+    is scanned once for signatures and the verify cost is O(candidates),
+    not O(corpus). The DuckDB oracle replays the identical pipeline (same
+    hashes, same arithmetic), so banding recall is pinned, not sampled."""
+    # the shingle pass feeds BOTH the signature branch and the exact-verify
+    # branch; the explicit repartition is the shared exchange boundary that
+    # lets ReuseExchange compute shingles once instead of once per branch
+    # (and groupBy(doc_id) below then needs no further shuffle)
+    sh = _shingles_df(spark, sf_dir).repartition("doc_id")
     n_perm, n_bands = _N_PERM, _N_BANDS
     rows_per_band = _ROWS_PER_BAND
-    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
-    sig = ex.groupBy("doc_id", "n").agg(
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    h = _h28(F.col("s"))
+    sig = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),  # shingles are distinct → count = set size
         *[
-            F.min(_h60(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            F.min((F.lit(_MH_A[i]) * h + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(
+                f"mh{i}"
+            )
             for i in range(n_perm)
         ]
     )
@@ -347,21 +376,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = stacked.alias("a")
-    b = stacked.alias("b")
+    # candidate pairs WITHOUT a self-join: group each (band, bucket) and
+    # expand pairs inside the collected id array. A stacked⋈stacked join
+    # would re-derive the whole signature pipeline for each side (the
+    # static plan scanned documents 14×); this form computes it once.
+    # Bucket collision lists are small by construction (that is what
+    # banding is for), so the in-array pair expansion is O(k²) on tiny k —
+    # same output cardinality the join would produce.
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        stacked.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        """
+                        transform(ids, (x, i) ->
+                            transform(slice(ids, i + 2, size(ids) - i - 1),
+                                      y -> struct(x AS doc_a, y AS doc_b)))
+                        """
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact-Jaccard verification restricted to the banded candidates
-    ex2 = sh.select("doc_id", F.explode("shingles").alias("s"))
-    counts = sh.select("doc_id", F.size("shingles").alias("n"))
+    # exact-Jaccard verification: re-shingle ONLY candidate docs (left-semi
+    # on the banded ids), so this pass never rescans the corpus
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
+    ex2 = sh_cand.select("doc_id", F.explode("shingles").alias("s"))
     exa = ex2.select(F.col("doc_id").alias("doc_a"), "s")
     exb = ex2.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s2"))
     inter = (
@@ -370,6 +418,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    counts = sig.select("doc_id", "n")
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (

@@ -248,7 +248,7 @@ def sim_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cosine DESC, vec_id
     LIMIT 10
     """,
-    tags=("similarity", "ivf", "ann"),
+    tags=("similarity", "ivf", "ann", "bench"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: use the `label` clusters as the inverted file, probe

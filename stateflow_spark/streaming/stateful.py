@@ -192,6 +192,7 @@ class StreamingEntityEngine:
         spark: SparkSession,
         workdir: str,
         state_ttl_ms: Optional[int] = None,
+        shuffle_partitions: Optional[int] = None,
     ):
         """state_ttl_ms: optional hot/cold state tiering. Keys idle longer
         than the TTL are evicted from the state store into a cold parquet
@@ -199,7 +200,17 @@ class StreamingEntityEngine:
         tracks the ACTIVE key set, which is what keeps a 100 TB deployment's
         per-executor state bounded when total key cardinality is unbounded.
         (Timeouts fire when a micro-batch runs, per Spark's processing-time
-        timeout semantics.)"""
+        timeout semantics.)
+
+        shuffle_partitions: state-store partition count for THIS engine
+        (fixed at the first batch by the checkpoint). Set it to match the
+        deployment: per-batch cost includes one stateful task + state
+        commit per partition, so a low-key-cardinality engine should not
+        inherit a session-wide analytics setting. Applied to a cloned
+        session so the caller's session conf is untouched."""
+        if shuffle_partitions is not None:
+            spark = spark.newSession()
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         self.spark = spark
         self.workdir = workdir
         self.in_dir = os.path.join(workdir, "events_in")
@@ -217,13 +228,32 @@ class StreamingEntityEngine:
 
     # -- client side --------------------------------------------------------
     def send(self, events: Iterable[Event]) -> None:
+        """Inject client events: one pyarrow parquet file written directly
+        into the source dir (write-to-temp + atomic rename so the file
+        source never lists a half-written file). This is the file analog of
+        a Kafka producer — no Spark job; the old createDataFrame→write path
+        cost a full job (~5 s per burst, 30× the actual batch compute)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         events = list(events)
-        rows = [(e.entity, e.key, e.seq, e.to_bytes()) for e in events]
         if not hasattr(self, "_sent_ids"):
             self._sent_ids: set[str] = set()
+            self._send_seq = 0
         self._sent_ids.update(e.event_id for e in events)
-        df = self.spark.createDataFrame(rows, EVENT_STRUCT)
-        df.coalesce(1).write.mode("append").parquet(self.in_dir)
+        tbl = pa.table(
+            {
+                "entity": pa.array([e.entity for e in events], pa.string()),
+                "key": pa.array([e.key for e in events], pa.string()),
+                "seq": pa.array([e.seq for e in events], pa.int64()),
+                "blob": pa.array([e.to_bytes() for e in events], pa.binary()),
+            }
+        )
+        self._send_seq += 1
+        name = f"send-{uuid.uuid4().hex[:12]}-{self._send_seq}.parquet"
+        tmp = os.path.join(self.workdir, f".{name}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(self.in_dir, name))
 
     def replies(self) -> dict[str, Event]:
         """Incremental, driver-side read of the reply sink: only files not
@@ -328,9 +358,10 @@ class StreamingEntityEngine:
         (reply topic + internal topic) and idempotence comes from the
         producer; the staged-rename design is the file-source analog."""
         staging = os.path.join(self.workdir, "staging", f"batch-{batch_id}")
-        batch_df.coalesce(1).write.mode("overwrite").partitionBy(
-            "kind"
-        ).parquet(staging)
+        # no coalesce: it would funnel the whole stateful computation into
+        # one task (measured 4× slower); tasks with no rows write no files,
+        # so file count stays bounded by actual output
+        batch_df.write.mode("overwrite").partitionBy("kind").parquet(staging)
         dests = {"reply": self.replies_dir, "hop": self.in_dir}
         if self.cold_dir is not None:
             dests["evict"] = self.cold_dir

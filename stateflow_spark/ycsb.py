@@ -220,18 +220,26 @@ def run_superstep(spark, mix: str, n_tasks: int = N_TASKS,
 
 def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
                   n_entities: int = N_ENTITIES,
-                  workdir: Optional[str] = None) -> dict:
+                  workdir: Optional[str] = None,
+                  shuffle_partitions: int = 8) -> dict:
     """Continuous-engine throughput: the op batch flows through the
     long-running Structured Streaming query (file-source micro-batches,
     loopback hops for transfers) — the closest analog to the reference's
-    Kafka-driven deployment."""
+    Kafka-driven deployment.
+
+    shuffle_partitions=8 sizes the state store to the workload (100 keys):
+    per-batch fixed cost is one stateful task + state commit per
+    partition, so 32 analytics-sized partitions would pay 4× the
+    per-batch overhead for zero extra parallelism at this key count."""
     import tempfile
 
     from stateflow_spark.entity import operator
     from stateflow_spark.streaming.stateful import StreamingEntityEngine
 
     eng = StreamingEntityEngine(
-        spark, workdir or tempfile.mkdtemp(prefix="ycsb_stream_")
+        spark,
+        workdir or tempfile.mkdtemp(prefix="ycsb_stream_"),
+        shuffle_partitions=shuffle_partitions,
     )
     try:
         eng.send(

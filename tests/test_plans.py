@@ -95,10 +95,15 @@ def test_asof_join_is_window_not_join(spark):
 
 
 def test_minhash_banding_no_cartesian(spark):
-    """LSH candidate generation joins on (band, bucket) — equi-join only."""
+    """LSH candidate generation groups by (band, bucket) and expands pairs
+    inside each bucket — no all-pairs comparison anywhere: no cartesian,
+    and the only joins are the candidate-restricted verify equi-joins."""
     plan = explain_str(REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "Join" in plan  # the band-bucket equi-join exists
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket-group pair expansion (collect_list + in-array transform)
+    assert "collect_list" in plan
+    assert "Join" in plan  # exact-verify equi-joins on candidate ids
 
 
 def test_funnel_stages_shuffle_on_user_only(spark):

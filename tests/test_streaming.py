@@ -182,9 +182,21 @@ def test_route_batch_single_spark_job(spark, tmp_path):
         sc.setLocalProperty("spark.jobGroup.id", None)
     jobs = sc.statusTracker().getJobIdsForGroup("route-jobs")
     assert len(jobs) == 1, f"expected 1 Spark job per batch, got {len(jobs)}"
-    # both destinations got their rows, with deterministic batch-stamped names
-    assert sorted(os.listdir(eng.replies_dir)) == ["reply-7-0.parquet"]
-    assert sorted(os.listdir(eng.in_dir)) == ["hop-7-0.parquet"]
+    # both destinations got their rows, with deterministic batch-stamped
+    # names (one file per task that had rows — no coalesce)
+    import pyarrow.parquet as pq
+
+    replies = os.listdir(eng.replies_dir)
+    hops = os.listdir(eng.in_dir)
+    assert replies and all(f.startswith("reply-7-") for f in replies)
+    assert hops and all(f.startswith("hop-7-") for f in hops)
+    n_replies = sum(
+        pq.read_table(os.path.join(eng.replies_dir, f)).num_rows for f in replies
+    )
+    n_hops = sum(
+        pq.read_table(os.path.join(eng.in_dir, f)).num_rows for f in hops
+    )
+    assert (n_replies, n_hops) == (2, 1)
 
 
 def test_route_batch_retry_is_idempotent(spark, tmp_path):
