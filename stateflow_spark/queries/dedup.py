@@ -403,13 +403,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact-Jaccard verification: re-shingle ONLY candidate docs (left-semi
-    # on the banded ids), so this pass never rescans the corpus
-    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
-        cand.select(F.col("doc_b").alias("doc_id"))
-    ).distinct()
-    sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
-    ex2 = sh_cand.select("doc_id", F.explode("shingles").alias("s"))
+    # exact-Jaccard verification: the shingle source is the SAME exchange
+    # the signature branch shuffled (ReuseExchange), so this pass re-reads
+    # the shuffled shingles rather than rescanning the corpus, and the
+    # joins on doc_a/doc_b touch only banded candidates
+    ex2 = sh.select("doc_id", F.explode("shingles").alias("s"))
     exa = ex2.select(F.col("doc_id").alias("doc_a"), "s")
     exb = ex2.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s2"))
     inter = (

@@ -122,13 +122,25 @@ class RunResult:
 
 class SuperstepRuntime:
     def __init__(
-        self, spark: SparkSession, max_supersteps: int = 200, serde=None
+        self,
+        spark: SparkSession,
+        max_supersteps: int = 200,
+        serde=None,
+        shuffle_partitions: Optional[int] = None,
     ):
         """serde: wire format for events on the shuffle/reply path
         (stateflow_spark.serde.{Pickle,Json,Proto,Cloudpickle}Serde;
-        default Pickle — the reference's serializer choice knob)."""
+        default Pickle — the reference's serializer choice knob).
+
+        shuffle_partitions: partition count for the per-superstep cogroup
+        shuffle, applied on a cloned session (caller conf untouched). Each
+        superstep pays one task per partition; size it to the keyed-state
+        cardinality, not to a session-wide analytics setting."""
         from stateflow_spark.serde import PickleSerde
 
+        if shuffle_partitions is not None:
+            spark = spark.newSession()
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         self.spark = spark
         self.max_supersteps = max_supersteps
         self.serde = serde or PickleSerde()

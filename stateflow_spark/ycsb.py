@@ -174,14 +174,17 @@ def run_local(
 
 
 def run_superstep(spark, mix: str, n_tasks: int = N_TASKS,
-                  n_entities: int = N_ENTITIES) -> dict:
+                  n_entities: int = N_ENTITIES,
+                  shuffle_partitions: int = 8) -> dict:
     """Distributed throughput view: the whole op batch in one superstep run
     (reads/updates finish in superstep 1; transfers hop once per cross-key
-    call, so T converges in a handful of supersteps)."""
+    call, so T converges in a handful of supersteps). 8 cogroup partitions
+    match the 100-key workload — per-superstep fixed cost is one task per
+    partition."""
     from stateflow_spark.entity import operator
     from stateflow_spark.streaming.superstep import SuperstepRuntime
 
-    rt = SuperstepRuntime(spark)
+    rt = SuperstepRuntime(spark, shuffle_partitions=shuffle_partitions)
     creates = [
         operator.make_init_event("YCSBEntity", (f"entity-{i}", STARTING_AMOUNT))
         for i in range(n_entities)
