@@ -175,6 +175,15 @@ def extract_class_desc(cls: type) -> ClassDesc:
     methods: dict[str, MethodDesc] = {}
 
     for item in cdef.body:
+        if isinstance(item, ast.AsyncFunctionDef):
+            # silently skipping would drop its state writes from the schema
+            # and leave the method invisible to clients — fail loudly (the
+            # client side already offers async via awaitable Futures)
+            raise TypeError(
+                f"{cls.__name__}.{item.name}: async entity methods are not "
+                "supported; methods run inside the engine — use the client's "
+                "awaitable futures for async call sites"
+            )
         if not isinstance(item, ast.FunctionDef):
             continue
         col = _SelfWriteCollector()

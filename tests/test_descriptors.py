@@ -115,3 +115,22 @@ def test_entity_param_linking():
     assert not user["update_balance"].linked
     assert "update_balance" not in reg["User"].flows  # unlinked → no flow
     assert "buy_item" in reg["User"].flows
+
+
+def test_async_method_rejected():
+    """async def entity methods fail loudly at extraction — silently
+    skipping them would drop their state writes from the schema and leave
+    the method uninvokable (round-3 fail-loudly sweep)."""
+
+    class AsyncMethod:
+        def __init__(self, name: str):
+            self.name = name
+
+        async def go(self, x: int):
+            self.name = str(x)
+
+        def __key__(self):
+            return self.name
+
+    with pytest.raises(TypeError, match="async entity methods"):
+        extract_class_desc(AsyncMethod)

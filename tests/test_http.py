@@ -12,8 +12,8 @@ import pytest
 from stateflow_spark.client import Client, LocalTransport
 from stateflow_spark.http import HttpSurface
 
-# registers User/Item fixtures (same corpus as the reference demo classes)
-from tests.test_entity_local import Item, User  # noqa: F401
+# registers User/Item/A/B fixtures (same corpus as the reference demo classes)
+from tests.test_entity_local import A, B, Item, User  # noqa: F401
 
 
 @pytest.fixture
@@ -137,6 +137,49 @@ def test_json_body_args(surface):
         body={"key": "http-json-i", "amount": 5},
     )
     assert (status, body) == (200, True)
+
+
+def test_entity_list_param_via_repeated_query_args(surface):
+    """List[entity] params bind from repeated query args (the reference
+    generates `List[str] = Query(None)` for them, fastapi.py:196-199) —
+    the endpoint rehydrates keys to entity refs and the split flow walks
+    every element."""
+    call(surface, "POST", "/stateflow/global/A/create", "name=http-a1")
+    call(surface, "POST", "/stateflow/global/B/create", "name=http-b1")
+    call(surface, "POST", "/stateflow/global/B/create", "name=http-b2")
+    status, body = call(
+        surface,
+        "POST",
+        "/stateflow/global/A/for_loops",
+        "key=http-a1&x=1&others=http-b1&others=http-b2",
+    )
+    assert status == 200 and body == 1  # z = x on the final iteration
+    # for_loops adds 5 to every list element (fixture semantics) — read
+    # state through the underlying client
+    b1 = surface.client.entity("B").by_key("http-b1")
+    b2 = surface.client.entity("B").by_key("http-b2")
+    assert b1.balance == b2.balance == 5
+
+
+def test_http_over_superstep_transport(spark):
+    """The surface is transport-independent: same endpoints over the
+    distributed superstep engine (state lives in a Spark DataFrame)."""
+    from stateflow_spark.client import SuperstepTransport
+
+    app = HttpSurface(Client(SuperstepTransport(spark)))
+    status, body = call(
+        app, "POST", "/stateflow/global/User/create", "username=http-ss1"
+    )
+    assert body == {"entity": "User", "key": "http-ss1"}
+    status, body = call(
+        app, "POST", "/stateflow/global/User/update_balance",
+        "key=http-ss1&x=12",
+    )
+    assert status == 200
+    status, body = call(
+        app, "GET", "/stateflow/global/User/find/", "key=http-ss1"
+    )
+    assert body == {"entity": "User", "key": "http-ss1"}
 
 
 def test_errors(surface):
