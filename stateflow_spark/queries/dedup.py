@@ -292,17 +292,11 @@ _MINHASH_ORACLE = f"""
         JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket
                        AND a.doc_id < b.doc_id
     ),
-    cand_ids AS (SELECT doc_a AS doc_id FROM cand
-                 UNION SELECT doc_b FROM cand),
-    ex2 AS (
-        SELECT doc_id, unnest(shingles) AS s FROM sh
-        WHERE doc_id IN (SELECT doc_id FROM cand_ids)
-    ),
     inter AS (
         SELECT doc_a, doc_b, COUNT(*) AS n_common
         FROM cand
-        JOIN ex2 a ON a.doc_id = doc_a
-        JOIN ex2 b ON b.doc_id = doc_b AND a.s = b.s
+        JOIN based a ON a.doc_id = doc_a
+        JOIN based b ON b.doc_id = doc_b AND a.h = b.h
         GROUP BY doc_a, doc_b
     )
     SELECT doc_a, doc_b,
@@ -336,15 +330,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scanned once for signatures and the verify cost is O(candidates),
     not O(corpus). The DuckDB oracle replays the identical pipeline (same
     hashes, same arithmetic), so banding recall is pinned, not sampled."""
-    # the shingle pass feeds BOTH the signature branch and the exact-verify
-    # branch; the explicit repartition is the shared exchange boundary that
-    # lets ReuseExchange compute shingles once instead of once per branch
-    # (and groupBy(doc_id) below then needs no further shuffle)
-    sh = _shingles_df(spark, sf_dir).repartition("doc_id")
+    # one corpus pass: shingle → explode → 28-bit base hash, all BEFORE the
+    # exchange, so the shuffle carries (doc_id, bigint) pairs instead of
+    # 3-word shingle strings. The repartition is the shared boundary that
+    # lets ReuseExchange feed both the signature branch and the exact-
+    # verify branch from one computation (and groupBy(doc_id) below then
+    # needs no further shuffle). Exact Jaccard downstream compares base
+    # hashes, which the oracle replays bit-for-bit — identical arithmetic,
+    # identical collisions (if any), identical output.
+    sh = _shingles_df(spark, sf_dir)
     n_perm, n_bands = _N_PERM, _N_BANDS
     rows_per_band = _ROWS_PER_BAND
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    h = _h28(F.col("s"))
+    ex = (
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", _h28(F.col("s")).alias("h"))
+        .repartition("doc_id")
+    )
+    h = F.col("h")
     sig = ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),  # shingles are distinct → count = set size
         *[
@@ -403,16 +405,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact-Jaccard verification: the shingle source is the SAME exchange
-    # the signature branch shuffled (ReuseExchange), so this pass re-reads
-    # the shuffled shingles rather than rescanning the corpus, and the
-    # joins on doc_a/doc_b touch only banded candidates
-    ex2 = sh.select("doc_id", F.explode("shingles").alias("s"))
-    exa = ex2.select(F.col("doc_id").alias("doc_a"), "s")
-    exb = ex2.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s2"))
+    # exact-Jaccard verification over base hashes: reads the SAME exchange
+    # the signature branch shuffled (ReuseExchange) — no corpus rescan —
+    # and the joins on doc_a/doc_b touch only banded candidates
+    exa = ex.select(F.col("doc_id").alias("doc_a"), "h")
+    exb = ex.select(F.col("doc_id").alias("doc_b2"), F.col("h").alias("h2"))
     inter = (
         cand.join(exa, "doc_a")
-        .join(exb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s2")))
+        .join(exb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("h") == F.col("h2")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
