@@ -23,6 +23,15 @@ Reference parity (SURVEY.md §2.A):
 State is one binary column (pickled state dict) per key — the reference
 serializes per-key state dicts the same way (stateflow/dataflow/state.py:
 26-32).
+
+Stateful API choice: Spark 4 also offers ``transformWithStateInPandas``
+(StatefulProcessor + RocksDB store, per-state-variable handles, timers).
+Its Python runner requires the google.protobuf runtime, which this
+environment does not ship, so the engine stands on
+``applyInPandasWithState`` — the operator contract here (one keyed batch
+fn over ``operator.handle``) ports to a StatefulProcessor verbatim:
+init → getValueState("state", STATE_STRUCT), handleInputRows → the same
+event loop, close → no-op.
 """
 
 from __future__ import annotations
