@@ -83,8 +83,39 @@ def scenario(client: Client, tag: str) -> None:
     print(f"[{tag}] buy_item flow ok: balance={user.balance} stock={item.stock}")
 
 
+def scenario_http(client: Client, tag: str) -> None:
+    """Same flow through the REST surface (reference FastAPI client analog,
+    op #26) — here driven via WSGI calls; `HttpSurface(...).serve()` runs
+    it as a real server."""
+    import io
+    import json
+
+    from stateflow_spark.http import HttpSurface
+
+    app = HttpSurface(client)
+
+    def post(path, query):
+        env = {"REQUEST_METHOD": "POST", "PATH_INFO": path,
+               "QUERY_STRING": query, "wsgi.input": io.BytesIO(b"")}
+        box = {}
+        body = app(env, lambda s, h: box.update(status=s))
+        return json.loads(b"".join(body))
+
+    post("/stateflow/global/User/create", f"username=ana-{tag}")
+    post("/stateflow/global/Item/create", f"item_name=fanta-{tag}&price=2")
+    post("/stateflow/global/User/update_balance", f"key=ana-{tag}&x=9")
+    post("/stateflow/global/Item/update_stock", f"key=fanta-{tag}&amount=5")
+    ok = post(
+        "/stateflow/global/User/buy_item",
+        f"key=ana-{tag}&amount=4&item=fanta-{tag}",
+    )
+    assert ok is True
+    print(f"[{tag}] buy_item over HTTP ok")
+
+
 def main() -> None:
     scenario(Client(LocalTransport()), "local")
+    scenario_http(Client(LocalTransport()), "http")
 
     from stateflow_spark.session import get_spark
 
