@@ -106,6 +106,33 @@ def test_minhash_banding_no_cartesian(spark):
     assert "Join" in plan  # exact-verify equi-joins on candidate ids
 
 
+def test_q21_single_pass_shuffle_budget(spark):
+    """The round-3 q21 form: one window pass over lineitem⋈orders, no
+    EXISTS/NOT-EXISTS self-joins. The window's partitionBy(l_orderkey)
+    reuses the join's partitioning, so the plan carries at most 3 shuffle
+    exchanges (join inputs + final aggregate) at any scale."""
+    import re
+
+    plan = explain_str(REGISTRY["q21_waiting_suppliers"].fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert shuffles <= 3, f"{shuffles} shuffle exchanges"
+    # exactly one pass over lineitem and one over orders
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+
+
+def test_multimodal_decode_output_stays_scalar(spark):
+    """Driver harnesses canonicalize results row-wise through pandas, which
+    cannot hash list cells (round-2 red row) — the decode stage must emit
+    scalar feature columns, via Arrow-batched mapInPandas."""
+    df = REGISTRY["multimodal_decode_features"].fn(spark, SF_DIR)
+    kinds = {f.dataType.typeName() for f in df.schema.fields}
+    assert not kinds & {"array", "map", "struct"}, df.schema.simpleString()
+    assert "MapInPandas" in explain_str(df)
+
+
 def test_funnel_stages_shuffle_on_user_only(spark):
     plan = explain_str(REGISTRY["events_funnel"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
