@@ -268,12 +268,19 @@ class StreamingEntityEngine:
         """Incremental, driver-side read of the reply sink: only files not
         seen before are opened (pyarrow, no Spark job), so the drain() poll
         loop is O(new replies) per tick instead of re-reading and collecting
-        the whole sink every 250 ms (round-2 VERDICT wrong-item 3)."""
+        the whole sink every 250 ms (round-2 VERDICT wrong-item 3).
+
+        Completion times are recorded per event_id as each reply file is
+        first seen (reply-file mtime = batch commit, micro-batch
+        resolution) — the engine-side analog of the reference client's
+        consumer-thread latency capture (kafka_client.py:78-91); see
+        ``reply_times``."""
         import pyarrow.parquet as pq
 
         if not hasattr(self, "_reply_cache"):
             self._reply_cache: dict[str, Event] = {}
             self._seen_reply_files: set[str] = set()
+            self.reply_times: dict[str, float] = {}
         try:
             names = os.listdir(self.replies_dir)
         except FileNotFoundError:
@@ -283,12 +290,14 @@ class StreamingEntityEngine:
                 continue
             path = os.path.join(self.replies_dir, name)
             try:
+                mtime = os.path.getmtime(path)
                 tbl = pq.read_table(path, columns=["blob"])
             except Exception:
                 continue  # file mid-rename; next poll gets it
             for b in tbl.column("blob").to_pylist():
                 ev = Event.from_bytes(bytes(b))
                 self._reply_cache[ev.event_id] = ev
+                self.reply_times.setdefault(ev.event_id, mtime)
             self._seen_reply_files.add(name)
         return dict(self._reply_cache)
 

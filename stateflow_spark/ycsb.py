@@ -224,7 +224,8 @@ def run_superstep(spark, mix: str, n_tasks: int = N_TASKS,
 def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
                   n_entities: int = N_ENTITIES,
                   workdir: Optional[str] = None,
-                  shuffle_partitions: int = 8) -> dict:
+                  shuffle_partitions: int = 8,
+                  latency_csv: Optional[str] = None) -> dict:
     """Continuous-engine throughput: the op batch flows through the
     long-running Structured Streaming query (file-source micro-batches,
     loopback hops for transfers) — the closest analog to the reference's
@@ -274,6 +275,13 @@ def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
         replies = eng.replies()
         n_ok = sum(1 for e in events if e.event_id in replies)
         assert n_ok == n_tasks, f"only {n_ok}/{n_tasks} replies"
+        if latency_csv:  # reference CSV shape: request_id, timestamp
+            # completion timestamps at micro-batch resolution (reply-file
+            # commit time), the streaming analog of kafka_client.py:78-91
+            with open(latency_csv, "w") as f:
+                f.write("request_id,timestamp\n")
+                for i, e in enumerate(events):
+                    f.write(f"req-{i},{eng.reply_times[e.event_id]}\n")
         return {
             "runtime": "streaming",
             "mix": mix,
@@ -305,7 +313,9 @@ def main() -> None:
     else:
         from stateflow_spark.session import get_spark
 
-        out = run_streaming(get_spark(), args.mix, args.tasks)
+        out = run_streaming(
+            get_spark(), args.mix, args.tasks, latency_csv=args.latency_csv
+        )
     print(json.dumps(out))
 
 
