@@ -88,3 +88,56 @@ def test_superstep_matches_local(spark):
             # conservation: the local total reflects the same op amounts, so
             # totals agree even though per-key rejections may differ
             assert total == sum(_local_final_state(mix, 200).values())
+
+
+def test_streaming_transfer_conserves_money(spark, tmp_path):
+    """Money conservation through the CONTINUOUS engine's loopback: every
+    transfer is a cross-key flow whose second hop travels through the
+    egress router's staged rename path — a lost hop leaks money, a
+    duplicated hop (at-least-once re-execution) mints it. 100 transfers
+    across 20 entities must conserve the total and answer every request
+    (exercises the round-3 idempotent router under real flow load)."""
+    import uuid
+
+    from stateflow_spark.entity import operator
+    from stateflow_spark.entity.model import Event, EventType
+    from stateflow_spark.streaming.stateful import StreamingEntityEngine
+
+    n_ent, n_ops = 20, 100
+    eng = StreamingEntityEngine(
+        spark, str(tmp_path / "conserve"), shuffle_partitions=4
+    )
+    try:
+        eng.send(
+            operator.make_init_event(
+                "YCSBEntity", (f"entity-{i}", ycsb.STARTING_AMOUNT)
+            )
+            for i in range(n_ent)
+        )
+        eng.start()
+        eng.drain()
+
+        refs = ycsb._refs(n_ent)
+        events = [
+            operator.make_invoke_event(
+                refs[op.key], "transfer", (op.amount, refs[op.other])
+            )
+            for op in ycsb.make_workload("t", n_ops, n_ent)
+        ]
+        eng.send(events)
+        eng.drain()
+        replies = eng.replies()
+        assert all(e.event_id in replies for e in events)
+
+        gets = [
+            Event(str(uuid.uuid4()), "YCSBEntity", f"entity-{i}",
+                  EventType.GET_STATE, {"attr": "value"})
+            for i in range(n_ent)
+        ]
+        eng.send(gets)
+        eng.drain()
+        replies = eng.replies()
+        total = sum(replies[g.event_id].payload["result"] for g in gets)
+        assert total == n_ent * ycsb.STARTING_AMOUNT
+    finally:
+        eng.stop()
