@@ -248,6 +248,7 @@ class StreamingEntityEngine:
         events = list(events)
         if not hasattr(self, "_sent_ids"):
             self._sent_ids: set[str] = set()
+        if not hasattr(self, "_send_seq"):
             self._send_seq = 0
         self._sent_ids.update(e.event_id for e in events)
         tbl = pa.table(

@@ -141,3 +141,62 @@ def test_streaming_transfer_conserves_money(spark, tmp_path):
         assert total == n_ent * ycsb.STARTING_AMOUNT
     finally:
         eng.stop()
+
+
+def test_streaming_transfer_survives_midflight_restart(spark, tmp_path):
+    """Kill the engine while transfer flows are in flight (loopback hops
+    pending), restart from the same checkpoint, drain — every request must
+    still get exactly one reply and money must be conserved. This is the
+    at-least-once replay scenario the idempotent (kind, batch_id, index)
+    rename scheme closes: a replayed batch overwrites its previous
+    attempt's hops instead of re-injecting them."""
+    import uuid
+
+    from stateflow_spark.entity import operator
+    from stateflow_spark.entity.model import Event, EventType
+    from stateflow_spark.streaming.stateful import StreamingEntityEngine
+
+    n_ent, n_ops = 10, 60
+    workdir = str(tmp_path / "midflight")
+    eng1 = StreamingEntityEngine(spark, workdir, shuffle_partitions=4)
+    eng1.send(
+        operator.make_init_event("YCSBEntity", (f"entity-{i}", ycsb.STARTING_AMOUNT))
+        for i in range(n_ent)
+    )
+    eng1.start()
+    eng1.drain()
+
+    refs = ycsb._refs(n_ent)
+    events = [
+        operator.make_invoke_event(
+            refs[op.key], "transfer", (op.amount, refs[op.other])
+        )
+        for op in ycsb.make_workload("t", n_ops, n_ent)
+    ]
+    eng1.send(events)
+    # stop as soon as possible — transfers are mid-flight: first hops may
+    # be committed, loopback hops pending in the source dir, some not
+    # yet started
+    eng1.stop()
+
+    eng2 = StreamingEntityEngine(spark, workdir, shuffle_partitions=4)
+    eng2._sent_ids = {e.event_id for e in events}
+    eng2.start()
+    try:
+        eng2.drain()
+        replies = eng2.replies()
+        missing = [e for e in events if e.event_id not in replies]
+        assert not missing, f"{len(missing)} transfers lost across restart"
+
+        gets = [
+            Event(str(uuid.uuid4()), "YCSBEntity", f"entity-{i}",
+                  EventType.GET_STATE, {"attr": "value"})
+            for i in range(n_ent)
+        ]
+        eng2.send(gets)
+        eng2.drain()
+        replies = eng2.replies()
+        total = sum(replies[g.event_id].payload["result"] for g in gets)
+        assert total == n_ent * ycsb.STARTING_AMOUNT, "money not conserved"
+    finally:
+        eng2.stop()
