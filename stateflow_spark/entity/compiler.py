@@ -381,20 +381,25 @@ class _FlowCompiler:
                     patches.append(self.emit(Jump()))
                 else:
                     self.emit(Jump(head))
+            elif isinstance(stmt, _DEFERRED_BLOCK_STMTS) and self._needs_structural(stmt):
+                # external calls: hoisting would execute them OUTSIDE the
+                # construct (try/try*: outside exception protection; with:
+                # outside the context; match: every case's calls run
+                # unconditionally before the match). return / split-loop
+                # break/continue: the construct is exec'd whole at module
+                # level where those are syntax errors. Fail loudly either
+                # way rather than compile something that crashes at invoke.
+                raise NotImplementedError(
+                    "a try/try*/with/match block containing an external "
+                    "entity call, return, or split-loop break/continue "
+                    "cannot be split: the call would run outside the "
+                    "construct (or unconditionally for every match case), "
+                    "and control flow cannot leave an exec'd block. Move "
+                    "it before/after the block, or keep only local logic "
+                    "inside it."
+                )
             elif _external_calls_in(stmt, self.types):
                 flush()
-                if isinstance(stmt, _DEFERRED_BLOCK_STMTS):
-                    # hoisting would execute the call OUTSIDE the construct
-                    # (try/try*: outside exception protection; with: outside
-                    # the context; match: every case's calls run
-                    # unconditionally before the match) — fail loudly
-                    raise NotImplementedError(
-                        "external entity call inside a try/try*/with/match "
-                        "block cannot be split: the call would run outside "
-                        "the construct (or unconditionally for every match "
-                        "case). Move the call before/after the block, or "
-                        "keep only local logic inside it."
-                    )
                 self._compile_stmt_with_calls(stmt)
             else:
                 buffer_stmt(stmt)

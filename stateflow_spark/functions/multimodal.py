@@ -122,16 +122,22 @@ def decode_features(blobs: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            feats = payloads.map(fake_decode_features)
-            out = {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": payloads.map(len).astype("int64"),
-                "content_hash": payloads.map(
-                    lambda b: hashlib.md5(b).hexdigest()
-                ),
-            }
-            for i, c in enumerate(FEAT_COLS):
-                out[c] = feats.map(lambda f, i=i: f[i]).astype("float64")
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_hash": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+            # one pass over the decoded feature lists (not one map per col)
+            feats = pd.DataFrame(
+                payloads.map(fake_decode_features).tolist(),
+                columns=FEAT_COLS,
+                index=pdf.index,
+            ).astype("float64")
+            out[FEAT_COLS] = feats
             out["decode_status"] = "ok"
             yield pd.DataFrame(out)
 

@@ -126,7 +126,13 @@ class HttpSurface:
             for p in mdesc.params:
                 if p.name not in q:
                     raise _BadRequest(f"missing required param: {p.name}")
-                args.append(_coerce(p, q[p.name]))
+                try:
+                    args.append(_coerce(p, q[p.name]))
+                except ValueError as exc:
+                    # a malformed value is the client's error, not a 500
+                    raise _BadRequest(
+                        f"invalid value for param {p.name}: {exc}"
+                    ) from exc
             if is_init:
                 fut: Future = self.client.entity(entity)(*args)
             else:
@@ -145,6 +151,21 @@ class HttpSurface:
         return handler
 
     # -- WSGI ---------------------------------------------------------------
+    @staticmethod
+    def _merge_body(params: dict[str, list[str]], raw: bytes) -> None:
+        """Merge a JSON body into query-style params (query wins).
+        Raises _BadRequest on malformed JSON."""
+        try:
+            body = json.loads(raw or b"{}")
+        except ValueError as exc:
+            raise _BadRequest("invalid JSON body") from exc
+        if not isinstance(body, dict):
+            raise _BadRequest("JSON body must be an object")
+        for k, v in body.items():
+            params.setdefault(
+                k, [str(x) for x in v] if isinstance(v, list) else [str(v)]
+            )
+
     def __call__(self, environ: dict, start_response: Callable) -> Iterable[bytes]:
         method = environ.get("REQUEST_METHOD", "GET").upper()
         path = environ.get("PATH_INFO", "/")
@@ -155,13 +176,9 @@ class HttpSurface:
             clen = 0
         if clen and "wsgi.input" in environ:
             try:
-                body = json.loads(environ["wsgi.input"].read(clen) or b"{}")
-                for k, v in body.items():
-                    params.setdefault(
-                        k, [str(x) for x in v] if isinstance(v, list) else [str(v)]
-                    )
-            except (ValueError, AttributeError):
-                return self._respond(start_response, 400, {"error": "invalid JSON body"})
+                self._merge_body(params, environ["wsgi.input"].read(clen))
+            except _BadRequest as exc:
+                return self._respond(start_response, 400, {"error": str(exc)})
         handler = self.routes.get((method, path))
         if handler is None:
             return self._respond(
@@ -189,7 +206,7 @@ class HttpSurface:
         """Build a FastAPI app from the same route table (requires the
         fastapi package; not bundled in this environment)."""
         try:
-            from fastapi import FastAPI, Request
+            from fastapi import FastAPI, HTTPException, Request
         except ImportError as exc:  # pragma: no cover - env-dependent
             raise RuntimeError(
                 "fastapi is not installed; use the WSGI app directly"
@@ -199,7 +216,14 @@ class HttpSurface:
         for (http_method, path), handler in self.routes.items():
 
             async def endpoint(request: Request, _h=handler):  # pragma: no cover
-                return _h(dict(parse_qs(str(request.url.query))))
+                params = dict(parse_qs(str(request.url.query)))
+                body = await request.body()
+                try:
+                    if body:
+                        self._merge_body(params, body)
+                    return _h(params)
+                except _BadRequest as exc:
+                    raise HTTPException(status_code=400, detail=str(exc))
 
             app.add_api_route(path, endpoint, methods=[http_method])
         return app

@@ -247,11 +247,15 @@ _N_PERM, _N_BANDS = 16, 4
 _ROWS_PER_BAND = _N_PERM // _N_BANDS
 
 # Universal-hash permutation constants (fixed, seeded offline): the i-th
-# minhash permutation is h_i(s) = (A[i] * base(s) + B[i]) mod P with ONE
-# 28-bit md5-derived base hash per shingle — the classic a*x+b minhash
-# family. One md5 per shingle instead of 16 (measured ~2.3× on the
-# signature stage); A[i] < 2^30 and base < 2^28 keep every product inside
-# int64, and both engines do the identical exact integer arithmetic.
+# minhash permutation is h_i(s) = (A[i] * (base(s) mod P) + B[i]) mod P
+# with ONE 60-bit md5-derived base hash per shingle — the classic a*x+b
+# minhash family. One md5 per shingle instead of 16 (measured ~2.3× on
+# the signature stage); A[i] < 2^30 and (base mod P) < 2^31 keep every
+# product inside int64, and both engines do the identical exact integer
+# arithmetic. The FULL 60-bit base is what the exact-verify stage
+# compares (collision odds ~2^-60 per pair — a 28-bit identity hash
+# would mint false near-dup pairs at corpus scale); only the permutation
+# input is folded mod P.
 _MH_P = 2147483647  # 2^31 - 1 (prime)
 _MH_A = [347712783, 423938501, 77777869, 392655487, 976787303, 40260663,
          465623511, 75006693, 97402359, 63469423, 1017316377, 677129423,
@@ -260,9 +264,9 @@ _MH_B = [323946139, 103694312, 202142728, 124551738, 461060838, 184570285,
          898017869, 516819858, 911648019, 265862673, 479402028, 132847736,
          851864842, 474769608, 285990742, 900094241]
 
-# base(s) in DuckDB: first 7 hex chars of md5 parsed to a bigint
+# base(s) in DuckDB: first 15 hex chars of md5 parsed to a bigint (60-bit)
 _BASE_SQL = (
-    "list_reduce(list_transform(range(1, 8),"
+    "list_reduce(list_transform(range(1, 16),"
     " j -> CAST(strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1"
     " AS BIGINT)), (a, b) -> a * 16 + b)"
 )
@@ -273,8 +277,9 @@ _MINHASH_ORACLE = f"""
     based AS (SELECT doc_id, n, {_BASE_SQL} AS h FROM ex),
     sig AS (
         SELECT doc_id, n,
-               {", ".join(f"MIN(({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P}) AS mh{i}"
-                          for i in range(_N_PERM))}
+               {", ".join(
+                   f"MIN(({_MH_A[i]} * (h % {_MH_P}) + {_MH_B[i]}) % {_MH_P})"
+                   f" AS mh{i}" for i in range(_N_PERM))}
         FROM based GROUP BY doc_id, n
     ),
     stacked AS (
@@ -310,9 +315,9 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def _h28(expr) -> F.Column:
-    """28-bit engine-neutral base hash: first 7 hex chars of md5."""
-    return F.conv(F.substring(F.md5(expr), 1, 7), 16, 10).cast("bigint")
+def _h60(expr) -> F.Column:
+    """60-bit engine-neutral base hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("bigint")
 
 
 @register(
@@ -323,12 +328,13 @@ def _h28(expr) -> F.Column:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified by exact Jaccard.
 
-    shingle → one 28-bit base hash per shingle → 16 (a*h+b) mod p minhash
-    permutations folded in one aggregation → 4 bands × 4 rows → band-bucket
-    equi-join → exact-Jaccard verification that RE-SHINGLES ONLY THE
-    CANDIDATE DOCS (semi-join on the banded id set) — at 100 TB the corpus
-    is scanned once for signatures and the verify cost is O(candidates),
-    not O(corpus). The DuckDB oracle replays the identical pipeline (same
+    shingle → one 60-bit base hash per shingle → 16 (a*(h mod p)+b) mod p
+    minhash permutations folded in one aggregation → 4 bands × 4 rows →
+    band-bucket equi-join → Jaccard verification over the 60-bit shingle
+    hashes (collision odds ~2^-60 per pair, so effectively exact),
+    touching only banded candidates — at 100 TB the corpus is scanned
+    once for signatures and the verify cost is O(candidates), not
+    O(corpus). The DuckDB oracle replays the identical pipeline (same
     hashes, same arithmetic), so banding recall is pinned, not sampled."""
     # one corpus pass: shingle → explode → 28-bit base hash, all BEFORE the
     # exchange, so the shuffle carries (doc_id, bigint) pairs instead of
@@ -343,14 +349,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = _ROWS_PER_BAND
     ex = (
         sh.select("doc_id", F.explode("shingles").alias("s"))
-        .select("doc_id", _h28(F.col("s")).alias("h"))
+        .select("doc_id", _h60(F.col("s")).alias("h"))
         .repartition("doc_id")
     )
-    h = F.col("h")
+    hp = F.col("h") % F.lit(_MH_P)  # permutation input; identity stays 60-bit
     sig = ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),  # shingles are distinct → count = set size
         *[
-            F.min((F.lit(_MH_A[i]) * h + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(
+            F.min((F.lit(_MH_A[i]) * hp + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(
                 f"mh{i}"
             )
             for i in range(n_perm)

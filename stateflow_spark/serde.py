@@ -180,18 +180,26 @@ class CloudpickleSerde:
 #   message Event {                       // proto_serde.py's envelope shape
 #     string event_id   = 1;
 #     string entity     = 2;              // FunctionType name
-#     string key        = 3;              // FunctionAddress key
+#     string key        = 3;              // FunctionAddress key, stringified
 #     string event_type = 4;              // EventType enum value
 #     int64  seq        = 5;
 #     bytes  payload    = 6;              // pickled payload (as reference)
+#     int64  key_kind   = 7;              // 0=str, 1=int, 2=absent (None)
 #   }
 #
 # Wire format is public protobuf encoding: each field is a varint tag
 # ((field_number << 3) | wire_type) followed by a varint (int64) or a
-# length-delimited byte run (string/bytes).
+# length-delimited byte run (string/bytes). key_kind restores the Python
+# key type exactly (entity __key__ values may be int or str — the same
+# heterogeneity the JSON serde's written-set encoding handles).
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf int64: negative values encode as 64-bit two's
+        # complement (10-byte varint, same bytes protoc emits) — the
+        # naive loop would never terminate on Python's arbitrary ints
+        n &= 0xFFFFFFFFFFFFFFFF
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -226,15 +234,31 @@ class ProtoSerde:
     def to_bytes(self, event: Event) -> bytes:
         import pickle
 
+        key = event.key
+        kind = 2 if key is None else (1 if isinstance(key, int) else 0)
         return (
             _ld(1, event.event_id.encode())
             + _ld(2, event.entity.encode())
-            + _ld(3, (event.key or "").encode())
+            + _ld(3, ("" if key is None else str(key)).encode())
             + _ld(4, event.event_type.value.encode())
             + _varint((5 << 3) | 0)
             + _varint(event.seq)
             + _ld(6, pickle.dumps(event.payload))
+            + _varint((7 << 3) | 0)
+            + _varint(kind)
         )
+
+    @staticmethod
+    def _restore_key(raw: str, kind: int):
+        if kind == 2:
+            return None
+        if kind == 1:
+            return int(raw)
+        return raw
+
+    @staticmethod
+    def _signed64(n: int) -> int:
+        return n - (1 << 64) if n >= (1 << 63) else n
 
     def from_bytes(self, b: bytes) -> Event:
         import pickle
@@ -255,10 +279,10 @@ class ProtoSerde:
         return Event(
             event_id=fields[1].decode(),
             entity=fields[2].decode(),
-            key=fields[3].decode() or None,
+            key=self._restore_key(fields[3].decode(), fields.get(7, 0)),
             event_type=EventType(fields[4].decode()),
             payload=pickle.loads(fields[6]),
-            seq=fields.get(5, 0),
+            seq=self._signed64(fields.get(5, 0)),
         )
 
     @staticmethod
@@ -268,6 +292,7 @@ class ProtoSerde:
         dataflow.py:131-210) needs, without touching the pickled payload."""
         out: dict[str, Any] = {}
         names = {1: "event_id", 2: "entity", 3: "key", 4: "event_type", 5: "seq"}
+        kind = 0
         i = 0
         while i < len(b):
             tag, i = _read_varint(b, i)
@@ -278,6 +303,12 @@ class ProtoSerde:
                 ln, i = _read_varint(b, i)
                 v = b[i : i + ln]
                 i += ln
-            if fnum in names and fnum != 6:
+            if fnum == 7:
+                kind = v
+            elif fnum in names:
                 out[names[fnum]] = v.decode() if isinstance(v, bytes) else v
+        if "key" in out:
+            out["key"] = ProtoSerde._restore_key(out["key"], kind)
+        if "seq" in out:
+            out["seq"] = ProtoSerde._signed64(out["seq"])
         return out

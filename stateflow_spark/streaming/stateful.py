@@ -234,6 +234,14 @@ class StreamingEntityEngine:
         if self.cold_dir:
             os.makedirs(self.cold_dir, exist_ok=True)
         self.query = None
+        # client-side bookkeeping (send / reply tracking)
+        self._sent_ids: set[str] = set()
+        self._send_seq = 0
+        self._reply_cache: dict[str, Event] = {}
+        self._seen_reply_files: set[str] = set()
+        # completion time per event_id (reply-file commit, micro-batch
+        # resolution) — the reference client's latency-capture analog
+        self.reply_times: dict[str, float] = {}
 
     # -- client side --------------------------------------------------------
     def send(self, events: Iterable[Event]) -> None:
@@ -246,10 +254,6 @@ class StreamingEntityEngine:
         import pyarrow.parquet as pq
 
         events = list(events)
-        if not hasattr(self, "_sent_ids"):
-            self._sent_ids: set[str] = set()
-        if not hasattr(self, "_send_seq"):
-            self._send_seq = 0
         self._sent_ids.update(e.event_id for e in events)
         tbl = pa.table(
             {
@@ -278,10 +282,6 @@ class StreamingEntityEngine:
         ``reply_times``."""
         import pyarrow.parquet as pq
 
-        if not hasattr(self, "_reply_cache"):
-            self._reply_cache: dict[str, Event] = {}
-            self._seen_reply_files: set[str] = set()
-            self.reply_times: dict[str, float] = {}
         try:
             names = os.listdir(self.replies_dir)
         except FileNotFoundError:

@@ -144,6 +144,29 @@ def test_reject_call_in_match():
     expect_reject(MatchCall, "go", 1, match="cannot be split")
 
 
+def test_reject_return_in_match_without_calls():
+    """A match/try/with containing `return` (even with NO external calls)
+    cannot be exec'd whole — it must be rejected at compile time, not
+    crash with SyntaxError('return' outside function) at invoke time
+    (round-3 review finding)."""
+
+    class MatchReturn:
+        def __init__(self, name: str):
+            self.name = name
+
+        def go(self, other: B, v: int):
+            match v:
+                case 1:
+                    return "one"
+            other.add_balance(v)
+            return "other"
+
+        def __key__(self):
+            return self.name
+
+    expect_reject(MatchReturn, "go", 1, match="cannot be split")
+
+
 def test_match_without_external_call_still_compiles():
     class CleanMatch:
         def __init__(self, name: str):

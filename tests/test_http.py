@@ -193,6 +193,12 @@ def test_errors(surface):
         surface, "POST", "/stateflow/global/User/update_balance", "key=u&y=1"
     )
     assert status == 400
+    # malformed value for a typed param is the client's fault: 400 not 500
+    status, body = call(
+        surface, "POST", "/stateflow/global/User/update_balance",
+        "key=u&x=abc",
+    )
+    assert status == 400 and "invalid value" in body["error"]
     # invoking a method on a missing key returns the failure message in the
     # body (reference returns exc.error_msg with a 200)
     status, body = call(

@@ -114,6 +114,25 @@ def test_proto_routing_header_without_unpickle():
     assert b"update_balance" in wire
 
 
+def test_proto_int_key_and_negative_seq_round_trip():
+    """Entity __key__ values may be int (the heterogeneity the JSON
+    written-set fix handles); the proto envelope must restore the exact
+    key type, and a negative seq must encode as protobuf's 10-byte
+    two's-complement int64 varint instead of hanging (round-3 review
+    findings)."""
+    for key in (7, "7", None, ""):
+        ev = Event("e-k", "Counter", key, EventType.GET_STATE, {"attr": "v"})
+        back = ProtoSerde().from_bytes(ProtoSerde().to_bytes(ev))
+        assert back.key == key and type(back.key) is type(key)
+        hdr = ProtoSerde.routing_header(ProtoSerde().to_bytes(ev))
+        assert hdr["key"] == key
+    ev = Event("e-s", "User", "u1", EventType.OK, {"result": 1}, seq=-5)
+    wire = ProtoSerde().to_bytes(ev)
+    back = ProtoSerde().from_bytes(wire)
+    assert back.seq == -5
+    assert ProtoSerde.routing_header(wire)["seq"] == -5
+
+
 def test_proto_wire_is_protobuf_compatible():
     """Byte-level check of the hand-rolled codec against the documented
     schema: field 1 (event_id) is tag 0x0A (field 1, wire type 2) etc."""
