@@ -28,8 +28,19 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     element (codegen subexpression elimination does not reach into
     higher-order-function lambdas — measured ~1.7× on the corpus pass);
     CollapseProject keeps a non-cheap multi-referenced alias as its own
-    projection, so `w` is computed once per row."""
-    d = load(spark, sf_dir, "documents")
+    projection, so `w` is computed once per row.
+
+    The scan is hash-repartitioned on doc_id before the (expensive)
+    shingle/hash compute: it spreads the per-row work across all cores even
+    when the source is a single parquet split, and because doc_id is the key
+    every per-doc aggregation downstream groups on, Catalyst reuses the
+    partitioning and drops that exchange — the text shuffle replaces a
+    signature shuffle rather than adding one. The partition count is given
+    explicitly (REPARTITION_BY_NUM): AQE's coalescer sizes partitions by
+    bytes and would merge a small-but-compute-heavy corpus back onto one
+    core; an explicit count is exempt from coalescing."""
+    n_part = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     return (
         d.select("doc_id", F.split("text", " ").alias("w"))
         .select(
@@ -330,37 +341,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle → one 60-bit base hash per shingle → 16 (a*(h mod p)+b) mod p
     minhash permutations folded in one aggregation → 4 bands × 4 rows →
-    band-bucket equi-join → Jaccard verification over the 60-bit shingle
-    hashes (collision odds ~2^-60 per pair, so effectively exact),
-    touching only banded candidates — at 100 TB the corpus is scanned
-    once for signatures and the verify cost is O(candidates), not
-    O(corpus). The DuckDB oracle replays the identical pipeline (same
-    hashes, same arithmetic), so banding recall is pinned, not sampled."""
-    # one corpus pass: shingle → explode → 28-bit base hash, all BEFORE the
-    # exchange, so the shuffle carries (doc_id, bigint) pairs instead of
-    # 3-word shingle strings. The repartition is the shared boundary that
-    # lets ReuseExchange feed both the signature branch and the exact-
-    # verify branch from one computation (and groupBy(doc_id) below then
-    # needs no further shuffle). Exact Jaccard downstream compares base
-    # hashes, which the oracle replays bit-for-bit — identical arithmetic,
-    # identical collisions (if any), identical output.
+    band-bucket grouping → in-bucket pair expansion with the exact-Jaccard
+    verify computed right there via array_intersect over the 60-bit shingle
+    hashes (collision odds ~2^-60 per pair, so effectively exact).
+
+    Single-corpus-scan design: the per-doc hash set and shingle count ride
+    along with the band keys, so the verify needs NO join back to the
+    corpus — the whole query is scan → agg(doc) → shuffle(band,bucket) →
+    in-bucket expand → distinct. The earlier join-back form scanned
+    documents 5× because Spark's ReuseExchange does not fire across the
+    renamed self-join branches; at 100 TB those were 4 extra corpus passes.
+    Shuffling the hash set costs ~#bands × signature bytes per doc — bounded
+    by document length and far cheaper than rescanning text. The DuckDB
+    oracle replays the identical hashes and arithmetic, so banding recall
+    is pinned, not sampled."""
     sh = _shingles_df(spark, sf_dir)
     n_perm, n_bands = _N_PERM, _N_BANDS
     rows_per_band = _ROWS_PER_BAND
-    ex = (
-        sh.select("doc_id", F.explode("shingles").alias("s"))
-        .select("doc_id", _h60(F.col("s")).alias("h"))
-        .repartition("doc_id")
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", _h60(F.col("s")).alias("h")
     )
     hp = F.col("h") % F.lit(_MH_P)  # permutation input; identity stays 60-bit
     sig = ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),  # shingles are distinct → count = set size
+        F.sort_array(F.collect_list("h")).alias("hs"),
         *[
             F.min((F.lit(_MH_A[i]) * hp + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(
                 f"mh{i}"
             )
             for i in range(n_perm)
-        ]
+        ],
     )
     band_cols = [
         F.md5(
@@ -374,66 +384,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    banded = sig.select("doc_id", *band_cols)
+    banded = sig.select("doc_id", "n", "hs", *band_cols)
     stacked = banded.select(
         "doc_id",
+        "n",
+        "hs",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
                 for b in range(n_bands)
             ])
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "n", "hs", "bb.band", "bb.bucket")
     # candidate pairs WITHOUT a self-join: group each (band, bucket) and
-    # expand pairs inside the collected id array. A stacked⋈stacked join
-    # would re-derive the whole signature pipeline for each side (the
-    # static plan scanned documents 14×); this form computes it once.
-    # Bucket collision lists are small by construction (that is what
-    # banding is for), so the in-array pair expansion is O(k²) on tiny k —
-    # same output cardinality the join would produce.
-    cand = (
+    # expand pairs inside the collected array. Bucket collision lists are
+    # small by construction (that is what banding is for), so the in-array
+    # pair expansion is O(k²) on tiny k — same output cardinality a join
+    # would produce, with the verify inputs already in hand.
+    pairs = (
         stacked.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n", "hs"))).alias("ds"))
+        .filter(F.size("ds") > 1)
         .select(
             F.explode(
                 F.flatten(
                     F.expr(
                         """
-                        transform(ids, (x, i) ->
-                            transform(slice(ids, i + 2, size(ids) - i - 1),
-                                      y -> struct(x AS doc_a, y AS doc_b)))
+                        transform(ds, (x, i) ->
+                            transform(slice(ds, i + 2, size(ds) - i - 1),
+                                      y -> struct(
+                                          x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                          x.n AS na, y.n AS nb,
+                                          size(array_intersect(x.hs, y.hs))
+                                              AS n_common)))
                         """
                     )
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .select("p.*")
     )
-    # exact-Jaccard verification over base hashes: reads the SAME exchange
-    # the signature branch shuffled (ReuseExchange) — no corpus rescan —
-    # and the joins on doc_a/doc_b touch only banded candidates
-    exa = ex.select(F.col("doc_id").alias("doc_a"), "h")
-    exb = ex.select(F.col("doc_id").alias("doc_b2"), F.col("h").alias("h2"))
-    inter = (
-        cand.join(exa, "doc_a")
-        .join(exb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("h") == F.col("h2")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    counts = sig.select("doc_id", "n")
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     ).cast("double")
+    # a pair colliding in several bands yields byte-identical rows (same
+    # inputs, same arithmetic) — distinct over the 3 scalar output columns
+    # dedupes them after the threshold filter has shrunk the set
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+        .distinct()
     )
 
 
