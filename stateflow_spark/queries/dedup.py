@@ -173,21 +173,30 @@ _SIMHASH_SQL = f"""
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → 60-bit SimHash. Token hash = first 15 hex chars of md5 (an
-    engine-independent hash, so the oracle reproduces it bit-for-bit)."""
-    d = load(spark, sf_dir, "documents")
+    engine-independent hash, so the oracle reproduces it bit-for-bit).
+
+    The bit voting is 60 conditional-sum aggregate expressions in ONE
+    groupBy(doc_id) — not an explode over bit positions, which would push
+    60× the token count through a shuffle (90 M rows at sf0.1) and then
+    need a second aggregation to fold bits back into one value. All 60
+    votes stay inside a single whole-stage-codegen hash aggregate; the
+    explicit-count repartition on doc_id parallelizes the per-token md5
+    work across cores even from a single parquet split (and is the same
+    key the aggregation needs, so it replaces that shuffle rather than
+    adding one; explicit counts are exempt from AQE coalescing)."""
+    n_part = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     hv = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
-    bits = toks.select(
-        "doc_id",
-        hv.alias("hv"),
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
+    votes = [
+        F.expr(f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    agg = toks.select("doc_id", hv.alias("hv")).groupBy("doc_id").agg(*votes)
+    simhash = " + ".join(
+        f"IF(v{b} > 0, {1 << b}L, 0L)" for b in range(_SIMHASH_BITS)
     )
-    vote = F.when(F.expr("(hv >> b) & 1") == 1, 1).otherwise(-1)
-    votes = bits.groupBy("doc_id", "b").agg(F.sum(vote).alias("v"))
-    bitval = F.when(
-        F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
-    ).otherwise(F.lit(0).cast("bigint"))
-    return votes.groupBy("doc_id").agg(F.sum(bitval).alias("simhash"))
+    return agg.select("doc_id", F.expr(simhash).alias("simhash"))
 
 
 @register(
@@ -214,9 +223,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 4 of 60 bits) via 5-band blocking:
     by pigeonhole, two hashes within hamming 4 agree exactly on at least one
-    of the 5 12-bit bands, so the join key is (band_idx, band_value) — never
-    all-pairs, and recall is exactly 1. The oracle checks the same set by
-    brute force at oracle scale."""
+    of the 5 12-bit bands, so the blocking key is (band_idx, band_value) —
+    never all-pairs, and recall is exactly 1. The oracle checks the same set
+    by brute force at oracle scale.
+
+    Zero-join form (same shape as dedup_minhash_lsh): group each
+    (band, band_val) bucket, expand pairs inside the collected array with
+    the hamming distance computed in place. The earlier self-join form
+    recomputed the full token-md5 SimHash pipeline on BOTH join branches
+    (ReuseExchange does not fire across renamed self-join branches) — two
+    corpus scans and 16 s at sf0.1; this form is one corpus pass and one
+    (band, band_val) shuffle of 16-byte rows. Bucket lists are small by
+    construction (4096 buckets per band), so the O(k²) in-array expansion
+    is on tiny k."""
     sh = _simhash_df(spark, sf_dir)
     n_bands, band_bits = 5, 12
     bands = sh.select(
@@ -229,29 +248,35 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_val",
         F.expr(f"(simhash >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    pairs = (
+        bands.groupBy("band", "band_val")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "ds"
+            )
         )
+        .filter(F.size("ds") > 1)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        """
+                        transform(ds, (x, i) ->
+                            transform(slice(ds, i + 2, size(ds) - i - 1),
+                                      y -> struct(
+                                          x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                          bit_count(x.simhash ^ y.simhash)
+                                              AS hamming)))
+                        """
+                    )
+                )
+            ).alias("p")
         )
-        .distinct()
+        .select("p.*")
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 4)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    # a pair within hamming 4 can agree on several bands → byte-identical
+    # rows; distinct after the filter has shrunk the set
+    return pairs.filter(F.col("hamming") <= 4).distinct()
 
 
 _N_PERM, _N_BANDS = 16, 4
@@ -483,40 +508,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-pairs cosine is quadratic; blocking compares only within-cluster
     pairs (the IVF partition doubling as the dedup block — standard
     practice for embedding dedup at scale; cross-cluster near-dups are the
-    recall cost, bounded by the quantizer quality). Decimal-exact dot
-    products keep both engines bit-identical."""
-    from pyspark.sql import functions as F
+    recall cost, bounded by the quantizer quality).
 
-    e = load(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    Array-native form: vectors stay packed as array<double> end-to-end.
+    Norms are a per-row higher-order aggregate (no explode, no shuffle);
+    dots are zip_with products folded inside the label-blocked equi-join's
+    projection. The earlier pos-exploded form pushed dim× the vector count
+    through the join shuffle (64× row blowup → 12.7 M joined rows at
+    sf0.1, 20 s) and then needed a groupBy plus two norm joins to fold
+    positions back — this form shuffles each vector once, whole, and has
+    exactly one shuffle total. Per-element decimal(38,12) casts before the
+    exact decimal fold keep the arithmetic bit-identical to the oracle's
+    SUM(CAST(x*y AS DECIMAL(38,12))). Label skew at scale: AQE skew-join
+    split applies (inner equi-join); the in-bucket output is quadratic by
+    design, so the block size — not this plan — is the scale knob."""
+    # decimal sizing: products round to scale 12 exactly like the oracle's
+    # CAST(.. AS DECIMAL(38,12)) (same 12-digit rounding, values fit the
+    # integral digits), but the accumulator gets integral headroom so each
+    # Add yields decimal(31,12) — UNDER precision 38, hence exact. A
+    # (38,12)+(38,12) fold would overflow to precision 39 and Spark's
+    # precision-loss rule would shave the scale to 11, rounding every step
+    # (~1e-11 drift vs the oracle's exact decimal SUM).
+    dec0 = F.lit(0).cast("decimal(30,12)")
+    fold = lambda arr: F.aggregate(
+        arr, dec0, lambda acc, v: (acc + v).cast("decimal(30,12)")
+    ).cast("double")
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    dec12 = lambda c: c.cast("decimal(38,12)")
-    norms = ex.groupBy("vec_id").agg(
-        F.sum(dec12(F.col("x") * F.col("x"))).cast("double").alias("n2")
-    )
-    a = ex.alias("a")
-    b = ex.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .groupBy(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .agg(F.sum(dec12(F.col("a.x") * F.col("b.x"))).cast("double").alias("dot"))
-    )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
+    n2 = fold(
+        F.transform("v", lambda x: (x * x).cast("decimal(24,12)"))
+    ).alias("n2")
+    # probe side: explicit-count hash repartition on vec_id so the
+    # per-pair decimal folds (higher-order functions run interpreted, not
+    # codegen) fan out across every core — a broadcast join alone would
+    # inherit the scan's split count, and a single-file table would run
+    # the whole quadratic projection on one core. Build side: broadcast
+    # while the block table fits (local testing); at 100 TB the hint drops
+    # away and the same plan is a label-partitioned sort-merge join with
+    # AQE skew split.
+    n_part = spark.sparkContext.defaultParallelism
+    a = e.repartition(n_part, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("v").alias("va"), n2.alias("na2"))
+    b = F.broadcast(e.select(F.col("vec_id").alias("vec_b"), "label",
+                             F.col("v").alias("vb"), n2.alias("nb2")))
+    dot = fold(
+        F.zip_with("va", "vb", lambda x, y: (x * y).cast("decimal(24,12)"))
+    ).alias("dot")
     cos = F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))
     return (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "na2", "nb2", dot)
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
