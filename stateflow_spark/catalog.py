@@ -41,21 +41,33 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (schema comes from parquet).
 
-    events.ts is stored as TIMESTAMP(NANOS), which Spark reads as a nanos
-    long (spark.sql.legacy.parquet.nanosAsLong) — convert to a microsecond
-    timestamp by flooring, exactly what DuckDB does on read.
+    events.ts is normalized to TIMESTAMP (with local/session timezone),
+    whatever physical layout the parquet carries:
+
+    - timestamp[us] without timezone → Spark reads TIMESTAMP_NTZ, which
+      ``withWatermark`` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+      Cast to TIMESTAMP: under the UTC session timezone the wall-clock
+      values are unchanged, so DuckDB oracle parity (tz-naive) holds.
+    - legacy TIMESTAMP(NANOS) read as a nanos bigint
+      (spark.sql.legacy.parquet.nanosAsLong) → floor to micros, exactly
+      what DuckDB does on read.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); a session built outside
-        # get_spark (e.g. the driver's own) rejects it without this legacy
-        # conf — it is runtime-settable, so set it defensively here
+        # a session built outside get_spark (e.g. the driver's own) may
+        # reject TIMESTAMP(NANOS) parquet without this legacy conf — it is
+        # runtime-settable, so set it defensively here
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -16,22 +16,24 @@ from stateflow_spark.queries.common import REGISTRY, QueryDef, register  # noqa:
 # tests/test_oracle.py checks ALL oracled queries every run regardless —
 # that is the regression net for rotated-out families (round-2 ADVICE).
 #
-# Round 3 prefix: multimodal (decode_features flattened this round) and
-# tpch2 (q21 rewritten this round) first — note importing tpch2 pulls in
-# tpch (helper imports), so the realized order is multimodal, tpch, tpch2,
-# then windows/setops/aggregates/events (last driver-checked in round 1).
-# Rotated to the back: joins/entity/dedup/similarity/text/udtfs
-# (driver-green in round 2, CORRECTNESS_r02.json).
+# Round 4 prefix: dedup first (minhash-LSH was rewritten in round 3 AFTER
+# the round-3 rotation was frozen, so it has never had a driver row on the
+# new code — VERDICT r3 "What's wrong" #2), then similarity (r2-stamped,
+# longest without a fresh row), then joins/entity/text/udtfs (also r2).
+# Rotated to the back: multimodal/tpch/tpch2/windows/setops/aggregates/
+# events — all driver-green in round 3 (CORRECTNESS_r03.json, 50/50).
+# Local tests/test_oracle.py checks ALL oracled queries every run — that is
+# the regression net for rotated-out families.
+from stateflow_spark.queries import dedup  # noqa: F401, E402
+from stateflow_spark.queries import similarity  # noqa: F401, E402
+from stateflow_spark.queries import joins  # noqa: F401, E402
+from stateflow_spark.queries import entity_ops  # noqa: F401, E402
+from stateflow_spark.queries import text  # noqa: F401, E402
+from stateflow_spark.queries import udtfs  # noqa: F401, E402
 from stateflow_spark.queries import multimodal  # noqa: F401, E402
 from stateflow_spark.queries import tpch2  # noqa: F401, E402
 from stateflow_spark.queries import windows  # noqa: F401, E402
 from stateflow_spark.queries import setops  # noqa: F401, E402
 from stateflow_spark.queries import aggregates  # noqa: F401, E402
 from stateflow_spark.queries import events  # noqa: F401, E402
-from stateflow_spark.queries import joins  # noqa: F401, E402
 from stateflow_spark.queries import tpch  # noqa: F401, E402
-from stateflow_spark.queries import entity_ops  # noqa: F401, E402
-from stateflow_spark.queries import dedup  # noqa: F401, E402
-from stateflow_spark.queries import similarity  # noqa: F401, E402
-from stateflow_spark.queries import text  # noqa: F401, E402
-from stateflow_spark.queries import udtfs  # noqa: F401, E402

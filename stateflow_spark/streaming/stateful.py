@@ -421,9 +421,17 @@ class StreamingEntityEngine:
         micro-batches continuously, so source quiescence never settles;
         instead poll the reply sink until every event this client sent has
         its reply (replies carry the originating event_id end-to-end, so
-        this also covers multi-hop flows)."""
+        this also covers multi-hop flows).
+
+        Either path surfaces a crashed query as an error instead of a
+        hang/timeout: processAllAvailable rethrows the stream death cause
+        itself, and the TTL poll loop checks ``query.exception()`` every
+        tick — without that check a poisoned event would burn the whole
+        timeout_s and then report a misleading TimeoutError."""
         assert self.query is not None
         if not self.state_ttl_ms:
+            # processAllAvailable raises StreamingQueryException if the
+            # query died (verified by test_streaming_engine_poison_no_ttl)
             self.query.processAllAvailable()
             self.query.processAllAvailable()
             return
@@ -432,6 +440,9 @@ class StreamingEntityEngine:
         want = set(getattr(self, "_sent_ids", ()))
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
+            exc = self.query.exception()
+            if exc is not None:
+                raise exc
             have = set(self.replies())
             if want <= have:
                 return

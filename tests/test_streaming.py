@@ -155,6 +155,62 @@ def test_streaming_engine_state_ttl_tiering(spark, tmp_path):
         eng.stop()
 
 
+def _send_poison(eng):
+    """Write an unparseable event blob straight into the source dir — the
+    stateful fn's Event.from_bytes raises on it, killing the query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "entity": pa.array(["User"], pa.string()),
+            "key": pa.array(["poison-u1"], pa.string()),
+            "seq": pa.array([1], pa.int64()),
+            "blob": pa.array([b"garbage-not-an-event"], pa.binary()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(eng.in_dir, "poison.parquet"))
+    eng._sent_ids.add("poison-event-id")  # a reply that can never arrive
+
+
+def test_streaming_engine_poison_no_ttl(spark, tmp_path):
+    """A poisoned event must surface as a raised error from drain(), not a
+    hang: processAllAvailable rethrows the stream death cause."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    eng = StreamingEntityEngine(spark, str(tmp_path / "poison_engine"))
+    _send_poison(eng)
+    eng.start()
+    try:
+        with pytest.raises(StreamingQueryException):
+            eng.drain(timeout_s=60)
+    finally:
+        eng.stop()
+
+
+def test_streaming_engine_poison_with_ttl(spark, tmp_path):
+    """TTL path: the reply-poll loop must notice the dead query via
+    query.exception() and raise it promptly instead of burning the whole
+    drain timeout and masking the root cause as TimeoutError."""
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    eng = StreamingEntityEngine(
+        spark, str(tmp_path / "poison_ttl_engine"), state_ttl_ms=60_000
+    )
+    _send_poison(eng)
+    eng.start()
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(StreamingQueryException):
+            eng.drain(timeout_s=120)
+        # raised by the exception poll, long before the 120s reply timeout
+        assert time.monotonic() - t0 < 60
+    finally:
+        eng.stop()
+
+
 def _fake_batch(spark, rows):
     from stateflow_spark.streaming.stateful import OUT_STRUCT
 
