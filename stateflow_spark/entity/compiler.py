@@ -98,6 +98,14 @@ class Program:
     method: str
     params: list[str]
     instrs: list[Instr]
+    # entity type → attributes this flow ever reads from that type (union
+    # over every instruction's needs). REQUEST_STATE fetches prune the
+    # snapshot to these attributes — the reference fetches the FULL entity
+    # state per request and flags it itself ("!!Improve this!!",
+    # split_block.py:944-951); the def-use data is free here. Keyed by TYPE,
+    # not expression, so runtime aliasing (two exprs naming the same key)
+    # can never prune an attribute some other alias reads.
+    attr_needs: dict[str, tuple[str, ...]] = field(default_factory=dict)
 
     def pretty(self) -> str:
         out = [f"flow {self.entity}.{self.method}({', '.join(self.params)}):"]
@@ -118,13 +126,20 @@ class _Types:
         self.names = registry_names
         self.entity_vars: dict[str, str] = {}
         self.list_vars: dict[str, str] = {}
+        # entity type → state attributes read anywhere in the flow; filled
+        # as a side effect of _state_needs (i.e. exactly the post-hoist
+        # Attribute loads that ARE state reads), consumed by Program.attr_needs
+        self.attr_reads: dict[str, set[str]] = {}
 
     def is_entity_expr(self, node: ast.expr) -> bool:
+        return self.entity_type_of(node) is not None
+
+    def entity_type_of(self, node: ast.expr) -> Optional[str]:
         if isinstance(node, ast.Name):
-            return node.id in self.entity_vars
+            return self.entity_vars.get(node.id)
         if isinstance(node, ast.Subscript) and isinstance(node.value, ast.Name):
-            return node.value.id in self.list_vars
-        return False
+            return self.list_vars.get(node.value.id)
+        return None
 
     def note_stmt(self, stmt: ast.stmt) -> None:
         """Propagate entity-typedness through simple assignments."""
@@ -213,6 +228,8 @@ def _state_needs(node: ast.AST, types: _Types) -> list[str]:
             src = ast.unparse(n.value)
             if src not in needs:
                 needs.append(src)
+            etype = types.entity_type_of(n.value)
+            types.attr_reads.setdefault(etype, set()).add(n.attr)
     return needs
 
 
@@ -529,6 +546,10 @@ class _FlowCompiler:
             method=self.method.name,
             params=[p.name for p in self.method.params],
             instrs=self.instrs,
+            attr_needs={
+                t: tuple(sorted(attrs))
+                for t, attrs in sorted(self.types.attr_reads.items())
+            },
         )
 
 

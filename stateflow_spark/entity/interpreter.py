@@ -171,6 +171,22 @@ class Interpreter:
             return None
         return ref
 
+    def _snapshot(self, flow: FlowState, ref: EntityRef, st: dict) -> dict:
+        """Prune a fetched state to the attributes this flow can ever read
+        from that entity TYPE (Program.attr_needs) — the flow cache travels
+        inside every hop event, so at scale this is the difference between
+        shipping two ints and shipping a whole entity row per REQUEST_STATE.
+        The reference fetches full state and flags it itself ("!!Improve
+        this!!", split_block.py:944-951). Type-keyed union over the whole
+        program, so aliasing and later instructions can never miss an
+        attribute; unknown types (or a program compiled without the map)
+        fall back to the full dict."""
+        prog: Program = get_entity_type(flow.entity).flows[flow.method]
+        attrs = getattr(prog, "attr_needs", {}).get(ref.entity)
+        if attrs is None:
+            return dict(st)
+        return {a: st[a] for a in attrs if a in st}
+
     def _fetch_owned(self, flow: FlowState, needs: list[str]) -> None:
         """Load locally-owned missing states into the flow cache (no self
         state required: need expressions never reference `self`)."""
@@ -180,7 +196,7 @@ class Interpreter:
                 st = self.store.get(ref)
                 if st is None:
                     raise FlowError(f"entity {ref} does not exist (state read)")
-                flow.cache[(ref.entity, ref.key)] = dict(st)
+                flow.cache[(ref.entity, ref.key)] = self._snapshot(flow, ref, st)
 
     def _ensure_needs(
         self, flow: FlowState, needs: list[str], self_state: dict
@@ -195,7 +211,7 @@ class Interpreter:
                 st = self.store.get(ref)
                 if st is None:
                     raise FlowError(f"entity {ref} does not exist (state read)")
-                flow.cache[(ref.entity, ref.key)] = dict(st)
+                flow.cache[(ref.entity, ref.key)] = self._snapshot(flow, ref, st)
             else:
                 return ref
         return None

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stateflow_spark.catalog import load
+from stateflow_spark.catalog import load, table_path
 from stateflow_spark.queries.common import register
 
 
@@ -156,6 +156,141 @@ def entity_invoke_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_invocations"), F.lit(0)).alias("n_invocations"),
         )
     )
+
+
+@register(
+    "entity_stateful_replay",
+    oracle="""
+    SELECT user_id AS key,
+           100.0 + CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                      WHEN event_type = 'error' THEN -value
+                                      ELSE 0.0 END AS DECIMAL(38,4)))
+                   AS DOUBLE) AS balance,
+           COUNT(*) FILTER (event_type IN ('view', 'click')) AS n_reads,
+           COUNT(*) FILTER (event_type IN ('purchase', 'error')) AS n_updates
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("entity", "stateful", "bench"),
+)
+def entity_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InvokeStateful at relational volume: every event in the events table
+    is dispatched *per-event* through a keyed state machine running on
+    ``applyInPandasWithState`` — the same operator the continuous entity
+    engine stands on (streaming/stateful.py), here measured at the full
+    table's volume (~100k events at sf0.1) instead of the 1k-event YCSB
+    burst. The balance fold replays Spark's double→decimal(38,4) cast
+    per event (shortest-repr + HALF_UP quantize) so the event-at-a-time
+    result bit-matches the batch/oracle aggregation — the stream/batch
+    agreement the reference asserts for its stateful operator
+    (stateful_operator.py:211-247).
+
+    Scale shape: one shuffle on user_id into the state store's partitions;
+    per-key state is three scalars regardless of event count, so state
+    size tracks key cardinality, not data volume."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    in_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("balance", DoubleType()),
+            StructField("n_reads", LongType()),
+            StructField("n_updates", LongType()),
+        ]
+    )
+    # decimal balance rides as a string: the state row must round-trip
+    # exactly; double would re-introduce the float error the fold avoids
+    state_schema = StructType(
+        [
+            StructField("balance", StringType()),
+            StructField("n_reads", LongType()),
+            StructField("n_updates", LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state):
+        import decimal
+
+        import pandas as pd
+
+        q = decimal.Decimal("0.0001")
+        if state.exists:
+            bal_s, n_reads, n_updates = state.get
+            bal = decimal.Decimal(bal_s)
+        else:
+            bal, n_reads, n_updates = decimal.Decimal(0), 0, 0
+        for pdf in pdfs:
+            for et, v in zip(pdf["event_type"], pdf["value"]):
+                if et == "purchase" or et == "error":
+                    # Spark/DuckDB CAST(double AS DECIMAL(38,4)): shortest
+                    # decimal repr of the double, then HALF_UP to 4 places
+                    d = decimal.Decimal(repr(float(v))).quantize(
+                        q, rounding=decimal.ROUND_HALF_UP
+                    )
+                    bal += d if et == "purchase" else -d
+                    n_updates += 1
+                elif et == "view" or et == "click":
+                    n_reads += 1
+        state.update((str(bal), n_reads, n_updates))
+        # 100.0 + double(decimal_sum), in DOUBLE arithmetic — the exact op
+        # order of the oracle (and of entity_ycsb_replay's batch agg)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "balance": [100.0 + float(bal)],
+                "n_reads": [n_reads],
+                "n_updates": [n_updates],
+            }
+        )
+
+    # the file source wants a directory; serve the single events parquet
+    # through a symlinked temp dir (no data copy). One file → everything in
+    # ONE micro-batch, so append mode emits exactly one row per key
+    src_dir = tempfile.mkdtemp(prefix="stateful-replay-src-")
+    os.symlink(
+        table_path(sf_dir, "events"), os.path.join(src_dir, "events.parquet")
+    )
+    stream = (
+        spark.readStream.schema(in_schema)
+        .parquet(src_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = f"entity_stateful_replay_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stateful-replay-ckpt-")
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    return spark.table(name)
 
 
 @register(

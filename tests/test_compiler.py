@@ -100,7 +100,51 @@ def test_state_requests_fetch_and_invalidate():
     assert all(i.needs == ["x"] for i in body_reads)
 
 
-def test_nested_call_flow():
+def test_attr_needs_narrowed_to_read_attributes():
+    """REQUEST_STATE pruning (the reference's own acknowledged
+    non-optimization, split_block.py:944-951 "!!Improve this!!"): the
+    program records, per entity TYPE, exactly the attributes the flow ever
+    reads — the fetch ships those instead of the full entity state."""
+    # Item state is {item_name, price, stock}; buy_item reads only price
+    assert flow("User", "buy_item").attr_needs == {"Item": ("price",)}
+    # B state is {name, balance}; only balance is ever read
+    assert flow("A", "state_requests").attr_needs == {"B": ("balance",)}
+    # flows whose cross-entity interaction is all method CALLS (hoisted, no
+    # attribute reads) carry an empty map — nothing is ever fetched for them
+    assert flow("A", "complex_method").attr_needs == {}
+    assert flow("Nest", "nest_call").attr_needs == {}
+
+
+def test_fetch_snapshot_pruned_to_attr_needs():
+    """The interpreter's REQUEST_STATE fetch stores only attr_needs
+    attributes in the flow cache (the cache rides every hop event, so this
+    is the hop-payload size at scale), and execution over the pruned
+    snapshot still reads correct values."""
+    from stateflow_spark.entity.interpreter import (
+        Interpreter,
+        StateStore,
+        start_flow,
+    )
+    from stateflow_spark.entity.model import EntityRef
+
+    full_item = {"item_name": "widget", "price": 5, "stock": 99}
+
+    class Store(StateStore):
+        def owns(self, ref):
+            return True
+
+        def get(self, ref):
+            return dict(full_item)
+
+        def put(self, ref, state):
+            pass
+
+    item_ref = EntityRef("Item", "i1")
+    fs = start_flow(EntityRef("User", "u1"), "buy_item", (2, item_ref))
+    interp = Interpreter(Store())
+    hop = interp._ensure_needs(fs, ["item"], {"username": "u1", "balance": 100})
+    assert hop is None
+    assert fs.cache[("Item", "i1")] == {"price": 5}
     """nest_call → is_true → is_really_true: the callee is itself linked;
     the CALL's callee resolution happens at runtime (child FlowState),
     the reference instead inlines at compile time
