@@ -373,9 +373,11 @@ class StreamingEntityEngine:
         window (round-2 VERDICT wrong-item 4; state rolls back with the
         checkpoint, so the replayed batch emits identical rows).
 
-        On a Kafka deployment this whole router is two writeStream sinks
-        (reply topic + internal topic) and idempotence comes from the
-        producer; the staged-rename design is the file-source analog."""
+        On a Kafka deployment this whole router collapses into per-row
+        topic routing inside one kafka sink and idempotence comes from the
+        producer — that transport exists as streaming/kafka.py
+        (KafkaEntityEngine + route_to_topics, connector-gated); the
+        staged-rename design here is its file-source analog."""
         staging = os.path.join(self.workdir, "staging", f"batch-{batch_id}")
         # no coalesce: it would funnel the whole stateful computation into
         # one task (measured 4× slower); tasks with no rows write no files,
