@@ -38,22 +38,39 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature shuffle rather than adding one. The partition count is given
     explicitly (REPARTITION_BY_NUM): AQE's coalescer sizes partitions by
     bytes and would merge a small-but-compute-heavy corpus back onto one
-    core; an explicit count is exempt from coalescing."""
+    core; an explicit count is exempt from coalescing.
+
+    The empty-doc filter tests ``size(w) >= 3`` (equivalent to "shingles
+    nonempty") BEFORE the shingle projection, and the word array is pinned
+    behind a keyed aggregate (groupBy(doc_id).agg(first(w)) — doc_id is
+    unique, so it's an identity) that reuses the repartition's hash
+    partitioning. The barrier matters: downstream explodes make
+    InferFiltersFromGenerate add a ``size(shingles) > 0`` filter, and
+    predicate pushdown substitutes the FULL shingle expression into it,
+    below the exchange — with ``w = split(text)`` inlined, every w[i]
+    reference in the lambda re-splits the whole document, turning the
+    corpus pass O(len²) (measured 14.8 s of an 18 s sf1 run; 0.9 s with
+    the barrier). Predicates cannot push through the aggregate, so ``w``
+    stays a materialized attribute for every consumer. Shingles are built
+    by direct element indexing (w[i-1..i+1]), not slice()+concat_ws —
+    same strings, ~2× cheaper per element."""
     n_part = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
-    return (
+    w = (
         d.select("doc_id", F.split("text", " ").alias("w"))
-        .select(
-            "doc_id",
-            F.expr(
-                """
-                array_distinct(transform(
-                    sequence(1, size(w) - 2),
-                    i -> concat_ws(' ', slice(w, i, 3))))
-                """
-            ).alias("shingles"),
-        )
-        .filter(F.size(F.col("shingles")) > 0)
+        .filter(F.size("w") >= 3)
+        .groupBy("doc_id")
+        .agg(F.first("w").alias("w"))
+    )
+    return w.select(
+        "doc_id",
+        F.expr(
+            """
+            array_distinct(transform(
+                sequence(1, size(w) - 2),
+                i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])))
+            """
+        ).alias("shingles"),
     )
 
 
@@ -372,28 +389,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single-corpus-scan design: the per-doc hash set and shingle count ride
     along with the band keys, so the verify needs NO join back to the
-    corpus — the whole query is scan → agg(doc) → shuffle(band,bucket) →
-    in-bucket expand → distinct. The earlier join-back form scanned
-    documents 5× because Spark's ReuseExchange does not fire across the
-    renamed self-join branches; at 100 TB those were 4 extra corpus passes.
-    Shuffling the hash set costs ~#bands × signature bytes per doc — bounded
-    by document length and far cheaper than rescanning text. The DuckDB
-    oracle replays the identical hashes and arithmetic, so banding recall
-    is pinned, not sampled."""
+    corpus — the whole query is scan → per-row signature → shuffle(band,
+    bucket) → in-bucket expand → distinct. The earlier join-back form
+    scanned documents 5× because Spark's ReuseExchange does not fire
+    across the renamed self-join branches; at 100 TB those were 4 extra
+    corpus passes. Shuffling the hash set costs ~#bands × signature bytes
+    per doc — bounded by document length and far cheaper than rescanning
+    text. The DuckDB oracle replays the identical hashes and arithmetic,
+    so banding recall is pinned, not sampled.
+
+    The signature stage is ARRAY-NATIVE: hashes and the 16 minhash minima
+    are higher-order-function transforms over the per-doc shingle array —
+    no explode, no 10M-row hash aggregate, no shuffle at all before the
+    (band, bucket) exchange (the round-3 explode→groupBy form cost ~3 s of
+    shuffle+agg at sf1 that this form simply doesn't have). The raw hash
+    array ``hr`` is multi-referenced (17×) and non-cheap, so CollapseProject
+    keeps it materialized in its own projection — each md5 is computed
+    exactly once per shingle."""
     sh = _shingles_df(spark, sf_dir)
     n_perm, n_bands = _N_PERM, _N_BANDS
     rows_per_band = _ROWS_PER_BAND
-    ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", _h60(F.col("s")).alias("h")
+    h60_sql = "CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)"
+    hr = sh.select(
+        "doc_id",
+        F.expr(f"transform(shingles, s -> {h60_sql})").alias("hr"),
     )
-    hp = F.col("h") % F.lit(_MH_P)  # permutation input; identity stays 60-bit
-    sig = ex.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),  # shingles are distinct → count = set size
-        F.sort_array(F.collect_list("h")).alias("hs"),
+    sig = hr.select(
+        "doc_id",
+        F.size("hr").alias("n"),  # shingles are distinct → size = set size
+        F.sort_array("hr").alias("hs"),
         *[
-            F.min((F.lit(_MH_A[i]) * hp + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(
-                f"mh{i}"
-            )
+            F.expr(
+                f"array_min(transform(hr, h -> "
+                f"({_MH_A[i]}L * (h % {_MH_P}L) + {_MH_B[i]}L) % {_MH_P}L))"
+            ).alias(f"mh{i}")
             for i in range(n_perm)
         ],
     )

@@ -108,6 +108,46 @@ def test_minhash_banding_no_cartesian(spark):
     assert plan.count("documents.parquet") == 1
 
 
+def test_shingle_expression_never_inlined_into_filters(spark):
+    """The sf1 decade caught this (SCALING.md round 4): explodes over the
+    projected shingle array let InferFiltersFromGenerate +
+    PushDownPredicates copy the whole shingle expression into a filter
+    below the exchange, where the inlined ``w = split(text)`` re-splits
+    the document per lambda element — O(len²) per doc, 13× on the corpus
+    pass. `_shingles_df` pins the word array behind a keyed aggregate; a
+    regression shows up as a second `array_distinct` (the shingle builder
+    re-evaluated) or a lambda inside a Filter node. The intended cheap
+    pushdown — ``size(split(text)) >= 3`` at the scan — stays."""
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
+        if name == "dedup_minhash_lsh":  # single-branch plan: the shingle
+            # builder must appear exactly once (jaccard's self-join re-states
+            # the projection per branch, so the count check doesn't apply)
+            assert plan.count("array_distinct") == 1, name
+        filters = [
+            ln
+            for ln in plan.splitlines()
+            if ln.strip().startswith("Condition")
+        ]
+        # a lambda over the MATERIALIZED word attribute in a filter is the
+        # acceptable one-extra-pass case; the pathology is split(text)
+        # substituted INTO a lambda-bearing condition (re-split per element)
+        bad = [
+            ln
+            for ln in filters
+            if "lambdafunction" in ln and "split(text" in ln
+        ]
+        assert not bad, (name, bad)
+    # minhash signature stage is array-native: no Generate, no pre-band
+    # aggregate — exactly one shuffle (the band/bucket exchange)
+    import re
+
+    mh = explain_str(REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR))
+    ex_count = len(re.findall(r"\(\d+\) Exchange\b", mh))
+    # repartition-by-doc_id + (band,bucket) + final pair-distinct
+    assert ex_count <= 3, f"{ex_count} shuffle exchanges"
+
+
 def test_q21_single_pass_shuffle_budget(spark):
     """The round-3 q21 form: one window pass over lineitem⋈orders, no
     EXISTS/NOT-EXISTS self-joins. The window's partitionBy(l_orderkey)
