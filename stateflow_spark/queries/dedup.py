@@ -130,34 +130,51 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ threshold. The join is on the
-    shingle value, so only docs sharing a shingle ever meet (inverted-index
-    join, not all-pairs). At scale, hot shingles are the skew risk — AQE skew
-    split handles it; a stop-shingle filter is the knob if needed."""
+    """Near-dup pairs by exact 3-gram Jaccard ≥ threshold, via an inverted
+    index WITHOUT a join: group the exploded shingles by value, expand doc
+    pairs inside each posting list (docs are sorted, so doc_a < doc_b), and
+    count pair occurrences — n_common. The per-doc shingle count rides the
+    posting list, so no join back for na/nb either.
+
+    One corpus scan, two shuffles (shingle postings, then pair counts).
+    The earlier self-join form scanned+shingled the corpus on BOTH join
+    branches (ReuseExchange does not fire across renamed branches) and
+    shuffled ~25-byte shingle strings twice. Only docs sharing a shingle
+    ever meet — never all-pairs. At scale, hot shingles are the skew risk
+    (a k-doc posting list expands k² pairs — identical to the k² join rows
+    the self-join form produced); AQE skew split handles moderate skew and
+    a stop-shingle filter (drop postings above a length cap) is the
+    documented knob if a corpus needs it."""
     sh = _shingles_df(spark, sf_dir)
-    counts = sh.select("doc_id", F.size("shingles").alias("n"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ds, (x, i) ->
+                        transform(slice(ds, i + 2, size(ds) - i - 1),
+                                  y -> struct(x.doc_id AS doc_a,
+                                              y.doc_id AS doc_b,
+                                              x.n AS na, y.n AS nb))))
+                    """
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select("p.*")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     ).cast("double")
     return (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
