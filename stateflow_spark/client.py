@@ -310,3 +310,63 @@ class StreamingTransport(Transport):
         fresh = {k: v for k, v in replies.items() if k not in self._seen}
         self._seen.update(fresh)
         return fresh
+
+
+def kafka_record(event: Event) -> tuple[bytes, bytes]:
+    """(key, value) producer record for an entity event — the client-side
+    twin of streaming/kafka.py's encode_events column transform (same JSON
+    key, same blob value), shared by KafkaTransport and tests."""
+    import json
+
+    key = json.dumps(
+        {"entity": event.entity, "key": event.key, "seq": event.seq}
+    ).encode()
+    return key, event.to_bytes()
+
+
+class KafkaTransport(Transport):
+    """The reference's production client transport
+    (stateflow/client/kafka_client.py:17-249): produce requests to the
+    `{prefix}-request` topic, complete futures from `{prefix}-reply`.
+
+    Pairs with streaming/kafka.py's KafkaEntityEngine. Needs the
+    kafka-python client at runtime (absent in the test container — the
+    record encoding is covered broker-free via ``kafka_record``; the
+    E2E path is exercised by tests/test_kafka.py when a broker and the
+    spark-sql-kafka connector are available)."""
+
+    def __init__(self, brokers: str, prefix: str, timeout_s: float = 60.0):
+        try:
+            from kafka import KafkaConsumer, KafkaProducer
+        except ImportError as e:  # pragma: no cover - container has no lib
+            raise RuntimeError(
+                "KafkaTransport needs the kafka-python package"
+            ) from e
+        self._producer = KafkaProducer(bootstrap_servers=brokers)
+        self._consumer = KafkaConsumer(
+            f"{prefix}-reply",
+            bootstrap_servers=brokers,
+            auto_offset_reset="latest",
+            consumer_timeout_ms=int(timeout_s * 1000),
+        )
+        self._topic = f"{prefix}-request"
+        self._pending: set[str] = set()
+
+    def send(self, event: Event) -> None:
+        key, value = kafka_record(event)
+        self._pending.add(event.event_id)
+        self._producer.send(self._topic, key=key, value=value)
+
+    def flush(self) -> dict[str, Event]:  # pragma: no cover - needs broker
+        self._producer.flush()
+        out: dict[str, Event] = {}
+        for msg in self._consumer:
+            reply = Event.from_bytes(msg.value)
+            if reply.event_id in self._pending:
+                self._pending.discard(reply.event_id)
+                out[reply.event_id] = reply
+            if not self._pending:
+                break
+        if self._pending:
+            raise TimeoutError(f"{len(self._pending)} events got no reply")
+        return out

@@ -290,6 +290,12 @@ def entity_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination()
     finally:
         query.stop()
+        # the memory sink holds results in driver memory; the stream's
+        # scratch dirs are no longer needed
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
     return spark.table(name)
 
 

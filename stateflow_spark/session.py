@@ -50,8 +50,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # the driver's events.parquet stores TIMESTAMP(NANOS); read as long
-        # and convert in catalog.load (floor to µs, matching DuckDB)
+        # legacy testdata layouts stored events.ts as TIMESTAMP(NANOS);
+        # kept defensively so such files read as longs instead of erroring
+        # (catalog.load normalizes both that and today's NTZ-micros layout
+        # to TIMESTAMP)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")

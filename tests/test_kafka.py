@@ -88,6 +88,39 @@ def test_route_to_topics(spark):
     }
 
 
+def test_client_record_matches_engine_decode(spark):
+    """The client-side producer record (client.kafka_record) and the
+    engine-side ingress decode (decode_events) agree on the wire format —
+    a client event round-trips through the engine's column transform."""
+    from stateflow_spark.client import kafka_record
+    from stateflow_spark.entity.model import Event
+
+    evs, _ = _event_rows(spark)
+    records = [kafka_record(e) for e in evs]
+    df = spark.createDataFrame(
+        [(k, v) for k, v in records], "key BINARY, value BINARY"
+    )
+    decoded = K.decode_events(df).orderBy("seq").collect()
+    for ev, row in zip(evs, decoded):
+        assert (row.entity, row.key, row.seq) == (ev.entity, ev.key, ev.seq)
+        assert Event.from_bytes(bytes(row.blob)).event_id == ev.event_id
+
+
+def test_kafka_transport_needs_client_lib():
+    """Without kafka-python the transport fails loudly at construction,
+    not silently at first use."""
+    try:
+        import kafka  # noqa: F401
+
+        pytest.skip("kafka-python installed; gate not exercisable")
+    except ImportError:
+        pass
+    from stateflow_spark.client import KafkaTransport
+
+    with pytest.raises(RuntimeError, match="kafka-python"):
+        KafkaTransport("localhost:9092", "sf")
+
+
 def test_kafka_engine_plan_shape(spark, tmp_path):
     """With the connector on the classpath, the full plan builds: kafka
     source → stateful operator → topic-routed egress. Without it, skip —

@@ -81,7 +81,6 @@ def main(src: str, dst: str, k: int) -> None:
         for space, (t, c) in SPACE_SOURCE.items()
     }
     for t in FIXED_DIMS:
-        pq.read_table(os.path.join(src, f"{t}.parquet")).combine_chunks()
         # fixed-size dims are copied once, unreplicated
         pq.write_table(
             pq.read_table(os.path.join(src, f"{t}.parquet")),
