@@ -16,18 +16,23 @@ from stateflow_spark.queries.common import REGISTRY, QueryDef, register  # noqa:
 # tests/test_oracle.py checks ALL oracled queries every run regardless —
 # that is the regression net for rotated-out families (round-2 ADVICE).
 #
-# Round 4 prefix: dedup first (minhash-LSH was rewritten in round 3 AFTER
-# the round-3 rotation was frozen, so it has never had a driver row on the
-# new code — VERDICT r3 "What's wrong" #2), then similarity (r2-stamped,
-# longest without a fresh row), then joins/entity/text/udtfs (also r2).
-# Rotated to the back: multimodal/tpch/tpch2/windows/setops/aggregates/
-# events — all driver-green in round 3 (CORRECTNESS_r03.json, 50/50).
-# Local tests/test_oracle.py checks ALL oracled queries every run — that is
-# the regression net for rotated-out families.
+# Round 4 prefix: dedup first (minhash-LSH + jaccard rewritten this
+# round), then similarity (r2-stamped, longest without a fresh row),
+# joins/entity (entity gained entity_stateful_replay this round), the NEW
+# streaming event-time family (importing streaming_events pulls in the
+# batch events family just before it), then text/udtfs/multimodal and the
+# head of tpch. Rotated to the back: the tpch tail, tpch2, windows,
+# setops, aggregates — all driver-green in round 3 (CORRECTNESS_r03.json,
+# 50/50). Local tests/test_oracle.py checks ALL oracled queries every run
+# — that is the regression net for rotated-out families.
 from stateflow_spark.queries import dedup  # noqa: F401, E402
 from stateflow_spark.queries import similarity  # noqa: F401, E402
 from stateflow_spark.queries import joins  # noqa: F401, E402
 from stateflow_spark.queries import entity_ops  # noqa: F401, E402
+# NEW in round 4: the streaming event-time family run driver-visibly
+# (note: importing streaming_events pulls in events, so the realized
+# order places the batch events family here too)
+from stateflow_spark.queries import streaming_events  # noqa: F401, E402
 from stateflow_spark.queries import text  # noqa: F401, E402
 from stateflow_spark.queries import udtfs  # noqa: F401, E402
 from stateflow_spark.queries import multimodal  # noqa: F401, E402

@@ -1,0 +1,138 @@
+"""Driver-visible STREAMING event-time queries (SURVEY.md §2.C rows:
+watermarks/event-time windows, stream-stream join).
+
+The builders under test are the actual Structured Streaming ones
+(streaming/windows.py) — each query here re-serves the events table
+through a real file stream, runs the streaming plan to completion into a
+memory sink (availableNow), and returns the sink table. The oracle is the
+batch SQL: stream/batch agreement is the reference's own stateful-operator
+contract, and here it is checked by the driver's value-hash gate, not just
+by the local parity tests.
+
+Output modes: the window aggregations run in COMPLETE mode so the final
+sink holds every window (append mode would hold back open tail windows
+past the watermark — correct for production, wrong for an equality
+oracle); the stream-stream join runs in APPEND (its only supported mode —
+with the whole table served as one batch, every matching pair is emitted).
+
+Scale note: COMPLETE mode here is an oracle-harness choice, not the
+production posture — the production form is append mode + watermark
+(state-bounded), pinned by tests/test_streaming.py parity tests. The
+underlying plans are identical; only the sink emission policy differs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stateflow_spark.catalog import load
+from stateflow_spark.queries import events as _events  # registers batch twins
+from stateflow_spark.queries.common import REGISTRY, register
+from stateflow_spark.streaming import windows as sw
+
+# one re-served copy of the events table per (process, sf_dir): the write
+# normalizes ts through catalog.load, so the stream schema is watermarkable
+_SRC_CACHE: dict[str, str] = {}
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    src = _SRC_CACHE.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="stream-events-src-")
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+        _SRC_CACHE[sf_dir] = src
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def _run_stream(spark: SparkSession, out: DataFrame, mode: str) -> DataFrame:
+    name = f"sq_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream-ckpt-")
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@register(
+    "stream_hourly_tumbling",
+    oracle=None,  # set below: identical to the batch twin's oracle
+    tags=("streaming", "events", "windows"),
+)
+def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/windows.py:hourly_tumbling run as a real stream; must
+    value-hash-match the batch twin's DuckDB oracle."""
+    return _run_stream(
+        spark, sw.hourly_tumbling(_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle=None,
+    tags=("streaming", "events", "windows"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_stream(
+        spark, sw.sliding_counts(_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=None,
+    tags=("streaming", "events", "windows"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_stream(
+        spark, sw.session_windows(_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS click_id,
+           r.event_id AS view_id,
+           l.ts AS click_ts,
+           r.ts AS view_ts
+    FROM events l
+    JOIN events r ON l.user_id = r.user_id
+    WHERE l.event_type = 'click' AND r.event_type = 'view'
+      AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "events", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks ⋈ same-user views in
+    the preceding hour) run as a real stream; every pair the batch join
+    produces must be emitted."""
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    return _run_stream(spark, sw.stream_stream_join(s1, s2), "append")
+
+
+# the window aggregations share their batch twins' oracles verbatim — one
+# definition, two execution modes, one truth
+for _stream_name, _batch_name in (
+    ("stream_hourly_tumbling", "events_hourly_tumbling"),
+    ("stream_sliding_window", "events_sliding_window"),
+    ("stream_session_windows", "events_session_windows"),
+):
+    REGISTRY[_stream_name].oracle = REGISTRY[_batch_name].oracle

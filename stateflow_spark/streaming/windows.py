@@ -25,12 +25,16 @@ def hourly_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value", "total_value", 4),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
+            "min_value",
+            "max_value",
         )
     )
 
@@ -39,8 +43,11 @@ def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value", 4),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
 
 
@@ -51,10 +58,13 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
         .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
         .agg(
             F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
             F.count(F.lit(1)).alias("n_events"),
             dsum("value", "total_value", 4),
         )
-        .select("user_id", "session_start", "n_events", "total_value")
+        .select(
+            "user_id", "session_start", "session_last", "n_events", "total_value"
+        )
     )
 
 
