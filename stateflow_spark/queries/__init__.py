@@ -29,6 +29,7 @@ from stateflow_spark.queries import dedup  # noqa: F401, E402
 from stateflow_spark.queries import similarity  # noqa: F401, E402
 from stateflow_spark.queries import joins  # noqa: F401, E402
 from stateflow_spark.queries import entity_ops  # noqa: F401, E402
+from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # NEW in round 4: the streaming event-time family run driver-visibly
 # (note: importing streaming_events pulls in events, so the realized
 # order places the batch events family here too)
