@@ -62,6 +62,9 @@ class Branch(Instr):
     test_src: str
     false_ip: int = -1
     needs: list[str] = field(default_factory=list)
+    # False when the test provably never touches `self` — such a branch can
+    # run at whatever partition the flow is already on (tail elision)
+    needs_self: bool = True
 
 
 @dataclass
@@ -90,6 +93,13 @@ class Call(Instr):
 class Return(Instr):
     expr_src: Optional[str]
     needs: list[str] = field(default_factory=list)
+    # False when the return expression never touches `self`: the flow can
+    # complete at the partition it is already on instead of hopping home —
+    # e.g. `return True` after a cross-key call finishes at the callee,
+    # saving one superstep / loopback micro-batch per flow. Safe because
+    # every self-state write is persisted by the Exec that made it; the
+    # historical put-on-return was redundant.
+    needs_self: bool = True
 
 
 @dataclass
@@ -212,6 +222,12 @@ def _owning_loop_contains(stmt: ast.stmt, target: ast.AST) -> bool:
                 if inner is target:
                     return True
     return False
+
+
+def _references_self(node: ast.AST) -> bool:
+    return any(
+        isinstance(n, ast.Name) and n.id == "self" for n in ast.walk(node)
+    )
 
 
 def _state_needs(node: ast.AST, types: _Types) -> list[str]:
@@ -447,16 +463,26 @@ class _FlowCompiler:
 
     def _compile_return(self, stmt: ast.Return) -> None:
         if stmt.value is None:
-            self.emit(Return(None))
+            self.emit(Return(None, needs_self=False))
             return
         new = self._hoist(stmt.value)
         self.emit(
-            Return(ast.unparse(new), _state_needs(new, self.types))
+            Return(
+                ast.unparse(new),
+                _state_needs(new, self.types),
+                needs_self=_references_self(new),
+            )
         )
 
     def _compile_if(self, stmt: ast.If) -> None:
         test = self._hoist(stmt.test)
-        br = self.emit(Branch(ast.unparse(test), needs=_state_needs(test, self.types)))
+        br = self.emit(
+            Branch(
+                ast.unparse(test),
+                needs=_state_needs(test, self.types),
+                needs_self=_references_self(test),
+            )
+        )
         self.compile_body(stmt.body)
         if stmt.orelse:
             j = self.emit(Jump())
@@ -518,7 +544,13 @@ class _FlowCompiler:
         test = self._hoist(stmt.test)
         # hoisted calls in the test re-run each iteration: they sit between
         # `head` and the branch, and the loop jumps back to `head`
-        br = self.emit(Branch(ast.unparse(test), needs=_state_needs(test, self.types)))
+        br = self.emit(
+            Branch(
+                ast.unparse(test),
+                needs=_state_needs(test, self.types),
+                needs_self=_references_self(test),
+            )
+        )
         self.loops.append(([], head))
         self.compile_body(stmt.body)
         self.emit(Jump(head))
@@ -540,7 +572,7 @@ class _FlowCompiler:
         self.types.prescan(body)
         self.compile_body(body)
         if not self.instrs or not isinstance(self.instrs[-1], Return):
-            self.emit(Return(None))
+            self.emit(Return(None, needs_self=False))
         return Program(
             entity=self.cls_desc.name,
             method=self.method.name,

@@ -283,12 +283,31 @@ class Interpreter:
             flow.ip = instr.ip
             return None
 
-        if not self.store.owns(flow.self_ref):
+        # Tail elision: an instruction whose expressions provably never
+        # touch `self` (compiler-computed needs_self=False; ForIter reads
+        # only the flow namespace) runs at WHATEVER partition the flow is
+        # on — e.g. `return True` after a cross-key call completes at the
+        # callee instead of hopping home, saving one superstep / loopback
+        # micro-batch per flow. Sound because every self-state write is
+        # persisted by the Exec that made it (Exec always requires the
+        # owner), so there is nothing left to write at the tail.
+        needs_self = (
+            False
+            if isinstance(instr, ForIter)
+            else getattr(instr, "needs_self", True)
+        )
+        owns_self = self.store.owns(flow.self_ref)
+        if needs_self and not owns_self:
             return StepOutcome(hop_to=flow.self_ref, flow=flow)
 
-        self_state = self.store.get(flow.self_ref)
-        if self_state is None:
-            raise FlowError(f"flow owner {flow.self_ref} does not exist")
+        if needs_self:
+            self_state = self.store.get(flow.self_ref)
+            if self_state is None:
+                raise FlowError(f"flow owner {flow.self_ref} does not exist")
+        else:
+            # any unexpected self.* access raises AttributeError → error
+            # reply; the compiler guarantees none exists
+            self_state = {}
 
         needs = getattr(instr, "needs", [])
         hop = self._ensure_needs(flow, needs, self_state)
@@ -328,8 +347,12 @@ class Interpreter:
             if instr.expr_src is not None:
                 ns = self._exec_ns(flow, self_state)
                 result = unwrap(eval(_code(instr.expr_src, "eval"), ns))  # noqa: S307
-            self.store.put(flow.self_ref, self_state)
-            flow.written.add((flow.self_ref.entity, flow.self_ref.key))
+            if needs_self:
+                # historical belt-and-braces put; every actual write was
+                # already persisted by its Exec. MUST be skipped in the
+                # elided case — self_state is a placeholder there.
+                self.store.put(flow.self_ref, self_state)
+                flow.written.add((flow.self_ref.entity, flow.self_ref.key))
             return StepOutcome(done=True, result=result, flow=flow)
 
         raise FlowError(f"unhandled local instruction {instr!r}")

@@ -115,6 +115,24 @@ def test_attr_needs_narrowed_to_read_attributes():
     assert flow("Nest", "nest_call").attr_needs == {}
 
 
+def test_tail_return_elision_flags():
+    """Instructions whose expressions never touch `self` carry
+    needs_self=False and may execute at whatever partition the flow is on
+    — `return True` after a cross-key call completes at the callee
+    (YCSB transfer measured 3 → 2 supersteps). Self-reading returns keep
+    needs_self=True and still hop home."""
+    buy = flow("User", "buy_item")
+    *_, last = buy.instrs
+    assert isinstance(last, Return) and last.needs_self is False
+    # the early-return guard tests self.balance → its Branch needs self
+    first_branch = next(i for i in buy.instrs if isinstance(i, Branch))
+    assert first_branch.needs_self is True
+    # a return that reads self keeps the flag
+    ci = flow("A", "complex_if")
+    *_, ci_last = ci.instrs
+    assert isinstance(ci_last, Return) and ci_last.needs_self is True
+
+
 def test_fetch_snapshot_pruned_to_attr_needs():
     """The interpreter's REQUEST_STATE fetch stores only attr_needs
     attributes in the flow cache (the cache rides every hop event, so this

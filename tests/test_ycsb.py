@@ -88,6 +88,11 @@ def test_superstep_matches_local(spark):
             # conservation: the local total reflects the same op amounts, so
             # totals agree even though per-key rejections may differ
             assert total == sum(_local_final_state(mix, 200).values())
+            # tail-return elision: transfer's `return True` runs at the
+            # callee's partition, so a whole transfer burst converges in
+            # TWO supersteps (sender exec+call-dispatch, callee call+return)
+            # instead of three — a per-flow hop saved at any scale
+            assert res.supersteps == 2, res.supersteps
 
 
 def test_streaming_transfer_conserves_money(spark, tmp_path):
