@@ -11,8 +11,12 @@ Execution model (designed for Spark partitioning):
   (same-key pipelining), then returns a *hop*: the flow event re-addressed
   to the key it needs next (reference loops these through the `internal`
   Kafka topic; our runtimes loop them through a queue / next superstep).
-- EXEC/BRANCH/RETURN run at the flow owner's key. CALL runs at the callee's
-  key. Missing fetched-state runs at the owning key of the missing state.
+- EXEC runs at the flow owner's key; BRANCH/RETURN do too unless their
+  expressions provably never touch `self` (compiler-marked
+  needs_self=False), in which case they complete wherever the flow already
+  is — tail elision, one hop saved per cross-key flow. CALL runs at the
+  callee's key. Missing fetched-state runs at the owning key of the
+  missing state.
 - Nested flows: a CALL whose callee method is itself linked starts a child
   FlowState with a parent link (the reference instead inlines nested flows
   at compile time, execution_plan_merging.py:24-252 — dynamic nesting is
