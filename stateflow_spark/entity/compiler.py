@@ -87,6 +87,11 @@ class Call(Instr):
     arg_srcs: list[str]
     result_var: Optional[str]
     needs: list[str] = field(default_factory=list)
+    # False when neither target nor args reference `self`: phase-1 argument
+    # evaluation can run at whatever partition the flow is on, so a chain
+    # of calls (a.m(); b.m()) hops owner→a→b instead of bouncing home
+    # between calls
+    needs_self: bool = True
 
 
 @dataclass
@@ -450,7 +455,13 @@ class _FlowCompiler:
                     for n in _state_needs(ast.parse(a, mode="eval"), self.types)
                     if n not in needs
                 )
-            self.emit(Call(target_src, mname, arg_srcs, tmp, needs))
+            needs_self = any(
+                _references_self(ast.parse(s, mode="eval"))
+                for s in (target_src, *arg_srcs)
+            )
+            self.emit(
+                Call(target_src, mname, arg_srcs, tmp, needs, needs_self)
+            )
         return new
 
     def _compile_stmt_with_calls(self, stmt: ast.stmt) -> None:

@@ -363,11 +363,18 @@ class Interpreter:
 
     # -- external call ---------------------------------------------------
     def _step_call(self, flow: FlowState, instr: Call) -> Optional[StepOutcome]:
-        # phase 1: evaluate target + args at the flow owner's partition
+        # phase 1: evaluate target + args — at the flow owner's partition
+        # when they reference `self`, else wherever the flow already is
+        # (tail elision: a.m(); b.m() hops owner→a→b, never bouncing home)
         if flow.pending is None:
-            if not self.store.owns(flow.self_ref):
+            needs_self = getattr(instr, "needs_self", True)
+            owns_self = self.store.owns(flow.self_ref)
+            if needs_self and not owns_self:
                 return StepOutcome(hop_to=flow.self_ref, flow=flow)
-            self_state = self.store.get(flow.self_ref)
+            self_state = self.store.get(flow.self_ref) if owns_self else None
+            if needs_self and self_state is None:
+                raise FlowError(f"flow owner {flow.self_ref} does not exist")
+            self_state = self_state or {}
             hop = self._ensure_needs(flow, instr.needs, self_state)
             if hop is not None:
                 return StepOutcome(hop_to=hop, flow=flow)

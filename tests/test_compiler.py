@@ -131,6 +131,15 @@ def test_tail_return_elision_flags():
     ci = flow("A", "complex_if")
     *_, ci_last = ci.instrs
     assert isinstance(ci_last, Return) and ci_last.needs_self is True
+    # calls whose target/args avoid self dispatch from wherever the flow
+    # is (item.update_stock(-amount): target+arg are params)
+    call = next(i for i in buy.instrs if isinstance(i, Call))
+    assert call.needs_self is False
+    # passing self into a call keeps phase 1 at the owner
+    from stateflow_spark.entity.compiler import _references_self
+    import ast as _ast
+
+    assert _references_self(_ast.parse("other.m(self)", mode="eval"))
 
 
 def test_fetch_snapshot_pruned_to_attr_needs():
