@@ -1,0 +1,84 @@
+"""Array-native similarity kernels over packed ``array<double>`` vectors.
+
+Vectors stay whole (no posexplode): dot products and norms are per-row
+higher-order expressions, so a cosine needs zero shuffles and joins carry
+one row per vector instead of dim× rows. Two kernel families:
+
+- ``*_dec`` — decimal-exact folds used by every oracled similarity query.
+  Each element product rounds to scale 12 exactly like the oracle's
+  ``SUM(CAST(x*y AS DECIMAL(38,12)))`` and accumulates through
+  decimal(30,12) — under precision 38 at every step, so the fold is exact
+  and order-independent, hence bit-identical to DuckDB's decimal SUM.
+  (Precision sizing argument: see queries/dedup.py dedup_embedding_cosine.
+  A (38,12)+(38,12) fold would hit Spark's precision-loss rule and round
+  every step.)
+- ``*_f64`` — plain double-precision sequential folds for hot paths where
+  cross-engine bit-equality is not required (ANN candidate scoring,
+  bench exploration). ~2-3× cheaper than the decimal fold; tests pin the
+  two families to agree within 1e-9 on the test corpus.
+
+Reference parity: the reference engine has no vector kernels; this module
+backs the LLM-pipeline similarity family (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_ACC = "decimal(30,12)"
+_ELEM = "decimal(24,12)"
+
+
+def fold_dec(arr: Column | str) -> Column:
+    """Exact decimal fold of an array of decimal(24,12) terms -> double."""
+    zero = F.lit(0).cast(_ACC)
+    return F.aggregate(arr, zero, lambda acc, v: (acc + v).cast(_ACC)).cast(
+        "double"
+    )
+
+
+def dot_dec(a: Column | str, b: Column | str) -> Column:
+    """Decimal-exact dot product of two array<double> columns -> double."""
+    return fold_dec(F.zip_with(a, b, lambda x, y: (x * y).cast(_ELEM)))
+
+
+def norm2_dec(a: Column | str) -> Column:
+    """Decimal-exact squared L2 norm of an array<double> column -> double."""
+    return fold_dec(F.transform(a, lambda x: (x * x).cast(_ELEM)))
+
+
+def sqdist_dec(a: Column | str, b: Column | str) -> Column:
+    """Decimal-exact squared euclidean distance -> double (for centroid
+    assignment; matches SUM(CAST((x-c)*(x-c) AS DECIMAL(38,12)))."""
+    return fold_dec(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_ELEM))
+    )
+
+
+def cosine_dec(a: Column | str, b: Column | str) -> Column:
+    """Decimal-exact cosine similarity; recomputes both norms — prefer
+    precomputing norm2_dec once per side when a side is reused."""
+    return dot_dec(a, b) / (F.sqrt(norm2_dec(a)) * F.sqrt(norm2_dec(b)))
+
+
+def dot_f64(a: Column | str, b: Column | str) -> Column:
+    """Fast double dot product: sequential left fold, deterministic within
+    Spark but not guaranteed to bit-match other engines' summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2_f64(a: Column | str) -> Column:
+    """Fast double squared L2 norm (sequential fold)."""
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine_f64(a: Column | str, b: Column | str) -> Column:
+    """Fast double cosine similarity for ANN candidate scoring."""
+    return dot_f64(a, b) / (F.sqrt(norm2_f64(a)) * F.sqrt(norm2_f64(b)))

@@ -181,3 +181,34 @@ def test_funnel_stages_shuffle_on_user_only(spark):
     # the three scalar counts combine via one-row BNLJ cross joins — fine;
     # stage joins themselves must be hash/merge equi-joins on user_id
     assert "user_id" in plan
+
+
+def test_similarity_family_array_native(spark):
+    """Round-4 VERDICT flagged the label-recovery join: _exploded() dropped
+    `label`, then sim_centroid_distance / sim_ivf_topk joined dim× (64×)
+    exploded rows back to the corpus ON vec_id to get it — a 64×-row
+    shuffle join at 100 TB for a column the scan already had. The round-5
+    rewrite packs vectors (functions/similarity.py kernels): the ONLY
+    allowed joins are broadcast (centroids / probed labels / the 1-or-20-
+    row query side), and no join may hash on vec_id."""
+    for name in ("sim_cosine_topk", "sim_centroid_distance",
+                 "sim_ivf_topk", "sim_knn_join"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            # join build/probe keys print as 'Left keys'/'Right keys'
+            if "keys" in ln and "vec_id" in ln:
+                raise AssertionError(f"{name}: join keyed on vec_id: {ln}")
+    # the cosine hot path never explodes: packed scan -> 1-row BNLJ ->
+    # per-row fold -> TakeOrdered. Zero Generate, zero aggregate shuffle.
+    plan = explain_str(REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # centroid/ivf confine the explode to the broadcast centroid build
+    for name in ("sim_centroid_distance", "sim_ivf_topk"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
+        import re
+        gens = len(re.findall(r"\(\d+\) Generate\b", plan))
+        assert gens == 1, f"{name}: {gens} Generate nodes"

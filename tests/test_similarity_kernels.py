@@ -1,0 +1,61 @@
+"""functions/similarity.py kernel tests: the decimal-exact family must
+agree with the fast-double family to float tolerance on real corpus data
+(they compute the same math; only summation representation differs), and
+both must agree with a NumPy reference."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from stateflow_spark.catalog import load
+from stateflow_spark.functions.similarity import (
+    cosine_dec,
+    cosine_f64,
+    dot_dec,
+    dot_f64,
+    norm2_dec,
+    norm2_f64,
+    sqdist_dec,
+)
+from tests.conftest import SF_DIR
+
+
+def _pairs(spark):
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = F.broadcast(e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+                    .select(F.col("vec_id").alias("idb"), F.col("v").alias("vb")))
+    return a.crossJoin(b)
+
+
+def test_dec_and_f64_kernels_agree(spark):
+    rows = _pairs(spark).select(
+        "ida", "idb",
+        dot_dec("va", "vb").alias("dd"), dot_f64("va", "vb").alias("df"),
+        norm2_dec("va").alias("nd"), norm2_f64("va").alias("nf"),
+        cosine_dec("va", "vb").alias("cd"), cosine_f64("va", "vb").alias("cf"),
+    ).collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert abs(r.dd - r.df) < 1e-9, (r.ida, r.idb)
+        assert abs(r.nd - r.nf) < 1e-9
+        assert abs(r.cd - r.cf) < 1e-9
+
+
+def test_kernels_match_numpy(spark):
+    sample = _pairs(spark).limit(6).select(
+        "va", "vb",
+        dot_dec("va", "vb").alias("dd"),
+        sqdist_dec("va", "vb").alias("sq"),
+        cosine_f64("va", "vb").alias("cf"),
+    ).collect()
+    for r in sample:
+        va, vb = np.array(r.va), np.array(r.vb)
+        assert abs(r.dd - float(va @ vb)) < 1e-9
+        assert abs(r.sq - float(((va - vb) ** 2).sum())) < 1e-9
+        ref = float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert abs(r.cf - ref) < 1e-9
