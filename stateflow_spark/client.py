@@ -342,13 +342,25 @@ class KafkaTransport(Transport):
             raise RuntimeError(
                 "KafkaTransport needs the kafka-python package"
             ) from e
+        from kafka import TopicPartition
+
         self._producer = KafkaProducer(bootstrap_servers=brokers)
+        # Assign partitions EXPLICITLY and resolve end offsets NOW, before
+        # any produce. A plain subscribe with auto_offset_reset='latest'
+        # assigns lazily at first poll, so replies produced between send()
+        # and that poll landed before the consumer's notion of "latest"
+        # and were silently skipped → spurious TimeoutError in flush()
+        # (round-4 ADVICE). seek_to_end fetches positions eagerly, so
+        # everything produced after construction is visible.
         self._consumer = KafkaConsumer(
-            f"{prefix}-reply",
             bootstrap_servers=brokers,
-            auto_offset_reset="latest",
             consumer_timeout_ms=int(timeout_s * 1000),
         )
+        reply_topic = f"{prefix}-reply"
+        parts = self._consumer.partitions_for_topic(reply_topic) or {0}
+        tps = [TopicPartition(reply_topic, p) for p in sorted(parts)]
+        self._consumer.assign(tps)
+        self._consumer.seek_to_end(*tps)
         self._topic = f"{prefix}-request"
         self._pending: set[str] = set()
 

@@ -184,7 +184,18 @@ class Interpreter:
         this!!", split_block.py:944-951). Type-keyed union over the whole
         program, so aliasing and later instructions can never miss an
         attribute; unknown types (or a program compiled without the map)
-        fall back to the full dict."""
+        fall back to the full dict.
+
+        Known limitation (round-4 ADVICE): an attribute read through an
+        alias the type tracker cannot see — e.g. an element of an
+        unannotated list that happens to hold a fetched entity — reads a
+        PRUNED cache entry and raises AttributeError at runtime, where the
+        full snapshot previously served it by coincidence. The compiler
+        only tracks reads through typed names/parameters (descriptors.py);
+        untyped entity-valued containers were never supported API, so the
+        pruning makes that unsupported path fail loudly instead of
+        working by accident. If it must work, compile the program without
+        an attr_needs entry for that type (full-dict fallback above)."""
         prog: Program = get_entity_type(flow.entity).flows[flow.method]
         attrs = getattr(prog, "attr_needs", {}).get(ref.entity)
         if attrs is None:

@@ -172,6 +172,9 @@ def test_fetch_snapshot_pruned_to_attr_needs():
     hop = interp._ensure_needs(fs, ["item"], {"username": "u1", "balance": 100})
     assert hop is None
     assert fs.cache[("Item", "i1")] == {"price": 5}
+
+
+def test_nested_call_flow():
     """nest_call → is_true → is_really_true: the callee is itself linked;
     the CALL's callee resolution happens at runtime (child FlowState),
     the reference instead inlines at compile time
