@@ -16,30 +16,30 @@ from stateflow_spark.queries.common import REGISTRY, QueryDef, register  # noqa:
 # tests/test_oracle.py checks ALL oracled queries every run regardless —
 # that is the regression net for rotated-out families (round-2 ADVICE).
 #
-# Round 4 prefix: dedup first (minhash-LSH + jaccard rewritten this
-# round), then similarity (r2-stamped, longest without a fresh row),
-# joins/entity (entity gained entity_stateful_replay this round), the NEW
-# streaming event-time family (importing streaming_events pulls in the
-# batch events family just before it), then text/udtfs/multimodal and the
-# head of tpch. Rotated to the back: the tpch tail, tpch2, windows,
-# setops, aggregates — all driver-green in round 3 (CORRECTNESS_r03.json,
-# 50/50). Local tests/test_oracle.py checks ALL oracled queries every run
-# — that is the regression net for rotated-out families.
-from stateflow_spark.queries import dedup  # noqa: F401, E402
+# Round 5 prefix: similarity first (rewritten array-native this round),
+# then the NEW round-5 queries (streaming_late: append+watermark late-drop;
+# entity_stream: continuous-engine replay), then every r03-stamped family
+# — tpch (importing tpch2 pulls tpch first, so the full TPC-H suite lands
+# here: the q10/q13/q14/q18/q19/q22 tail and all of tpch2 had no driver
+# row since round 3), windows, setops, aggregates. streaming_events pulls
+# the batch events family in just before itself; the ~50 cut lands inside
+# events, refreshing its head. Rotated to the back: dedup, joins, entity,
+# text, udtfs, multimodal and the stream/events tails — all r04-green
+# (CORRECTNESS_r04.json, 50/50). Local tests/test_oracle.py checks ALL
+# oracled queries every run — that is the regression net for rotated-out
+# families.
 from stateflow_spark.queries import similarity  # noqa: F401, E402
-from stateflow_spark.queries import joins  # noqa: F401, E402
-from stateflow_spark.queries import entity_ops  # noqa: F401, E402
-from stateflow_spark.queries import entity_flow  # noqa: F401, E402
-# NEW in round 4: the streaming event-time family run driver-visibly
-# (note: importing streaming_events pulls in events, so the realized
-# order places the batch events family here too)
-from stateflow_spark.queries import streaming_events  # noqa: F401, E402
-from stateflow_spark.queries import text  # noqa: F401, E402
-from stateflow_spark.queries import udtfs  # noqa: F401, E402
-from stateflow_spark.queries import multimodal  # noqa: F401, E402
-from stateflow_spark.queries import tpch2  # noqa: F401, E402
+from stateflow_spark.queries import streaming_late  # noqa: F401, E402
+from stateflow_spark.queries import entity_stream  # noqa: F401, E402
+from stateflow_spark.queries import tpch2  # noqa: F401, E402  (pulls tpch)
 from stateflow_spark.queries import windows  # noqa: F401, E402
 from stateflow_spark.queries import setops  # noqa: F401, E402
 from stateflow_spark.queries import aggregates  # noqa: F401, E402
-from stateflow_spark.queries import events  # noqa: F401, E402
-from stateflow_spark.queries import tpch  # noqa: F401, E402
+from stateflow_spark.queries import streaming_events  # noqa: F401, E402  (pulls events)
+from stateflow_spark.queries import text  # noqa: F401, E402
+from stateflow_spark.queries import udtfs  # noqa: F401, E402
+from stateflow_spark.queries import multimodal  # noqa: F401, E402
+from stateflow_spark.queries import dedup  # noqa: F401, E402
+from stateflow_spark.queries import joins  # noqa: F401, E402
+from stateflow_spark.queries import entity_ops  # noqa: F401, E402
+from stateflow_spark.queries import entity_flow  # noqa: F401, E402

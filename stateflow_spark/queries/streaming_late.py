@@ -1,0 +1,160 @@
+"""Append-mode + watermark streaming query whose oracle encodes late-data
+DROPPING — the production posture itself, hash-gated (round-4 VERDICT
+"Next round" #3).
+
+The COMPLETE-mode `stream_*` family (streaming_events.py) proves the
+streaming plans compute the right windows; it cannot witness the two
+behaviors that make append+watermark the state-bounded production form:
+late rows beyond the watermark are discarded, and only windows closed by
+the final watermark are emitted. This query manufactures a deterministic
+late-arrival schedule so both behaviors appear in the RESULT and the
+DuckDB oracle can replay the same cutoff arithmetic:
+
+- the events table is split by pure predicates into a late file (rows
+  > 3 h older than max ts, for user_id % 7 = 3), a small filler file
+  (user_id % 7 = 5 of the rest), and an on-time file (everything else);
+- the three files are served through a file stream with explicit mtimes
+  and maxFilesPerTrigger=1. Spark ≥3.4 stateful operators use TWO
+  watermarks per batch (SPARK-42376): late-INPUT filtering uses the
+  watermark the PREVIOUS batch ran with, eviction/emission uses the
+  current one — measured here empirically: a late row one batch after
+  the max-advancing file is aggregated (and its stale window emitted!),
+  while the same row two batches after is dropped
+  (numRowsDroppedByWatermark=1). Hence three batches: batch 0 advances
+  the watermark to max_ts − 30 min, batch 1 (filler) runs with
+  late-filter still at −∞ (its rows can never be dropped, so ANY subset
+  is a valid filler) and promotes the advanced watermark into the
+  late-filter position, batch 2's late rows are then all > 2.5 h past
+  the operative late-filter watermark with 1 h windows — unambiguously
+  dropped whether the engine filters on event time or window end;
+- append mode emits exactly the windows with window_end ≤ final
+  watermark (eviction on `window_end <= watermark`; max ts is
+  microsecond-grained so the ≤/< boundary cannot coincide with an hour
+  edge).
+
+Oracle: aggregate the on-time subset only, keep windows with
+window_end <= max_ts − 30 min. Stream/batch agreement here pins the drop
+and emission semantics, not just the window math.
+
+Scale: identical plan shape to streaming/windows.py hourly_tumbling —
+state is bounded by (open windows × event_type), the watermark closes
+state monotonically, and the file-split harness is test scaffolding (a
+real deployment reads one unbounded source).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stateflow_spark.catalog import load
+from stateflow_spark.queries.common import dsum, register
+
+# NOTE: streaming_events._run_stream is imported lazily inside the query —
+# a module-level import would register the whole events family ahead of
+# the r03-stamped families this round's prefix must refresh first.
+
+# one two-file re-serve of the events table per (process, sf_dir)
+_SRC_CACHE: dict[str, str] = {}
+
+_LATE_HOURS = 3
+_WM_DELAY = "30 minutes"
+
+
+def _late_pred(max_ts):
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=_LATE_HOURS)
+    return (F.col("ts") < F.lit(cutoff)) & (F.col("user_id") % 7 == 3)
+
+
+def _three_file_src(spark: SparkSession, sf_dir: str) -> str:
+    """Write events as exactly three parquet files with forced mtime order:
+    00-ontime, 01-filler, 02-late. FileStreamSource reads files in mtime
+    order, so with maxFilesPerTrigger=1 the batch schedule is
+    deterministic. The global max ts is in file 00 or 01 (never late), so
+    the eviction watermark is max_ts − 30 min from batch 1 onward and the
+    late-filter watermark reaches that value by batch 2."""
+    src = _SRC_CACHE.get(sf_dir)
+    if src is not None and os.path.isdir(src):
+        return src
+    src = tempfile.mkdtemp(prefix="stream-late-src-")
+    e = load(spark, sf_dir, "events")
+    max_ts = e.agg(F.max("ts")).first()[0]
+    late = _late_pred(max_ts)
+    filler = ~late & (F.col("user_id") % 7 == 5)
+    for i, (tag, pred, mtime) in enumerate(
+        (
+            ("ontime", ~late & ~(F.col("user_id") % 7 == 5), 1000),
+            ("filler", filler, 2000),
+            ("late", late, 3000),
+        )
+    ):
+        tmp = tempfile.mkdtemp(prefix=f"stream-late-{tag}-")
+        e.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:02d}-{tag}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+    _SRC_CACHE[sf_dir] = src
+    return src
+
+
+@register(
+    "stream_append_late_drop",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    ontime AS (
+        SELECT e.* FROM events e, mx
+        WHERE NOT (e.ts < mx.m - INTERVAL {_LATE_HOURS} HOUR
+                   AND e.user_id % 7 = 3)
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+        FROM ontime
+        GROUP BY 1, 2
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, n_events, total_value
+    FROM agg, mx
+    WHERE window_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "events", "windows", "watermark"),
+)
+def stream_append_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling aggregate in APPEND mode with a 30-minute watermark
+    over a deterministic on-time/filler/late micro-batch schedule; the
+    sink holds only watermark-closed windows, computed without the
+    dropped late rows."""
+    from stateflow_spark.queries.streaming_events import _run_stream
+
+    src = _three_file_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", _WM_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value", 4),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_stream(spark, agg, "append")
