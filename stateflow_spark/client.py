@@ -330,19 +330,29 @@ class KafkaTransport(Transport):
     `{prefix}-request` topic, complete futures from `{prefix}-reply`.
 
     Pairs with streaming/kafka.py's KafkaEntityEngine. Needs the
-    kafka-python client at runtime (absent in the test container — the
-    record encoding is covered broker-free via ``kafka_record``; the
-    E2E path is exercised by tests/test_kafka.py when a broker and the
-    spark-sql-kafka connector are available)."""
+    kafka-python client at runtime, OR any module exposing the same
+    KafkaProducer/KafkaConsumer/TopicPartition surface via ``client_mod``
+    — streaming/stub_broker.py is such a module, and tests/test_kafka.py
+    runs this transport E2E against the stub-broker engine with it; a
+    real broker exercises the default import path unmodified."""
 
-    def __init__(self, brokers: str, prefix: str, timeout_s: float = 60.0):
-        try:
-            from kafka import KafkaConsumer, KafkaProducer
-        except ImportError as e:  # pragma: no cover - container has no lib
-            raise RuntimeError(
-                "KafkaTransport needs the kafka-python package"
-            ) from e
-        from kafka import TopicPartition
+    def __init__(
+        self,
+        brokers: str,
+        prefix: str,
+        timeout_s: float = 60.0,
+        client_mod=None,
+    ):
+        if client_mod is None:
+            try:
+                import kafka as client_mod
+            except ImportError as e:
+                raise RuntimeError(
+                    "KafkaTransport needs the kafka-python package"
+                ) from e
+        KafkaConsumer = client_mod.KafkaConsumer
+        KafkaProducer = client_mod.KafkaProducer
+        TopicPartition = client_mod.TopicPartition
 
         self._producer = KafkaProducer(bootstrap_servers=brokers)
         # Assign partitions EXPLICITLY and resolve end offsets NOW, before

@@ -25,9 +25,13 @@ semantics, which is the reference's own delivery model.
 
 Everything below the source/sink boundary is testable without a broker or
 the spark-sql-kafka jar: encode/decode/route are plain column transforms
-(tests/test_kafka.py runs them on batch DataFrames); engine start() needs
-the connector on the classpath and is exercised when present, skipped
-otherwise.
+(tests/test_kafka.py runs them on batch DataFrames), and the FULL path —
+source → decode → keyed state → topic-routed egress, including the
+cross-key hop loop through {prefix}-internal and the client transport —
+executes E2E against the in-process stub broker (stub_broker.py +
+stub_kafka_source.py) when the connector/broker are absent; with
+$STATEFLOW_KAFKA_BROKERS and the jar present, the identical tests run
+against the real thing.
 """
 
 from __future__ import annotations
@@ -139,12 +143,22 @@ class KafkaEntityEngine:
         prefix: str,
         workdir: str,
         state_ttl_ms: Optional[int] = None,
+        stub_path: Optional[str] = None,
     ):
+        """stub_path: when set, the engine runs over the in-process stub
+        broker (streaming/stub_broker.py) instead of a real cluster —
+        source becomes the Python-DataSource "stubkafka" format (same
+        key/value/topic row schema as the JVM connector) and egress a
+        foreachBatch producer append. Everything between source and sink
+        — decode, keyed state, routing — is the identical production
+        plan; this is how the Kafka path runs E2E in environments without
+        the connector jar."""
         self.spark = spark
         self.brokers = brokers
         self.prefix = prefix
         self.checkpoint = os.path.join(workdir, "kafka-checkpoint")
         self.state_ttl_ms = state_ttl_ms
+        self.stub_path = stub_path
         self.query = None
 
     def build_plan(self) -> DataFrame:
@@ -157,12 +171,25 @@ class KafkaEntityEngine:
 
         blob = cloudpickle.dumps(dict(get_registry()))
         t = topics(self.prefix)
-        src = kafka_source(
-            self.spark,
-            self.brokers,
-            f"{t['request']},{t['internal']}",
-            starting_offsets="earliest",
-        )
+        in_topics = f"{t['request']},{t['internal']}"
+        if self.stub_path is not None:
+            from stateflow_spark.streaming import stub_kafka_source
+
+            stub_kafka_source.register(self.spark)
+            src = (
+                self.spark.readStream.format("stubkafka")
+                .option("path", self.stub_path)
+                .option("topics", in_topics)
+                .option("startingOffsets", "earliest")
+                .load()
+            )
+        else:
+            src = kafka_source(
+                self.spark,
+                self.brokers,
+                in_topics,
+                starting_offsets="earliest",
+            )
         timeout = (
             GroupStateTimeout.ProcessingTimeTimeout
             if self.state_ttl_ms
@@ -183,6 +210,29 @@ class KafkaEntityEngine:
 
     def start(self) -> None:
         routed = self.build_plan()
+        if self.stub_path is not None:
+            # egress twin of the kafka sink: per-row topic routing is the
+            # same `topic` column; the append runs executor-side per
+            # partition (foreachBatch may replay a failed batch →
+            # at-least-once, matching the production sink's semantics)
+            root = self.stub_path
+
+            def _sink(batch_df, _bid):
+                def _write(rows):
+                    from stateflow_spark.streaming import stub_broker as B
+
+                    for r in rows:
+                        key = r.key.encode() if r.key is not None else None
+                        B._append(root, r.topic, key, bytes(r.value))
+
+                batch_df.foreachPartition(_write)
+
+            self.query = (
+                routed.writeStream.foreachBatch(_sink)
+                .option("checkpointLocation", self.checkpoint)
+                .start()
+            )
+            return
         self.query = (
             routed.writeStream.format("kafka")
             .option("kafka.bootstrap.servers", self.brokers)
