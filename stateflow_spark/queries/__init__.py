@@ -35,11 +35,15 @@ from stateflow_spark.queries import tpch2  # noqa: F401, E402  (pulls tpch)
 from stateflow_spark.queries import windows  # noqa: F401, E402
 from stateflow_spark.queries import setops  # noqa: F401, E402
 from stateflow_spark.queries import aggregates  # noqa: F401, E402
+# dedup here (not the back): the jaccard family changed this round
+# (_jaccard_pairs refactor + NEW dedup_jaccard_stop_shingle) — the 50-cut
+# lands on exact/ngram_jaccard/jaccard_stop_shingle, stamping exactly the
+# changed queries; the unchanged r04-green dedup tail rotates out
+from stateflow_spark.queries import dedup  # noqa: F401, E402
 from stateflow_spark.queries import streaming_events  # noqa: F401, E402  (pulls events)
 from stateflow_spark.queries import text  # noqa: F401, E402
 from stateflow_spark.queries import udtfs  # noqa: F401, E402
 from stateflow_spark.queries import multimodal  # noqa: F401, E402
-from stateflow_spark.queries import dedup  # noqa: F401, E402
 from stateflow_spark.queries import joins  # noqa: F401, E402
 from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402

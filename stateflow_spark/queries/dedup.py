@@ -145,14 +145,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join form produced); AQE skew split handles moderate skew and
     a stop-shingle filter (drop postings above a length cap) is the
     documented knob if a corpus needs it."""
+    return _jaccard_pairs(spark, sf_dir)
+
+
+def _jaccard_pairs(
+    spark: SparkSession, sf_dir: str, stop_shingle_cap: int | None = None
+) -> DataFrame:
+    """Inverted-index exact-Jaccard pair expansion; with stop_shingle_cap
+    set, postings longer than the cap are dropped BEFORE pair expansion —
+    the hot-shingle skew knob dedup_ngram_jaccard's docstring names, made
+    real. The worst task then expands ≤ cap²/2 pairs per shingle no matter
+    how hot the corpus's hottest phrase is; the cost is recall on pairs
+    whose overlap lives ONLY in stop-shingles (their n_common undercounts;
+    denominators keep the full per-doc shingle counts, so capped Jaccard
+    is a LOWER bound on true Jaccard — precision is preserved)."""
     sh = _shingles_df(spark, sf_dir)
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
     )
+    keep = F.size("ds") > 1
+    if stop_shingle_cap is not None:
+        keep = keep & (F.size("ds") <= stop_shingle_cap)
     pairs = (
         ex.groupBy("s")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(keep)
         .select(
             F.explode(
                 F.expr(
@@ -178,6 +195,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+_STOP_SHINGLE_CAP = 4  # bites on the test corpus (posting lengths reach 7-9)
+
+
+@register(
+    "dedup_jaccard_stop_shingle",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    kept AS (
+        SELECT ex.* FROM ex
+        JOIN (SELECT s FROM ex GROUP BY s
+              HAVING COUNT(*) <= {_STOP_SHINGLE_CAP}) p USING (s)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard", "skew"),
+)
+def dedup_jaccard_stop_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard with the stop-shingle cap ENABLED (cap=4, which drops
+    real postings on this corpus, so the hash gate pins the cap semantics
+    — not just the uncapped plan twice). At 100 TB this is the bounded-
+    skew production posture: no posting expands more than cap²/2 pairs,
+    making the worst task's work constant regardless of how hot the
+    hottest boilerplate phrase is. Recall trade-off documented on
+    _jaccard_pairs; tests/test_skew.py measures the unbounded vs capped
+    expansion on a deliberately hot corpus."""
+    return _jaccard_pairs(spark, sf_dir, stop_shingle_cap=_STOP_SHINGLE_CAP)
 
 
 _SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int exactly
