@@ -165,11 +165,9 @@ class KafkaEntityEngine:
         """Construct the full streaming DataFrame (source → operator →
         routed egress rows) without starting it — the plan-shape surface
         for tests and .explain()."""
-        import cloudpickle
+        from stateflow_spark.streaming.stateful import serialize_registry
 
-        from stateflow_spark.entity.registry import get_registry
-
-        blob = cloudpickle.dumps(dict(get_registry()))
+        blob = serialize_registry()
         t = topics(self.prefix)
         in_topics = f"{t['request']},{t['internal']}"
         if self.stub_path is not None:

@@ -125,6 +125,36 @@ def _cold_load(cold_dir: str, entity: str, key: str) -> Optional[dict]:
     return pickle.loads(blobs[seqs.index(max(seqs))])
 
 
+def serialize_registry() -> bytes:
+    """Cloudpickle the entity registry for shipment to executors.
+
+    Entity classes registered from modules outside the installed package
+    (notebooks, test files, user scripts) are not importable on Spark's
+    Python workers, so those modules are pickled by value; package modules
+    stay by-reference so workers reuse the installed code.
+    """
+    import sys
+
+    import cloudpickle
+
+    from stateflow_spark.entity.registry import get_registry
+
+    reg = dict(get_registry())
+    mods = {
+        et.cls.__module__: sys.modules[et.cls.__module__]
+        for et in reg.values()
+        if et.cls.__module__ in sys.modules
+        and not et.cls.__module__.startswith("stateflow_spark")
+    }
+    for mod in mods.values():
+        cloudpickle.register_pickle_by_value(mod)
+    try:
+        return cloudpickle.dumps(reg)
+    finally:
+        for mod in mods.values():
+            cloudpickle.unregister_pickle_by_value(mod)
+
+
 def _make_stateful_fn(
     registry_blob: bytes, ttl_ms: Optional[int], cold_dir: Optional[str]
 ):
@@ -304,26 +334,7 @@ class StreamingEntityEngine:
 
     # -- engine -------------------------------------------------------------
     def start(self) -> None:
-        import sys
-
-        import cloudpickle
-
-        from stateflow_spark.entity.registry import get_registry
-
-        reg = dict(get_registry())
-        mods = {
-            et.cls.__module__: sys.modules[et.cls.__module__]
-            for et in reg.values()
-            if et.cls.__module__ in sys.modules
-            and not et.cls.__module__.startswith("stateflow_spark")
-        }
-        for mod in mods.values():
-            cloudpickle.register_pickle_by_value(mod)
-        try:
-            blob = cloudpickle.dumps(reg)
-        finally:
-            for mod in mods.values():
-                cloudpickle.unregister_pickle_by_value(mod)
+        blob = serialize_registry()
 
         timeout = (
             GroupStateTimeout.ProcessingTimeTimeout

@@ -197,7 +197,11 @@ def test_kafka_engine_e2e(spark, tmp_path):
                 reply = Event.from_bytes(msg.value)
                 if reply.event_id == ev.event_id:
                     return reply
-            pytest.fail(f"no reply for {ev.event_type} within timeout")
+            exc = eng.query.exception() if eng.query else None
+            pytest.fail(
+                f"no reply for {ev.event_type} within timeout"
+                f" (stream exception: {exc})"
+            )
 
         init_u = operator.make_init_event("User", ("kafka-e2e-u1",))
         init_i = operator.make_init_event("Item", ("kafka-e2e-i1", 5))
