@@ -47,3 +47,21 @@ from stateflow_spark.queries import multimodal  # noqa: F401, E402
 from stateflow_spark.queries import joins  # noqa: F401, E402
 from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402
+
+# Import order only groups families; the driver-checked 50-query prefix is
+# pinned EXPLICITLY here (registration order within dedup.py would otherwise
+# strand the NEW dedup_connected_components behind the 50-cut). Promoted
+# into the prefix this round: dedup_connected_components (new).  Rotated
+# out to make room: window_distribution_functions (r03-stamped; the windows
+# family keeps five fresh rows, and tests/test_oracle.py still checks every
+# oracled query locally each run).
+_PROMOTED = ["dedup_connected_components"]
+_DEMOTED = ["window_distribution_functions"]
+_order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
+for name, after in ((p, "dedup_jaccard_stop_shingle") for p in _PROMOTED):
+    _order.insert(_order.index(after) + 1, name)
+_order += _DEMOTED
+assert set(_order) == set(REGISTRY) and len(_order) == len(REGISTRY)
+_by_name = dict(REGISTRY)
+REGISTRY.clear()
+REGISTRY.update({n: _by_name[n] for n in _order})

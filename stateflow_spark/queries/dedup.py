@@ -107,25 +107,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+# Shared CTE chain: exact-Jaccard dup pairs (the dedup_ngram_jaccard
+# result) as a named CTE `dup`, reused verbatim by the connected-components
+# oracle so both gates replay identical pair arithmetic.
+_JACCARD_PAIR_CTES = f"""
+    sh AS ({_SHINGLE_SQL}),
     counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    pairs AS (
+    rawpairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE)
+                 / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+        FROM rawpairs
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+                 / CAST(ca.n + cb.n - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
     )
-    SELECT doc_a, doc_b, n_common,
-           CAST(n_common AS DOUBLE)
-             / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
-    FROM pairs
-    JOIN counts ca ON ca.doc_id = doc_a
-    JOIN counts cb ON cb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE)
-             / CAST(ca.n + cb.n - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIR_CTES}
+    SELECT doc_a, doc_b, n_common, jaccard FROM dup
     """,
     tags=("dedup", "jaccard"),
 )
@@ -669,4 +680,120 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Connected components — dup pairs → dup CLUSTERS
+# --------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM dup
+        UNION ALL
+        SELECT doc_b, doc_a FROM dup
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY id)
+    SELECT doc_id, comp_id,
+           COUNT(*) OVER (PARTITION BY comp_id) AS comp_size
+    FROM comps
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse pairwise near-dups into clusters: connected components over
+    the exact-Jaccard dup-pair graph, labeling every involved doc with the
+    lexicographic-min doc_id of its component — the canonical "keep one per
+    cluster" step that follows ANY pair generator (LSH, SimHash, Jaccard)
+    in a training-data dedup pipeline. Output: (doc_id, comp_id, comp_size)
+    for docs appearing in >= 1 dup pair; comp_id is the cluster's keeper.
+
+    Algorithm: iterative min-label propagation. labels starts as id -> id;
+    each round every node takes min(own label, min over in-neighbors'
+    labels) until a fixpoint. Pure DataFrame ops per round — one shuffle
+    join (edges x labels on src) + one groupBy(dst) min + one left join —
+    so Catalyst/AQE plan each round; `localCheckpoint` truncates the plan
+    lineage per iteration (iterative algorithms otherwise compound an
+    exponentially growing logical plan) and materializes the labels so the
+    convergence count reuses cached partitions instead of recomputing.
+
+    Rounds needed = graph diameter. Near-dup components are near-cliques
+    (similarity is ~transitive at high thresholds), so diameter is small
+    and bounded convergence is the realistic production posture; the
+    documented frontier alternative for adversarially long path graphs is
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14), which converges in O(log n) rounds
+    with the same per-round join/agg shape. Fails loud after
+    {_CC_MAX_ITERS} rounds rather than silently emitting a non-fixpoint.
+
+    Scale: state is one (id, comp) row per involved doc — never the
+    corpus; each round shuffles the edge list once. Driver holds only the
+    per-round changed-count (one scalar action per round, the convergence
+    test every distributed CC implementation pays). On a cluster,
+    localCheckpoint (executor-local blocks) trades fault-tolerance for
+    speed; checkpoint() to a reliable store is the long-job form.
+    """
+    dup = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the edge list ONCE — every iteration joins against it,
+    # and without the checkpoint each round would re-run the whole pair
+    # pipeline (corpus scan + shingle + posting expansion) from scratch
+    edges = (
+        dup.union(
+            dup.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        relabeled = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        labels = relabeled.select("id", "comp")
+        if relabeled.filter("changed").limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITERS} rounds"
+        )
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("comp_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("comp"))
+        .alias("comp_size"),
     )
