@@ -192,11 +192,19 @@ def test_kafka_engine_e2e(spark, tmp_path):
             )
             producer.flush()
 
+        # Replies within one micro-batch arrive in partition order, not
+        # send order — buffer non-matching replies instead of dropping
+        # them, or an out-of-order reply (Item before User) is lost.
+        seen = {}
+
         def await_reply(ev):
+            if ev.event_id in seen:
+                return seen.pop(ev.event_id)
             for msg in consumer:
                 reply = Event.from_bytes(msg.value)
                 if reply.event_id == ev.event_id:
                     return reply
+                seen[reply.event_id] = reply
             exc = eng.query.exception() if eng.query else None
             pytest.fail(
                 f"no reply for {ev.event_type} within timeout"
