@@ -31,6 +31,7 @@ from stateflow_spark.queries.common import REGISTRY, QueryDef, register  # noqa:
 from stateflow_spark.queries import similarity  # noqa: F401, E402
 from stateflow_spark.queries import streaming_late  # noqa: F401, E402
 from stateflow_spark.queries import entity_stream  # noqa: F401, E402
+from stateflow_spark.queries import curation  # noqa: F401, E402  (NEW round 5)
 from stateflow_spark.queries import tpch2  # noqa: F401, E402  (pulls tpch)
 from stateflow_spark.queries import windows  # noqa: F401, E402
 from stateflow_spark.queries import setops  # noqa: F401, E402
@@ -51,12 +52,29 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # Import order only groups families; the driver-checked 50-query prefix is
 # pinned EXPLICITLY here (registration order within dedup.py would otherwise
 # strand the NEW dedup_connected_components behind the 50-cut). Promoted
-# into the prefix this round: dedup_connected_components (new).  Rotated
-# out to make room: window_distribution_functions (r03-stamped; the windows
-# family keeps five fresh rows, and tests/test_oracle.py still checks every
-# oracled query locally each run).
+# into the prefix this round: dedup_connected_components (new) and the NEW
+# curation family (registered right after entity_stream_replay by import
+# order — no promotion needed, it's already inside the 50).  Rotated out to
+# make room for the 4 curation rows + connected_components: one row each
+# from windows/setops×2/aggregates (every demoted family keeps ≥4 rows in
+# the r05 prefix, so family-level freshness holds) plus r03-stamped
+# window_distribution_functions; tests/test_oracle.py still checks every
+# oracled query locally each run.
 _PROMOTED = ["dedup_connected_components"]
-_DEMOTED = ["window_distribution_functions"]
+_DEMOTED = [
+    # curation.py imports dedup helpers, so the whole dedup family
+    # registers at the head; the unchanged r04-green dedup tail rotates
+    # out (keeping the three CHANGED jaccard rows + new cc in the prefix)
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "window_distribution_functions",
+    "window_range_frame",
+    "setops_intersect_all",
+    "setops_except_all",
+    "agg_distinct_counts",
+]
 _order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
 for name, after in ((p, "dedup_jaccard_stop_shingle") for p in _PROMOTED):
     _order.insert(_order.index(after) + 1, name)

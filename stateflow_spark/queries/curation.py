@@ -1,0 +1,285 @@
+"""Training-data curation queries over `documents` — the dataset-assembly
+surface a 100 TB pretraining pipeline needs on top of dedup/similarity/text:
+sequence packing, benchmark-contamination checking, deterministic stratified
+sampling, and data-driven mixture balancing.
+
+All sampling is HASH-threshold based (md5 of the doc key), never rand():
+deterministic, partitioning-independent, reproducible across engines — the
+DuckDB oracle replays the identical hash arithmetic, so the sampling
+decision itself is hash-gated, not just the aggregate shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stateflow_spark.catalog import load
+from stateflow_spark.queries.common import register
+from stateflow_spark.queries.dedup import _SHINGLE_SQL, _shingles_df
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+PACK_BUCKET = 64  # doc_ids per prefix-sum bucket
+
+# Engine-independent uniform bucket in [0, 100): first 8 hex chars of
+# md5(doc_id-as-string) → int → % 100. Spark side uses conv(); DuckDB
+# replays it per hex digit (no hex→int builtin there).
+_BUCKET_SQL = """list_reduce(list_transform(range(1, 9),
+        i -> CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1))
+                  - 1 AS BIGINT)),
+        (a, b) -> a * 16 + b) % 100"""
+
+
+def _bucket100() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_excl
+        FROM t
+    )
+    SELECT CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           CAST(SUM(n_tokens) AS DOUBLE) / {PACK_BUDGET}.0 AS fill_ratio
+    FROM c GROUP BY 1
+    """,
+    tags=("curation", "packing"),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in doc_id order) to fixed token-budget
+    packs via exclusive running token count — pack_id = cum_excl // budget,
+    i.e. a doc belongs to the pack where it starts.
+
+    Scale shape: the naive form is one global window (ORDER BY doc_id over
+    the whole corpus → single task). This is the classic DISTRIBUTED PREFIX
+    SUM instead: (1) bucket docs by doc_id range, (2) aggregate per-bucket
+    token totals — a tiny table, |corpus|/64 rows, (3) one window over THAT
+    to get per-bucket offsets, (4) broadcast offsets back and run the
+    per-row running sum partitioned BY bucket — fully parallel. The only
+    serial window touches the per-bucket aggregate, never the corpus.
+    fill_ratio divides by a power of two, so the double is exact on both
+    engines."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        # integer `div`, not floor(double /): exact for any 64-bit doc_id
+        F.expr(f"doc_id div {PACK_BUCKET}").alias("bucket"),
+    )
+    btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bucket", F.coalesce(F.sum("btok").over(woff), F.lit(0)).alias("offset")
+    )
+    wrun = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.join(F.broadcast(boff), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("offset") + F.sum("n_tokens").over(wrun) - F.col("n_tokens")).alias(
+            "cum_excl"
+        ),
+    )
+    return (
+        c.groupBy(F.expr(f"cum_excl div {PACK_BUDGET}").alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            (F.sum("n_tokens").cast("double") / F.lit(float(PACK_BUDGET))).alias(
+                "fill_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "curation_benchmark_contamination",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 49 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+               unnest(shingles) AS s
+        FROM sh WHERE doc_id % 49 <> 0
+    )
+    SELECT c.doc_id, c.n_shingles, COUNT(*) AS n_hit,
+           CAST(COUNT(*) AS DOUBLE) / CAST(c.n_shingles AS DOUBLE)
+             AS contamination
+    FROM corpus c JOIN bench b USING (s)
+    GROUP BY c.doc_id, c.n_shingles
+    """,
+    tags=("curation", "contamination"),
+)
+def curation_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct 3-word shingles that appear anywhere in the held-out benchmark
+    set (here: doc_id % 49 == 0 stands in for the benchmark suite). Docs
+    with zero overlap are not emitted.
+
+    Scale shape: the benchmark side is small BY NATURE (eval suites are
+    MBs; the corpus is TBs), so its distinct-shingle set is broadcast — the
+    corpus makes ONE pass (shingle explode → broadcast hash join → per-doc
+    count), no shuffle of corpus shingles at all. Reuses dedup's
+    _shingles_df (same keyed-aggregate barrier against the O(len²)
+    generate-pushdown trap)."""
+    sh = _shingles_df(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % 49 == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 49 != 0).select(
+        "doc_id",
+        F.size("shingles").cast("bigint").alias("n_shingles"),
+        F.explode("shingles").alias("s"),
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+# Per-language keep rates (percent): downsample the over-represented head,
+# keep the tail. A fixed editorial mixture — the data-driven variant is
+# curation_balance_mixture below.
+_STRATA_RATES = {"en": 20, "zh": 40}
+_DEFAULT_RATE = 60
+
+_RATE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in _STRATA_RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, {_RATE_SQL} AS target_pct,
+               CASE WHEN {_BUCKET_SQL} < ({_RATE_SQL}) THEN 1 ELSE 0 END AS keep
+        FROM documents
+    )
+    SELECT lang, CAST(MAX(target_pct) AS BIGINT) AS target_pct,
+           COUNT(*) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS realized
+    FROM d GROUP BY lang
+    """,
+    tags=("curation", "sampling"),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates applied
+    via an md5 hash threshold on doc_id — reproducible under any
+    partitioning, no rand(), no per-stratum sort.
+
+    Scale shape: a single narrow map over the corpus (hash + compare) then
+    one aggregate — no shuffle of kept rows, no window. This is the only
+    sampling form that survives 100 TB: rank-based per-stratum sampling
+    needs a global sort per stratum; rand()-based sampling is
+    irreproducible across retries (a failed task resamples differently)."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.expr(_RATE_SQL)
+    keep = F.when(_bucket100() < rate, 1).otherwise(0)
+    return (
+        d.select("lang", rate.alias("target_pct"), keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.max("target_pct").cast("bigint").alias("target_pct"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            (F.sum("keep").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "realized"
+            ),
+        )
+    )
+
+
+@register(
+    "curation_balance_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+    ), quota AS (
+        SELECT lang, n_total, (SELECT MIN(n_total) FROM counts) AS n_min
+        FROM counts
+    ), d AS (
+        SELECT doc.lang, q.n_total, q.n_min,
+               CASE WHEN ({_BUCKET_SQL}) * q.n_total < q.n_min * 100
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents doc JOIN quota q ON doc.lang = q.lang
+    )
+    SELECT lang, CAST(MAX(n_total) AS BIGINT) AS n_total,
+           CAST(MAX(n_min) AS BIGINT) AS quota,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(keep) AS DOUBLE) / CAST(MAX(n_total) AS DOUBLE)
+             AS realized
+    FROM d GROUP BY lang
+    """,
+    tags=("curation", "mixture"),
+)
+def curation_balance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven mixture balancing: downsample every language toward the
+    smallest language's count (uniform target mixture) via the same md5
+    hash threshold — keep iff bucket·n_total < n_min·100, i.e. keep
+    probability ≈ n_min/n_total, entirely in exact bigint arithmetic.
+
+    Scale shape: pass 1 is a tiny per-language count (broadcast back as
+    the quota table); pass 2 is a narrow map + aggregate over the corpus.
+    No per-stratum sort, no window, no shuffle of sampled rows — the
+    hash-threshold form replaces the rank-based quota sampler that would
+    serialize each stratum at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    nmin = counts.agg(F.min("n_total").alias("n_min"))
+    quota = counts.crossJoin(F.broadcast(nmin))
+    keep = F.when(_bucket100() * F.col("n_total") < F.col("n_min") * 100, 1).otherwise(
+        0
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(quota), "lang")
+        .select("lang", "n_total", "n_min", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_total").cast("bigint").alias("n_total"),
+            F.max("n_min").cast("bigint").alias("quota"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            (F.sum("keep").cast("double") / F.max("n_total").cast("double")).alias(
+                "realized"
+            ),
+        )
+    )

@@ -212,3 +212,30 @@ def test_similarity_family_array_native(spark):
         import re
         gens = len(re.findall(r"\(\d+\) Generate\b", plan))
         assert gens == 1, f"{name}: {gens} Generate nodes"
+
+
+def test_curation_family_scale_shape(spark):
+    """Curation plans hold their 100 TB shape: sequence packing's only
+    single-partition stage is the per-bucket offset table (|corpus|/64
+    rows) — the corpus running sum is partitioned BY bucket and offsets
+    come back via broadcast; contamination broadcasts the (small by
+    nature) benchmark shingle set and never shuffle-joins the corpus;
+    the two hash-threshold samplers have no window/sort at all and take
+    their quota tables by broadcast."""
+    plan = explain_str(REGISTRY["curation_pack_sequences"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SinglePartition") == 1
+    assert "hashpartitioning(bucket" in plan
+
+    plan = explain_str(
+        REGISTRY["curation_benchmark_contamination"].fn(spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+    for name in ("curation_stratified_sample", "curation_balance_mixture"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
+        assert "Window" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
