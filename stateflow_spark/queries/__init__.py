@@ -71,6 +71,7 @@ _DEMOTED = [
     "dedup_embedding_cosine",
     "window_distribution_functions",
     "window_range_frame",
+    "window_lag_lead_events",
     "setops_intersect_all",
     "setops_except_all",
     "agg_distinct_counts",

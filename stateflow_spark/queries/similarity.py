@@ -354,3 +354,135 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+# --- Random-hyperplane LSH (sign-LSH / SRP) ---------------------------------
+# Plane coefficients are hash-derived Rademacher (±1) values from pure
+# integer arithmetic both engines share: r(p, d) = +1 iff
+# ((p·131 + d) · 2654435761) mod 2³² has its top bit set — no RNG, no
+# stored plane table, bit-identical in Spark and DuckDB. Projections are
+# decimal-exact folds, so the SIGN of every projection (hence every
+# signature bit) is engine-independent: the banding decision itself is
+# hash-gated, like dedup's minhash-LSH oracle.
+_SRP_BANDS = 3
+_SRP_BAND_BITS = 4  # 3 bands × 4 planes = 12 planes, 16 buckets per band
+
+
+def _srp_plane(p: int) -> F.Column:
+    """Plane p as a ±1.0 array matching the vector's length."""
+    return F.expr(
+        f"""transform(sequence(0, size(v) - 1),
+            d -> IF(pmod(({p} * 131 + d) * 2654435761, 4294967296)
+                        >= 2147483648,
+                    CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))"""
+    )
+
+
+def _srp_band_sig(band: int) -> F.Column:
+    """4-bit band signature of column `v`: bit j = sign of the decimal-
+    exact projection onto plane (band·4 + j)."""
+    sig = F.lit(0)
+    for j in range(_SRP_BAND_BITS):
+        p = band * _SRP_BAND_BITS + j
+        bit = F.when(dot_dec("v", _srp_plane(p)) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        sig = sig + bit
+    return sig
+
+
+@register(
+    "sim_hyperplane_lsh",
+    oracle=f"""
+    WITH ex AS ({_EX_SQL}),
+    planes AS (
+        SELECT p, pos,
+               CASE WHEN ((p * 131 + (pos - 1)) * 2654435761) % 4294967296
+                         >= 2147483648
+                    THEN 1.0 ELSE -1.0 END AS r
+        FROM (SELECT unnest(range(0, {_SRP_BANDS * _SRP_BAND_BITS})) AS p)
+        CROSS JOIN (SELECT DISTINCT pos FROM ex) xp
+    ),
+    proj AS (
+        SELECT ex.vec_id, pl.p,
+               CAST(SUM(CAST(ex.x * pl.r AS DECIMAL(38,12))) AS DOUBLE) AS s
+        FROM ex JOIN planes pl USING (pos)
+        GROUP BY ex.vec_id, pl.p
+    ),
+    sigs AS (
+        SELECT vec_id, p // {_SRP_BAND_BITS} AS band,
+               CAST(SUM(CASE WHEN s > 0
+                        THEN 1 << (p % {_SRP_BAND_BITS}) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM proj GROUP BY vec_id, p // {_SRP_BAND_BITS}
+    ),
+    qsig AS (SELECT band, sig FROM sigs WHERE vec_id = 0),
+    cand AS (
+        SELECT DISTINCT s.vec_id
+        FROM sigs s JOIN qsig q ON s.band = q.band AND s.sig = q.sig
+        WHERE s.vec_id <> 0
+    ),
+    qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
+    dots AS (
+        SELECT ex.vec_id,
+               CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS DOUBLE) AS norm2
+        FROM ex JOIN cand USING (vec_id) JOIN qx USING (pos)
+        GROUP BY ex.vec_id
+    ),
+    qn AS (SELECT CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS DOUBLE)
+                    AS qnorm2 FROM qx)
+    SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
+    FROM dots, qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "lsh", "ann"),
+)
+def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via banded random-hyperplane LSH: a corpus vector is a candidate
+    iff it lands in the query's bucket in ANY of the 3 bands (4 sign bits
+    per band — OR-amplified sign-LSH); exact cosine top-10 over candidates.
+
+    Scale shape: the query's 3 band signatures are THREE SCALARS on a
+    1-row broadcast, so candidate selection is a pure per-row PREDICATE —
+    sig_b(v) == qsig_b for any b — not a join: the plan is scan → 1-row
+    BNLJ → filter → fold → TakeOrdered, with zero shuffles before the
+    top-k gather. On a corpus partitioned/bucketed by band signature the
+    same predicate becomes partition pruning (read nbands buckets, skip
+    the rest) — the IVF alternative when no cluster labels exist.
+    Signature arithmetic is engine-exact (see _srp_plane), so the oracle
+    pins recall: a banding bug flips the hash gate, not just the score."""
+    corpus = _corpus(spark, sf_dir, fan_out=True)
+    qside = F.broadcast(
+        corpus.filter(F.col("vec_id") == 0).select(
+            F.col("v").alias("qv"),
+            norm2_dec("v").alias("qnorm2"),
+            *[
+                _srp_band_sig(b).alias(f"qs{b}")
+                for b in range(_SRP_BANDS)
+            ],
+        )
+    )
+    sigged = corpus.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "v",
+        *[_srp_band_sig(b).alias(f"s{b}") for b in range(_SRP_BANDS)],
+    )
+    match_any = None
+    for b in range(_SRP_BANDS):
+        m = F.col(f"s{b}") == F.col(f"qs{b}")
+        match_any = m if match_any is None else (match_any | m)
+    return (
+        sigged.crossJoin(qside)
+        .filter(match_any)
+        .select(
+            "vec_id",
+            (
+                dot_dec("v", "qv")
+                / (F.sqrt(norm2_dec("v")) * F.sqrt(F.col("qnorm2")))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -192,7 +192,7 @@ def test_similarity_family_array_native(spark):
     allowed joins are broadcast (centroids / probed labels / the 1-or-20-
     row query side), and no join may hash on vec_id."""
     for name in ("sim_cosine_topk", "sim_centroid_distance",
-                 "sim_ivf_topk", "sim_knn_join"):
+                 "sim_ivf_topk", "sim_knn_join", "sim_hyperplane_lsh"):
         plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
         assert "SortMergeJoin" not in plan, name
         assert "ShuffledHashJoin" not in plan, name
@@ -201,11 +201,14 @@ def test_similarity_family_array_native(spark):
             # join build/probe keys print as 'Left keys'/'Right keys'
             if "keys" in ln and "vec_id" in ln:
                 raise AssertionError(f"{name}: join keyed on vec_id: {ln}")
-    # the cosine hot path never explodes: packed scan -> 1-row BNLJ ->
+    # the cosine hot paths never explode: packed scan -> 1-row BNLJ ->
     # per-row fold -> TakeOrdered. Zero Generate, zero aggregate shuffle.
-    plan = explain_str(REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR))
-    assert "Generate" not in plan
-    assert "TakeOrderedAndProject" in plan
+    # (hyperplane_lsh additionally has NO join at all: the band match is a
+    # per-row predicate against 3 broadcast scalars.)
+    for name in ("sim_cosine_topk", "sim_hyperplane_lsh"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
+        assert "Generate" not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
     # centroid/ivf confine the explode to the broadcast centroid build
     for name in ("sim_centroid_distance", "sim_ivf_topk"):
         plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
