@@ -67,10 +67,37 @@ def main(sf_dir: str) -> None:
     )
     print(f"5. token budget: {total.total_tokens} BPE-ish tokens")
 
-    # 6. embedding ANN: top-10 nearest to query vector 0 through the IVF
-    #    probe path (cluster pruning ≈ partition pruning at scale)
+    # 6. benchmark-contamination gate: drop docs sharing >=50% of their
+    #    shingles with the held-out benchmark set (broadcast predicate)
+    contam = REGISTRY["curation_benchmark_contamination"].fn(spark, sf_dir)
+    hot = contam.filter(F.col("contamination") >= 0.5).select("doc_id")
+    survivors = survivors.join(hot, "doc_id", "left_anti")
+    print(f"6. contamination gate: {survivors.count()} docs survive "
+          f"(dropped >=50% benchmark-overlap docs)")
+
+    # 7. mixture balancing: deterministic hash-threshold downsample toward
+    #    the smallest language (no rand(), reproducible across retries)
+    mix = REGISTRY["curation_balance_mixture"].fn(spark, sf_dir)
+    print("7. language mixture after balancing:")
+    for r in mix.orderBy("lang").collect():
+        print(f"   {r.lang}: {r.n_kept}/{r.n_total} kept "
+              f"(quota {r.quota}, realized {r.realized:.2f})")
+
+    # 8. sequence packing: fixed 256-token training sequences via the
+    #    distributed prefix sum
+    packs = REGISTRY["curation_pack_sequences"].fn(spark, sf_dir)
+    stats = packs.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.avg("fill_ratio").alias("avg_fill"),
+    ).collect()[0]
+    print(f"8. packing: {stats.n_packs} sequences of 256 tokens, "
+          f"mean fill {stats.avg_fill:.2f}")
+
+    # 9. embedding ANN: top-10 nearest to query vector 0 through the IVF
+    #    probe path (cluster pruning ≈ partition pruning at scale); the
+    #    label-free alternative is sim_hyperplane_lsh (banded sign-LSH)
     ann = REGISTRY["sim_ivf_topk"].fn(spark, sf_dir)
-    print("6. ANN top-10 (IVF, nprobe=3):")
+    print("9. ANN top-10 (IVF, nprobe=3):")
     for r in ann.collect():
         print(f"   vec {r.vec_id}: cosine {r.cosine:.4f}")
 

@@ -61,7 +61,7 @@ def _bucket100() -> F.Column:
            CAST(SUM(n_tokens) AS DOUBLE) / {PACK_BUDGET}.0 AS fill_ratio
     FROM c GROUP BY 1
     """,
-    tags=("curation", "packing"),
+    tags=("curation", "packing", "bench"),
 )
 def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs (in doc_id order) to fixed token-budget
@@ -132,7 +132,7 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM corpus c JOIN bench b USING (s)
     GROUP BY c.doc_id, c.n_shingles
     """,
-    tags=("curation", "contamination"),
+    tags=("curation", "contamination", "bench"),
 )
 def curation_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: fraction of each training doc's

@@ -366,10 +366,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-gated, like dedup's minhash-LSH oracle.
 _SRP_BANDS = 3
 _SRP_BAND_BITS = 4  # 3 bands × 4 planes = 12 planes, 16 buckets per band
-
-
 def _srp_plane(p: int) -> F.Column:
-    """Plane p as a ±1.0 array matching the vector's length."""
+    """Plane p as a ±1.0 array matching the vector's length.
+
+    The per-row transform re-derives the (constant) coefficients per
+    element; a measured alternative — a 256-long literal array sliced to
+    size(v) — was 3-4× SLOWER because CreateArray(256 literals) does not
+    constant-fold through a non-literal slice and re-materializes per row
+    per plane. The dominant cost either way is the decimal-exact fold,
+    which is the price of oracle-pinned signature bits; at production
+    scale signatures are computed once and STORED (the bucketed-layout
+    posture in the docstring below), not recomputed per query."""
     return F.expr(
         f"""transform(sequence(0, size(v) - 1),
             d -> IF(pmod(({p} * 131 + d) * 2654435761, 4294967296)
@@ -437,7 +444,7 @@ def _srp_band_sig(band: int) -> F.Column:
     ORDER BY cosine DESC, vec_id
     LIMIT 10
     """,
-    tags=("similarity", "lsh", "ann"),
+    tags=("similarity", "lsh", "ann", "bench"),
 )
 def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via banded random-hyperplane LSH: a corpus vector is a candidate
