@@ -1,0 +1,75 @@
+"""Bucketed-table layout: the co-located join/aggregation story at 100 TB.
+
+A fact-fact join (lineitem ⋈ orders on orderkey) shuffles BOTH sides on
+the join key every time it runs. At 100 TB that shuffle — not the join
+itself — is the dominant cost, and it repeats for every query in the
+workload that joins or aggregates on the same key. Bucketing moves that
+shuffle to WRITE time, once: `bucketBy(n, key)` hash-partitions files on
+disk, so every subsequent join/groupBy on the key reads co-located
+buckets and plans with ZERO exchanges (and with `sortBy`, zero sorts —
+the sort-merge join streams directly off the files).
+
+This is the Spark-native analog of the reference's keyed state
+partitioning (stateflow/runtime routes every event by entity key so
+operators never reshuffle state): here the *tables* are pre-routed by
+key. `tests/test_bucketing.py` pins the plans: bucketed self-route join
+→ no Exchange; bucketed+sorted → no Exchange and no Sort; bucketed
+groupBy → no Exchange before the final aggregate.
+
+Bucket-count sizing at the target scale: buckets are fixed at write time
+and each bucket must fit an executor's working memory at read time —
+100 TB / 4096 buckets ≈ 25 GB per bucket is too big; ~32k buckets keeps
+buckets in the low-GB range while staying far from the small-files
+regime. AQE cannot re-split a skewed bucket (bucketing bypasses
+exchange-level skew handling), so keys hot enough to overflow a bucket
+belong in a salted layout instead (queries/aggregates.py
+agg_salted_two_phase shows the pattern).
+
+Sort elision needs one more step: since Spark 3.0 a bucketed scan does
+not report its sortBy ordering unless
+`spark.sql.legacy.bucketedTableScan.outputOrdering=true`, because a
+bucket split across several sorted files still needs a merge. The
+pre-write repartition below produces exactly one file per bucket — the
+layout for which the flag is both safe and profitable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    path: str,
+    sort_keys: Sequence[str] | None = None,
+) -> None:
+    """Write `df` as an external parquet table bucketed on `keys`.
+
+    `sortBy` additionally sorts within each bucket file so downstream
+    sort-merge joins skip their Sort as well as their Exchange. Spark
+    only persists bucketing metadata through the catalog, hence
+    saveAsTable with an explicit external path rather than a bare
+    parquet write.
+
+    The pre-write repartition on the bucket keys makes each bucket a
+    SINGLE file (one writing task per bucket): the read side only
+    treats buckets as sorted when they're one file each — multiple
+    sorted files per bucket would need a merge, so Spark re-Sorts and
+    the sortBy is wasted. At 100 TB this repartition is the one-time
+    shuffle the layout exists to amortize."""
+    if sort_keys:
+        df = df.repartition(n_buckets, *keys)
+    w = df.write.format("parquet").bucketBy(n_buckets, *keys)
+    if sort_keys:
+        w = w.sortBy(*sort_keys)
+    w.option("path", path).mode("overwrite").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata only flows via the catalog)."""
+    return spark.table(table)

@@ -1,0 +1,105 @@
+"""Bucketed-layout plan gates: joins and aggregations over tables written
+with `storage.write_bucketed` must read co-located buckets — zero
+exchanges on the bucketed key, and zero sorts when the buckets are
+written sorted. This is the write-once-shuffle-never posture for the
+repeated fact-fact joins of a 100 TB workload (storage.py docstring)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stateflow_spark.catalog import load
+from stateflow_spark.storage import read_bucketed, write_bucketed
+from tests.conftest import SF_DIR
+from tests.test_plans import explain_str
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    """lineitem + orders bucketed (and in-bucket sorted) on orderkey.
+
+    Sorted-bucket scans only report their ordering to the planner under
+    spark.sql.legacy.bucketedTableScan.outputOrdering (off by default
+    since 3.0 because multi-file buckets would still need a merge);
+    write_bucketed guarantees one file per bucket, which is exactly the
+    layout the flag is safe and profitable for — see storage.py."""
+    prev = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    base = tmp_path_factory.mktemp("bucketed")
+    write_bucketed(
+        load(spark, SF_DIR, "lineitem"),
+        "li_b",
+        ["l_orderkey"],
+        N_BUCKETS,
+        str(base / "li"),
+        sort_keys=["l_orderkey"],
+    )
+    write_bucketed(
+        load(spark, SF_DIR, "orders"),
+        "ord_b",
+        ["o_orderkey"],
+        N_BUCKETS,
+        str(base / "ord"),
+        sort_keys=["o_orderkey"],
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prev)
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, bucketed):
+    """Same bucket count + same key on both sides: the sort-merge join
+    streams straight off the bucket files — no Exchange, no Sort."""
+    li = read_bucketed(spark, "li_b")
+    # at sf0.001 orders is broadcast-sized so Spark would pick BHJ; the
+    # merge hint reproduces the 100 TB planner choice (both sides too big
+    # to broadcast) that bucketing exists to serve
+    ords = read_bucketed(spark, "ord_b").hint("merge")
+    j = li.join(ords, li.l_orderkey == ords.o_orderkey).select(
+        "l_orderkey", "l_extendedprice", "o_orderdate"
+    )
+    plan = explain_str(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # in-bucket sortBy satisfies the SMJ's ordering requirement too
+    assert "(\n) Sort" not in plan and " Sort " not in plan, plan
+    # and the result is the same join Spark computes from raw parquet
+    raw = load(spark, SF_DIR, "lineitem").join(
+        load(spark, SF_DIR, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert j.count() == raw.count()
+
+
+def test_bucketed_groupby_no_exchange(spark, bucketed):
+    """Aggregation on the bucket key reuses the on-disk partitioning: the
+    final HashAggregate runs directly over the scan."""
+    agg = (
+        read_bucketed(spark, "li_b")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    plan = explain_str(agg)
+    assert "Exchange" not in plan, plan
+    assert agg.count() == (
+        load(spark, SF_DIR, "lineitem").select("l_orderkey").distinct().count()
+    )
+
+
+def test_unbucketed_baseline_does_shuffle(spark, bucketed):
+    """Control: the identical join from raw parquet carries two exchanges —
+    the cost bucketing moved to write time."""
+    li = load(spark, SF_DIR, "lineitem")
+    ords = load(spark, SF_DIR, "orders")
+    plan = explain_str(
+        li.join(ords, li.l_orderkey == ords.o_orderkey).select(
+            "l_orderkey", "o_orderdate"
+        )
+    )
+    assert "Exchange" in plan
