@@ -60,7 +60,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # the r05 prefix, so family-level freshness holds) plus r03-stamped
 # window_distribution_functions; tests/test_oracle.py still checks every
 # oracled query locally each run.
-_PROMOTED = ["dedup_connected_components"]
+_PROMOTED = ["dedup_connected_components", "join_range_view_clicks"]
 _DEMOTED = [
     # curation.py imports dedup helpers, so the whole dedup family
     # registers at the head; the unchanged r04-green dedup tail rotates
@@ -73,12 +73,17 @@ _DEMOTED = [
     "window_range_frame",
     "window_lag_lead_events",
     "setops_intersect_all",
+    "setops_union_all_counts",
     "setops_except_all",
     "agg_distinct_counts",
 ]
 _order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
-for name, after in ((p, "dedup_jaccard_stop_shingle") for p in _PROMOTED):
-    _order.insert(_order.index(after) + 1, name)
+_ANCHORS = {
+    "dedup_connected_components": "dedup_jaccard_stop_shingle",
+    "join_range_view_clicks": "curation_balance_mixture",  # NEW round 5
+}
+for name in _PROMOTED:
+    _order.insert(_order.index(_ANCHORS[name]) + 1, name)
 _order += _DEMOTED
 assert set(_order) == set(REGISTRY) and len(_order) == len(REGISTRY)
 _by_name = dict(REGISTRY)

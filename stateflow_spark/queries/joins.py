@@ -92,3 +92,74 @@ def join_full_outer_part_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(rev, "revenue", 6))
     )
+
+
+_RANGE_S = 3600  # interval width: clicks within 1 hour after a view
+_RANGE_US = _RANGE_S * 1_000_000
+
+
+@register(
+    "join_range_view_clicks",
+    oracle=f"""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS micros_between
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts
+     AND epoch_us(c.ts) <= epoch_us(v.ts) + {_RANGE_US}
+    """,
+    tags=("join", "range"),
+)
+def join_range_view_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every (view, click) pair by the same user with the
+    click inside (view.ts, view.ts + 1 h] — the one-to-MANY range join
+    (the as-of join above is its one-to-one cousin).
+
+    Spark has no range-join operator, and the naive inequality join plans
+    as a per-user nested loop — quadratic on hot users, dead at 100 TB.
+    The scale-safe composition: bin timestamps into interval-width
+    buckets; an in-range click is always in the view's bin or the next
+    one, so duplicating each VIEW row into (bin, bin+1) turns the range
+    join into an EQUI-join on (user_id, bin) + an exact residual filter.
+    Cost: 2× one side + a hash-partitioned join whose candidate volume is
+    bounded by events per adjacent window — never all-pairs. A click's
+    single bin meets a view's two distinct bins at most once, so no
+    dedup pass is needed. Same bins both engines: integer `div` on
+    epoch microseconds."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            us.alias("v_us"),
+            F.expr(f"unix_micros(ts) div {_RANGE_US}").alias("b0"),
+        )
+        .select(
+            "view_id",
+            "user_id",
+            "v_us",
+            F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("jb"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        us.alias("c_us"),
+        F.expr(f"unix_micros(ts) div {_RANGE_US}").alias("jb"),
+    )
+    return (
+        views.join(clicks, ["user_id", "jb"])
+        .filter(
+            (F.col("c_us") > F.col("v_us"))
+            & (F.col("c_us") <= F.col("v_us") + _RANGE_US)
+        )
+        .select(
+            "view_id",
+            "click_id",
+            "user_id",
+            (F.col("c_us") - F.col("v_us")).alias("micros_between"),
+        )
+    )

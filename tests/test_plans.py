@@ -242,3 +242,14 @@ def test_curation_family_scale_shape(spark):
         assert "Window" not in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The interval join must plan as a hash/merge EQUI-join on
+    (user_id, bin) — a BroadcastNestedLoopJoin/CartesianProduct here
+    means the inequality predicate became the join itself (quadratic on
+    hot users)."""
+    plan = explain_str(REGISTRY["join_range_view_clicks"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "jb" in plan  # the bin rides the join keys
