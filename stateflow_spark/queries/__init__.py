@@ -74,6 +74,7 @@ _DEMOTED = [
     "window_lag_lead_events",
     "setops_intersect_all",
     "setops_union_all_counts",
+    "setops_except",
     "setops_except_all",
     "agg_distinct_counts",
 ]

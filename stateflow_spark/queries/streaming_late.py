@@ -158,3 +158,72 @@ def stream_append_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream(spark, agg, "append")
+
+
+# one two-file replay re-serve of the events table per (process, sf_dir)
+_REPLAY_CACHE: dict[str, str] = {}
+
+
+def _replay_src(spark: SparkSession, sf_dir: str) -> str:
+    """Serve the events table TWICE (00-original, 01-replay with a later
+    mtime): a deterministic at-least-once redelivery — every event is
+    delivered in batch 0 and redelivered verbatim in batch 1."""
+    src = _REPLAY_CACHE.get(sf_dir)
+    if src is not None and os.path.isdir(src):
+        return src
+    src = tempfile.mkdtemp(prefix="stream-replay-src-")
+    tmp = tempfile.mkdtemp(prefix="stream-replay-one-")
+    load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    for i, tag in enumerate(("original", "replay")):
+        dst = os.path.join(src, f"{i:02d}-{tag}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    shutil.rmtree(tmp, ignore_errors=True)
+    _REPLAY_CACHE[sf_dir] = src
+    return src
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM events
+    """,
+    tags=("streaming", "events", "dedup", "watermark"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup over at-least-once delivery: the
+    events table is served twice (full verbatim replay in the second
+    micro-batch) and ``dropDuplicatesWithinWatermark`` on event_id emits
+    each event exactly once — the sink equals the plain events table,
+    which IS the oracle: a dedup regression doubles the row count and a
+    state-eviction bug drops rows, both hash-gated.
+
+    The watermark delay is sized from the data (event-time span + slack)
+    so no dedup state is evicted before the replay arrives — the
+    determinism condition for a FULL-corpus replay. Production sizes the
+    delay to the at-least-once redelivery horizon instead (seconds to
+    minutes for a Kafka source), which is what bounds the state: keys
+    older than the delay are evicted, so state is O(events per horizon),
+    not O(corpus). The unbounded-state alternative (plain
+    dropDuplicates) never evicts and dies at 100 TB; this form is the
+    production posture."""
+    from stateflow_spark.queries.streaming_events import _run_stream
+
+    src = _replay_src(spark, sf_dir)
+    lo, hi = load(spark, sf_dir, "events").agg(
+        F.min("ts"), F.max("ts")
+    ).first()
+    span_h = int((hi - lo).total_seconds() // 3600) + 2
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    dd = (
+        stream.withWatermark("ts", f"{span_h} hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    return _run_stream(spark, dd, "append")
