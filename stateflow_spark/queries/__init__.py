@@ -77,6 +77,7 @@ _DEMOTED = [
     "setops_except",
     "setops_except_all",
     "agg_distinct_counts",
+    "agg_variance_exact",
 ]
 _order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
 _ANCHORS = {

@@ -222,3 +222,35 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,  # sketch outputs are engine-specific; rows-only driver
+    # check — the accuracy contract is pinned locally instead
+    # (tests/test_sketches.py: HLL error vs exact, quantile rank bounds)
+    tags=("agg", "sketch", "approx"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates per event_type: HyperLogLog++ distinct
+    users (approx_count_distinct, rsd 2%) and t-digest-style value
+    quantiles (percentile_approx) next to their exact twins.
+
+    This is the 100 TB cardinality posture: exact COUNT(DISTINCT user)
+    shuffles every distinct key (the `expand` fan-out when combined with
+    other aggregates); the HLL sketch is a few KB per group, merges
+    associatively map-side, and is exact enough (±rsd) for monitoring /
+    planning use. The exact columns exist at test scale to expose the
+    error; a production query ships only the sketch columns. DuckDB's
+    approx functions use different sketch parameters, so there is no
+    cross-engine oracle — the driver does a rows-only check and
+    tests/test_sketches.py pins the accuracy contract."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("approx_p50"),
+        F.expr("percentile_approx(value, 0.99, 1000)").alias("approx_p99"),
+    )

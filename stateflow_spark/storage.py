@@ -73,3 +73,20 @@ def write_bucketed(
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table (bucket metadata only flows via the catalog)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """Write `df` hive-partitioned on `partition_cols` (directory-per-value
+    layout). The complement of bucketing: bucketing co-locates JOIN keys;
+    partitioning prunes SCAN ranges — a predicate on a partition column
+    becomes a directory listing filter, so a day query over a year of data
+    reads 1/365th of the files before a single row is decoded. Partition
+    columns must be low-cardinality (date, region, event_type — never a
+    key): each value is a directory, and a high-cardinality partition
+    column is the small-files failure mode. At 100 TB the standard layout
+    is partition-by-date THEN bucket-by-key within each partition."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -103,3 +103,31 @@ def test_unbucketed_baseline_does_shuffle(spark, bucketed):
         )
     )
     assert "Exchange" in plan
+
+
+def test_partitioned_layout_prunes_scan(spark, tmp_path):
+    """A date predicate over a date-partitioned layout must become a
+    PartitionFilter (directory pruning), reading exactly the matching
+    partitions — never a row filter over the full scan."""
+    from stateflow_spark.storage import write_partitioned
+
+    e = load(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(e, path, ["event_date"])
+
+    n_days = e.select("event_date").distinct().count()
+    one_day = e.agg(F.min("event_date")).first()[0]
+    q = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one_day))
+    plan = explain_str(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0], plan
+    # the scan's file index selects 1 of n_days partitions
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # partition count printed by the file index (version-dependent)
+        assert int(m.group(1)) == 1, plan
+    assert n_days > 1
+    assert q.count() == e.filter(F.col("event_date") == F.lit(one_day)).count()
