@@ -75,6 +75,7 @@ _DEMOTED = [
     "setops_intersect_all",
     "setops_union_all_counts",
     "setops_except",
+    "setops_intersect",
     "setops_except_all",
     "agg_distinct_counts",
     "agg_variance_exact",

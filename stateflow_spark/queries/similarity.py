@@ -493,3 +493,131 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+# --- int8 quantized scan + exact rerank -------------------------------------
+_QROUND = 127  # symmetric int8 range
+
+
+@register(
+    "sim_quantized_topk",
+    oracle=f"""
+    WITH ex AS ({_EX_SQL}),
+    scales AS (
+        SELECT vec_id, greatest(MAX(abs(x)), 1e-30) / {_QROUND} AS sc
+        FROM ex GROUP BY vec_id
+    ),
+    q AS (
+        SELECT ex.vec_id, ex.pos,
+               CAST(round(ex.x / s.sc) AS BIGINT) AS qx
+        FROM ex JOIN scales s USING (vec_id)
+    ),
+    qq AS (SELECT pos, qx AS qqx FROM q WHERE vec_id = 0),
+    qsc AS (SELECT sc AS qs FROM scales WHERE vec_id = 0),
+    approx AS (
+        SELECT q.vec_id,
+               SUM(q.qx * qq.qqx) * s.sc * qsc.qs AS ascore
+        FROM q JOIN qq USING (pos)
+        JOIN scales s ON s.vec_id = q.vec_id, qsc
+        WHERE q.vec_id <> 0
+        GROUP BY q.vec_id, s.sc, qsc.qs
+    ),
+    cand AS (
+        SELECT vec_id FROM approx ORDER BY ascore DESC, vec_id LIMIT 50
+    ),
+    qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
+    dots AS (
+        SELECT ex.vec_id,
+               CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS DOUBLE) AS norm2
+        FROM ex JOIN cand USING (vec_id) JOIN qx USING (pos)
+        GROUP BY ex.vec_id
+    ),
+    qn AS (SELECT CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS DOUBLE)
+                    AS qnorm2 FROM qx)
+    SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
+    FROM dots, qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "quantization", "ann"),
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-scan ANN: per-vector symmetric int8 quantization
+    (scale = max|v|/127), integer-dot candidate scoring, exact
+    decimal-cosine rerank of the top-50.
+
+    The 100 TB rationale is BANDWIDTH: a float32→int8 corpus is 4× less
+    data per scan, and the candidate pass is a pure int64 fold (exact —
+    no decimal needed, no summation-order concern), so the expensive
+    decimal cosine runs on 50 rows instead of the corpus. Quantization
+    arithmetic is engine-exact by construction: the scale is one IEEE
+    division of identical operands, round() is half-away-from-zero in
+    both engines, and the rounded values are integral doubles so the
+    int cast agrees despite the engines' different double→int rules.
+    Candidate-set ties at the top-50 boundary break on vec_id, so the
+    rerank input — hence the oracle — is fully pinned."""
+    c = (
+        _corpus(spark, sf_dir, fan_out=True)
+        .filter(F.col("vec_id") != 0)
+        .withColumn(
+            "sc",
+            F.greatest(
+                F.array_max(F.transform("v", lambda x: F.abs(x))),
+                F.lit(1e-30),
+            )
+            / _QROUND,
+        )
+        .withColumn(
+            "qv8",
+            F.transform("v", lambda x: F.round(x / F.col("sc")).cast("bigint")),
+        )
+    )
+    qside = F.broadcast(
+        _corpus(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .withColumn(
+            "qs",
+            F.greatest(
+                F.array_max(F.transform("v", lambda x: F.abs(x))),
+                F.lit(1e-30),
+            )
+            / _QROUND,
+        )
+        .select(
+            F.col("v").alias("qvec"),
+            "qs",
+            F.transform("v", lambda x: F.round(x / F.col("qs")).cast("bigint")).alias(
+                "qq8"
+            ),
+            norm2_dec("v").alias("qnorm2"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with("qv8", "qq8", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        c.crossJoin(qside)
+        .select(
+            "vec_id",
+            "v",
+            "qnorm2",
+            "qvec",
+            (idot * F.col("sc") * F.col("qs")).alias("ascore"),
+        )
+        .orderBy(F.col("ascore").desc(), F.col("vec_id"))
+        .limit(50)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            (
+                dot_dec("v", "qvec")
+                / (F.sqrt(norm2_dec("v")) * F.sqrt(F.col("qnorm2")))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
