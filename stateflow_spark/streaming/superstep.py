@@ -9,10 +9,13 @@ loop iteration is one Spark job (a superstep):
         → applyInPandas: per-key serial event handling (Arrow-batched)
         → state' rows + replies + hop events
 
-State stays distributed across all supersteps; only replies and in-flight
-hop events (a handful per active flow) come to the driver. Per-key serial
-execution inside a group gives the reference's single-writer-per-key
-consistency (stateful_operator per-key handling; AWS variant's lock,
+State AND in-flight hop events stay distributed across all supersteps
+(round 5: hops loop cluster-side straight into the next cogroup; the
+round-4 form collected them). Only replies — the client-facing output,
+the reference's reply topic — come to the driver, plus one count per
+superstep as the loop condition. Per-key serial execution inside a group
+gives the reference's single-writer-per-key consistency
+(stateful_operator per-key handling; AWS variant's lock,
 aws/abstract_lambda.py:80-99); cross-key flows keep its non-isolated
 semantics.
 
@@ -195,23 +198,30 @@ class SuperstepRuntime:
             state_df = self.spark.createDataFrame([], STATE_SCHEMA)
 
         result = RunResult()
-        pending = list(events)
-        while pending:
+        events_df = self._events_df(events)
+        n_pending = len(events)
+        while n_pending:
             result.supersteps += 1
             if result.supersteps > self.max_supersteps:
                 raise RuntimeError(
                     f"flows still in flight after {self.max_supersteps} supersteps"
                 )
-            events_df = self._events_df(pending)
             out = (
                 events_df.groupBy("entity", "key")
                 .cogroup(state_df.groupBy("entity", "key"))
                 .applyInPandas(step, OUT_SCHEMA)
                 .persist()
             )
-            # replies + hops are tiny (one row per request / in-flight flow);
-            # state stays distributed
-            small = out.filter(out.kind != "state").collect()
+            # replies are the client-facing output (the reference's reply
+            # topic) — the ONLY rows that reach the driver. Hop events loop
+            # CLUSTER-SIDE: the out rows already carry EVENT_SCHEMA, so the
+            # hop filter feeds the next superstep's cogroup directly —
+            # in-flight flow payloads never round-trip through the driver
+            # (the round-4 form collected them; only their count comes back
+            # now, as the loop condition).
+            for r in out.filter(out.kind == "reply").collect():
+                ev = self.serde.from_bytes(bytes(r.blob))
+                result.replies[ev.event_id] = ev
             # localCheckpoint truncates lineage — without it every superstep's
             # plan chains all previous ones (heap blow-up, replanning cost);
             # checkpointing the whole `out` instead (one materialization)
@@ -222,15 +232,13 @@ class SuperstepRuntime:
                 .select("entity", "key", "blob")
                 .localCheckpoint()
             )
+            events_df = (
+                out.filter(out.kind == "hop")
+                .select("entity", "key", "seq", "blob")
+                .localCheckpoint()
+            )
             out.unpersist()
-
-            pending = []
-            for r in small:
-                ev = self.serde.from_bytes(bytes(r.blob))
-                if r.kind == "reply":
-                    result.replies[ev.event_id] = ev
-                else:
-                    pending.append(ev)
+            n_pending = events_df.count()
 
         result.state_df = state_df
         return result
