@@ -1,8 +1,9 @@
 """Distributed execution of the entity engine on Spark.
 
-- superstep.py: BSP batch-iterative runtime (state as a distributed
-  DataFrame; flow hops loop through the driver like the reference's
-  `internal` Kafka topic loops through the broker).
+- superstep.py: BSP batch-iterative runtime (state AND in-flight flow
+  hops live as distributed DataFrames across supersteps; only replies
+  reach the driver — the analog of the reference's `reply` Kafka topic,
+  with hops looping cluster-side like its `internal` topic).
 - windows.py / stateful.py: Structured Streaming faces (event-time windows,
   dedup, applyInPandasWithState operator).
 """
