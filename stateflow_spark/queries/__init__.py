@@ -72,6 +72,7 @@ _DEMOTED = [
     "window_distribution_functions",
     "window_range_frame",
     "window_lag_lead_events",
+    "window_rank_customers_by_balance",
     "setops_intersect_all",
     "setops_union_all_counts",
     "setops_except",

@@ -107,6 +107,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Normalization applied before fingerprinting: lowercase, strip
+# non-alphanumerics (keeping spaces), collapse whitespace runs, trim.
+# Identical regex semantics in Spark (Java regex) and DuckDB (RE2) for
+# these patterns; lower() agrees on ASCII and is a no-op elsewhere.
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', ''), ' +', ' '))"
+)
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "dedup_normalized",
+    oracle=f"""
+    SELECT md5({_NORM_DUCK}) AS fp,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies,
+           CAST(MIN(len({_NORM_DUCK})) AS BIGINT) AS norm_len
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact", "normalize"),
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: canonicalize text (lowercase,
+    strip punctuation, collapse whitespace) BEFORE fingerprinting, so
+    trivially-reformatted copies collapse onto one canonical doc — the
+    standard step between raw exact dedup and near-dup detection.
+
+    Same scale shape as dedup_exact (one shuffle on a uniform md5 key);
+    the normalization itself is three JVM-side regex passes in the scan
+    projection, no Python. Both engines apply byte-identical regex
+    semantics for these patterns, so the oracle pins the normalization,
+    not just the grouping."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.expr(_NORM_SPARK)
+    return d.groupBy(F.md5(norm).alias("fp")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.length(norm)).cast("bigint").alias("norm_len"),
+    )
+
+
 # Shared CTE chain: exact-Jaccard dup pairs (the dedup_ngram_jaccard
 # result) as a named CTE `dup`, reused verbatim by the connected-components
 # oracle so both gates replay identical pair arithmetic.
