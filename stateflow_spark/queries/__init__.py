@@ -50,16 +50,20 @@ from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 
 # Import order only groups families; the driver-checked 50-query prefix is
-# pinned EXPLICITLY here (registration order within dedup.py would otherwise
-# strand the NEW dedup_connected_components behind the 50-cut). Promoted
-# into the prefix this round: dedup_connected_components (new) and the NEW
-# curation family (registered right after entity_stream_replay by import
-# order — no promotion needed, it's already inside the 50).  Rotated out to
-# make room for the 4 curation rows + connected_components: one row each
-# from windows/setops×2/aggregates (every demoted family keeps ≥4 rows in
-# the r05 prefix, so family-level freshness holds) plus r03-stamped
-# window_distribution_functions; tests/test_oracle.py still checks every
-# oracled query locally each run.
+# pinned EXPLICITLY here. Round-5 prefix contents: everything NEW this
+# round (sim_hyperplane_lsh, sim_quantized_topk, stream_append_late_drop,
+# stream_dedup_watermark, entity_stream_replay, the 4 curation rows,
+# join_range_view_clicks, dedup_normalized, dedup_connected_components,
+# dedup_jaccard_stop_shingle, agg_approx_sketches), everything REWRITTEN
+# this round (the sim_* array-native family, the dedup jaccard pair
+# chain), and every r03-stamped family needing a fresh stamp (all 22
+# TPC-H, windows, setops, aggregates). Rotated out to make room: the
+# UNCHANGED r04-green dedup tail (simhash/minhash/embedding — curation.py
+# imports dedup helpers, which registers the whole family at the head)
+# and one-to-three rows each from windows/setops/aggregates; every
+# demoted family keeps >=1 stamped row in the r05 prefix, so family-level
+# freshness holds, and tests/test_oracle.py checks every oracled query
+# locally each run regardless.
 _PROMOTED = ["dedup_connected_components", "join_range_view_clicks"]
 _DEMOTED = [
     # curation.py imports dedup helpers, so the whole dedup family
