@@ -253,3 +253,66 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(F.col("vs")) - 7).alias("n_windows"),
         )
     )
+
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 32  # stride (50% overlap)
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+        SELECT doc_id, w,
+               unnest(range(0, (len(w) + {_CHUNK_S - 1}) // {_CHUNK_S}))
+                 AS chunk_idx
+        FROM w
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_S} AS BIGINT) AS start_tok,
+           CAST(len(list_slice(w, chunk_idx * {_CHUNK_S} + 1,
+                               chunk_idx * {_CHUNK_S} + {_CHUNK_W}))
+                AS BIGINT) AS n_tok,
+           md5(array_to_string(list_slice(w, chunk_idx * {_CHUNK_S} + 1,
+                                          chunk_idx * {_CHUNK_S} + {_CHUNK_W}),
+                               ' ')) AS chunk_hash
+    FROM c
+    """,
+    tags=("text", "chunking"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 32-token
+    stride) — the doc→training-sequence / RAG-passage splitter. Emits
+    (doc_id, chunk_idx, start, length, content hash) per chunk; the hash
+    doubles as the chunk-level dedup key downstream.
+
+    The word array is pinned behind the same keyed-aggregate barrier as
+    dedup._shingles_df: the chunk explode multiplies rows by ~len/stride,
+    and with ``w = split(text)`` inlined by generate-filter pushdown every
+    post-explode slice(w, ...) would re-split the document — O(len²/S)
+    per doc, the exact trap SCALING.md documents for minhash. Behind the
+    barrier each chunk row slices a materialized array. One explode, no
+    joins, no aggregation: embarrassingly parallel at any scale."""
+    n_part = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    w = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .groupBy("doc_id")
+        .agg(F.first("w").alias("w"))
+    )
+    chunks = w.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.expr(f"sequence(0, (size(w) + {_CHUNK_S - 1}) div {_CHUNK_S} - 1)")
+        ).alias("ci"),
+    )
+    sl = f"slice(w, ci * {_CHUNK_S} + 1, {_CHUNK_W})"
+    return chunks.select(
+        "doc_id",
+        F.col("ci").cast("bigint").alias("chunk_idx"),
+        (F.col("ci") * _CHUNK_S).cast("bigint").alias("start_tok"),
+        F.expr(f"size({sl})").cast("bigint").alias("n_tok"),
+        F.md5(F.expr(f"concat_ws(' ', {sl})")).alias("chunk_hash"),
+    )
