@@ -84,6 +84,7 @@ _DEMOTED = [
     "setops_except_all",
     "agg_distinct_counts",
     "agg_variance_exact",
+    "agg_grouping_sets",
 ]
 _order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
 _ANCHORS = {

@@ -17,7 +17,11 @@ from pyspark.sql.window import Window
 
 from stateflow_spark.catalog import load
 from stateflow_spark.queries.common import register
-from stateflow_spark.queries.dedup import _SHINGLE_SQL, _shingles_df
+from stateflow_spark.queries.dedup import (
+    _JACCARD_PAIR_CTES as _JACCARD_CTES,
+    _SHINGLE_SQL,
+    _shingles_df,
+)
 
 PACK_BUDGET = 256  # tokens per packed training sequence
 PACK_BUCKET = 64  # doc_ids per prefix-sum bucket
@@ -281,5 +285,118 @@ def curation_balance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("keep").cast("double") / F.max("n_total").cast("double")).alias(
                 "realized"
             ),
+        )
+    )
+
+
+# --- composed end-to-end pipeline -------------------------------------------
+_CONTAM_DROP = 0.5  # drop docs sharing >= half their shingles with benchmark
+
+
+@register(
+    "curation_full_pipeline",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    dupb AS (SELECT DISTINCT doc_b AS doc_id FROM dup),
+    canon AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 49 = 0
+    ),
+    cor AS (
+        SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+               unnest(shingles) AS s
+        FROM sh WHERE doc_id % 49 <> 0
+    ),
+    hot AS (
+        SELECT c.doc_id
+        FROM cor c JOIN bench b USING (s)
+        GROUP BY c.doc_id, c.n_shingles
+        HAVING CAST(COUNT(*) AS DOUBLE) / CAST(c.n_shingles AS DOUBLE)
+               >= {_CONTAM_DROP}
+    ),
+    surv AS (
+        SELECT d.lang, len(string_split(d.text, ' ')) AS n_tokens
+        FROM documents d
+        JOIN canon USING (doc_id)
+        WHERE len(string_split(d.text, ' ')) BETWEEN 20 AND 2000
+          AND CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(d.text, ' ')) AS DOUBLE) > 0.25
+          AND d.doc_id NOT IN (SELECT doc_id FROM dupb)
+          AND d.doc_id NOT IN (SELECT doc_id FROM hot)
+    ),
+    totals AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+    SELECT t.lang, CAST(t.n_total AS BIGINT) AS n_total,
+           COUNT(s.lang) AS n_kept,
+           CAST(COALESCE(SUM(s.n_tokens), 0) AS BIGINT) AS tokens_kept,
+           CAST(COUNT(s.lang) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+             AS kept_ratio
+    FROM totals t LEFT JOIN surv s ON s.lang = t.lang
+    GROUP BY t.lang, t.n_total
+    """,
+    tags=("curation", "pipeline"),
+)
+def curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation sweep composed as ONE DataFrame plan: exact-dedup
+    canonicals ∩ quality gate ∩ not-near-duplicate (exact-Jaccard pairs,
+    the dedup_ngram_jaccard chain) ∩ not-benchmark-contaminated — then
+    per-language corpus accounting. What the demo script narrates step by
+    step, as a single Catalyst-optimized query with a single composed
+    oracle.
+
+    Plan shape: the quality gate is an inline predicate (no join); the
+    canonical set semi-joins on doc_id; the near-dup and contaminated
+    sets are SMALL by construction (bounded by dup pairs / hot docs) and
+    anti-join broadcast; language totals broadcast back over the final
+    aggregate. One pass over the corpus plus the bounded dedup/contam
+    side pipelines — the composition adds no shuffle beyond its parts."""
+    from stateflow_spark.queries.dedup import _jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ntok = F.size(toks)
+    quality = ntok.between(20, 2000) & (
+        F.size(F.array_distinct(toks)).cast("double") / ntok.cast("double")
+        > 0.25
+    )
+    canon = (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    dupb = (
+        _jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    hot = (
+        curation_benchmark_contamination(spark, sf_dir)
+        .filter(F.col("contamination") >= _CONTAM_DROP)
+        .select("doc_id")
+    )
+    surv = (
+        d.filter(quality)
+        .join(canon, "doc_id", "left_semi")
+        .join(F.broadcast(dupb), "doc_id", "left_anti")
+        .join(F.broadcast(hot), "doc_id", "left_anti")
+        .select("lang", ntok.cast("bigint").alias("n_tokens"))
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = surv.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    return (
+        totals.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+            (
+                F.coalesce("n_kept", F.lit(0)).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("kept_ratio"),
         )
     )
