@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 from stateflow_spark.catalog import load
 from stateflow_spark.queries.common import register
 from stateflow_spark.queries.dedup import (
-    _JACCARD_PAIR_CTES as _JACCARD_CTES,
+    _MINHASH_ORACLE,
     _SHINGLE_SQL,
     _shingles_df,
 )
@@ -296,8 +296,8 @@ _CONTAM_DROP = 0.5  # drop docs sharing >= half their shingles with benchmark
 @register(
     "curation_full_pipeline",
     oracle=f"""
-    WITH {_JACCARD_CTES},
-    dupb AS (SELECT DISTINCT doc_b AS doc_id FROM dup),
+    WITH sh AS ({_SHINGLE_SQL}),
+    dupb AS (SELECT DISTINCT doc_b AS doc_id FROM ({_MINHASH_ORACLE})),
     canon AS (
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ),
@@ -339,11 +339,17 @@ _CONTAM_DROP = 0.5  # drop docs sharing >= half their shingles with benchmark
 )
 def curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation sweep composed as ONE DataFrame plan: exact-dedup
-    canonicals ∩ quality gate ∩ not-near-duplicate (exact-Jaccard pairs,
-    the dedup_ngram_jaccard chain) ∩ not-benchmark-contaminated — then
-    per-language corpus accounting. What the demo script narrates step by
-    step, as a single Catalyst-optimized query with a single composed
-    oracle.
+    canonicals ∩ quality gate ∩ not-near-duplicate ∩ not-benchmark-
+    contaminated — then per-language corpus accounting. What the demo
+    script narrates step by step, as a single Catalyst-optimized query
+    with a single composed oracle.
+
+    The near-dup source is minhash-LSH (candidate-bounded, the scale
+    path — its full hash chain is replayed in the oracle), NOT the exact
+    Jaccard chain: composing exact Jaccard here inherited its
+    quadratic-in-posting-density term and took the pipeline from 2.4 s
+    to 19.9 s across the sf0.1→sf1 decade; with LSH the pipeline tracks
+    its parts (SCALING.md).
 
     Plan shape: the quality gate is an inline predicate (no join); the
     canonical set semi-joins on doc_id; the near-dup and contaminated
@@ -351,7 +357,7 @@ def curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join broadcast; language totals broadcast back over the final
     aggregate. One pass over the corpus plus the bounded dedup/contam
     side pipelines — the composition adds no shuffle beyond its parts."""
-    from stateflow_spark.queries.dedup import _jaccard_pairs
+    from stateflow_spark.queries.dedup import dedup_minhash_lsh
 
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -366,7 +372,7 @@ def curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     dupb = (
-        _jaccard_pairs(spark, sf_dir)
+        dedup_minhash_lsh(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
