@@ -131,3 +131,69 @@ def test_partitioned_layout_prunes_scan(spark, tmp_path):
         assert int(m.group(1)) == 1, plan
     assert n_days > 1
     assert q.count() == e.filter(F.col("event_date") == F.lit(one_day)).count()
+
+
+def test_lsh_index_layout_probe_is_partition_pruned(spark, tmp_path):
+    """The stored form of sim_hyperplane_lsh: precompute each vector's 3
+    band signatures ONCE, store the banded table (3 rows per vector)
+    hive-partitioned by (band, sig), and a query probe — 3 (band, sig)
+    lookups — becomes pure partition pruning: it reads 3 directories of
+    the 3×16 and decodes nothing else. This is the 'signatures are
+    computed once and stored as the bucketing layout' posture the inline
+    query's docstring promises, demonstrated."""
+    from pyspark.sql import functions as FF
+
+    from stateflow_spark.queries.similarity import _SRP_BANDS, _srp_band_sig
+    from stateflow_spark.storage import write_partitioned
+
+    corpus = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", FF.col("embedding").cast("array<double>").alias("v"))
+    )
+    banded = None
+    for b in range(_SRP_BANDS):
+        part = corpus.select(
+            "vec_id", FF.lit(b).alias("band"), _srp_band_sig(b).alias("sig")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    path = str(tmp_path / "lsh_index")
+    write_partitioned(banded, path, ["band", "sig"])
+
+    qsigs = {
+        b: corpus.filter(FF.col("vec_id") == 0)
+        .select(_srp_band_sig(b).alias("s"))
+        .first()
+        .s
+        for b in range(_SRP_BANDS)
+    }
+    idx = spark.read.parquet(path)
+    probe_pred = None
+    for b, s in qsigs.items():
+        m = (FF.col("band") == b) & (FF.col("sig") == s)
+        probe_pred = m if probe_pred is None else (probe_pred | m)
+    probe = idx.filter(probe_pred)
+    plan = explain_str(probe)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "band" in pf[0] and "sig" in pf[0], plan
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:
+        assert int(m.group(1)) <= _SRP_BANDS, plan
+    # the probed candidate set equals the inline query's band-match set
+    inline = (
+        corpus.select(
+            "vec_id",
+            *[_srp_band_sig(b).alias(f"s{b}") for b in range(_SRP_BANDS)],
+        )
+        .filter(
+            (FF.col("s0") == qsigs[0])
+            | (FF.col("s1") == qsigs[1])
+            | (FF.col("s2") == qsigs[2])
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    got = {r.vec_id for r in probe.select("vec_id").distinct().collect()}
+    want = {r.vec_id for r in inline.collect()}
+    assert got == want
