@@ -342,3 +342,64 @@ def scalar_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt("o_totalprice").alias("price_sqrt"),
         (F.col("o_orderkey") % 7).alias("key_mod"),
     )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH first AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_trunc('week', f.t0) AS TIMESTAMP) AS cohort_week,
+               (epoch_us(e.ts)
+                - epoch_us(CAST(date_trunc('week', f.t0) AS TIMESTAMP)))
+                 // {_WEEK_US} AS week_n
+        FROM events e JOIN first f USING (user_id)
+        WHERE e.ts >= f.t0
+    )
+    SELECT cohort_week, CAST(week_n AS BIGINT) AS week_n,
+           COUNT(*) AS n_active_users
+    FROM act GROUP BY cohort_week, week_n
+    """,
+    tags=("events", "cohorts", "retention"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by signup week, counted as
+    active in each subsequent week they produced any event — the
+    (cohort_week, week_n, n_active_users) triangle behind every retention
+    curve.
+
+    Shapes: the first-signup table is one aggregate over the signup
+    subset (small — one row per user), joined back on user_id (AQE
+    broadcasts it at test scale; at 100 TB it's a co-partitioned shuffle
+    join on the same key the DISTINCT then reuses). Week arithmetic is
+    integer `div` on epoch microseconds against the week-truncated cohort
+    start, so both engines bin identically — no double rounding."""
+    e = load(spark, sf_dir, "events")
+    first = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    act = (
+        e.join(first, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .select(
+            "user_id",
+            F.date_trunc("week", "t0").alias("cohort_week"),
+            F.expr(
+                f"(unix_micros(ts) - unix_micros(date_trunc('week', t0)))"
+                f" div {_WEEK_US}"
+            ).alias("week_n"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
