@@ -146,3 +146,24 @@ def test_superstep_state_persistence(spark, tmp_path):
     res2 = rt2.run([ev], state_df=restored)
     state = res2.collect_state()
     assert state[("User", "persist-u1")]["balance"] == 40
+
+
+def test_superstep_max_supersteps_guard(spark):
+    """A flow still in flight past the bound must fail loudly, not spin —
+    pinned against the round-5 cluster-resident hop loop (the guard now
+    trips on the hop COUNT, the payloads never reach the driver)."""
+    init_u = operator.make_init_event("User", ("sguard-u",))
+    init_i = operator.make_init_event("Item", ("sguard-i", 5))
+    rt = SuperstepRuntime(spark)
+    res = rt.run([init_u, init_i])
+    uref = res.result_of(init_u)
+    iref = res.result_of(init_i)
+    res = rt.run(
+        [operator.make_invoke_event(uref, "update_balance", (20,)),
+         operator.make_invoke_event(iref, "update_stock", (4,))],
+        state_df=res.state_df,
+    )
+    buy = operator.make_invoke_event(uref, "buy_item", (3, iref))
+    tight = SuperstepRuntime(spark, max_supersteps=1)
+    with pytest.raises(RuntimeError, match="supersteps"):
+        tight.run([buy], state_df=res.state_df)
