@@ -1,0 +1,76 @@
+"""Incremental materialized-aggregate maintenance: a watermarked streaming
+aggregate in UPDATE mode upserted into a parquet table per micro-batch
+must converge to exactly the batch aggregate of the full input."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+
+from stateflow_spark.catalog import load
+from stateflow_spark.queries.common import dsum
+from stateflow_spark.streaming.sinks import upsert_parquet_sink
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_upsert_sink_converges_to_batch_aggregate(spark, tmp_path):
+    # serve events as 3 files -> 3 micro-batches touching overlapping hours
+    src = str(tmp_path / "src")
+    e = load(spark, SF_DIR, "events")
+    e.repartition(3).write.mode("overwrite").parquet(src)
+
+    agg_of = lambda df: (
+        df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "total", 4),
+        )
+    )
+
+    table = str(tmp_path / "rollup")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="sink-ckpt-")
+    # watermark wider than the dataset's event-time span: the files are an
+    # arbitrary 3-way split, so a tight watermark would drop whichever
+    # rows happen to trail a max-advancing batch — this test pins the
+    # SINK's convergence, not late-drop policy (stream_append_late_drop
+    # hash-gates that separately)
+    sink = upsert_parquet_sink(table, ["hour", "event_type"])
+    batches = []
+
+    def merge(df, bid):
+        batches.append(bid)
+        sink(df, bid)
+
+    q = (
+        agg_of(stream.withWatermark("ts", "960 hours"))
+        .writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"sink_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    stored = spark.read.parquet(table)
+    batch = agg_of(e)
+    assert len(batches) >= 3  # the merge really ran incrementally
+    assert _rows(stored) == _rows(batch)
+    # and the swap left no stale side directories behind
+    assert not os.path.isdir(table + ".old")
