@@ -1,7 +1,8 @@
 """Training-data curation queries over `documents` — the dataset-assembly
 surface a 100 TB pretraining pipeline needs on top of dedup/similarity/text:
 sequence packing, benchmark-contamination checking, deterministic stratified
-sampling, and data-driven mixture balancing.
+sampling, data-driven mixture balancing, and the composed end-to-end
+pipeline (curation_full_pipeline) that chains them with the dedup family.
 
 All sampling is HASH-threshold based (md5 of the doc key), never rand():
 deterministic, partitioning-independent, reproducible across engines — the
