@@ -85,6 +85,7 @@ _DEMOTED = [
     "agg_distinct_counts",
     "agg_variance_exact",
     "agg_grouping_sets",
+    "agg_rollup_region_nation",
 ]
 _order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
 _ANCHORS = {

@@ -407,3 +407,82 @@ def curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_ratio"),
         )
     )
+
+
+@register(
+    "curation_epoch_upsample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+    ), quota AS (
+        SELECT lang, n_total,
+               (SELECT MAX(n_total) FROM counts) AS n_max
+        FROM counts
+    ), d AS (
+        SELECT doc.lang, q.n_total, q.n_max,
+               q.n_max // q.n_total
+               + CASE WHEN ({_BUCKET_SQL}) * q.n_total
+                           < (q.n_max % q.n_total) * 100
+                      THEN 1 ELSE 0 END AS n_repeat
+        FROM documents doc JOIN quota q ON doc.lang = q.lang
+    ), emitted AS (
+        -- the 1000 bound caps the replayable epoch factor; a corpus
+        -- skewed beyond 1000x would need it raised (Spark side has no cap)
+        SELECT lang, n_total, n_max
+        FROM d, (SELECT unnest(range(0, 1000)) AS i)
+        WHERE i < n_repeat
+    )
+    SELECT lang, CAST(MAX(n_total) AS BIGINT) AS n_total,
+           CAST(MAX(n_max) AS BIGINT) AS n_target,
+           COUNT(*) AS n_emitted,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_max) AS DOUBLE)
+             AS fill
+    FROM emitted GROUP BY lang
+    """,
+    tags=("curation", "mixture", "upsample"),
+)
+def curation_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch upsampling — the complement of curation_balance_mixture:
+    repeat under-represented languages toward the LARGEST language's
+    count. Every doc gets floor(n_max/n_total) epochs; the fractional
+    remainder is covered by giving one extra epoch to a deterministic
+    hash-selected ~(n_max mod n_total)/n_total fraction of the stratum.
+    The repeated rows are actually MATERIALIZED (explode over a repeat
+    sequence) — the shape a training-data writer consumes; a trainer
+    that accepts sample weights would keep `n_repeat` as a column and
+    skip the explode.
+
+    Scale shape: tiny per-language count pass broadcast back, then one
+    corpus map + bounded fan-out (×n_max/n_total per row, the epoch
+    factor itself). Hash-threshold selection means the emitted multiset
+    is identical under any partitioning and across retries."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    nmax = counts.agg(F.max("n_total").alias("n_max"))
+    quota = counts.crossJoin(F.broadcast(nmax))
+    n_repeat = (
+        F.expr("n_max div n_total")
+        + F.when(
+            _bucket100() * F.col("n_total") < (F.col("n_max") % F.col("n_total")) * 100,
+            1,
+        ).otherwise(0)
+    )
+    emitted = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(quota), "lang")
+        .select("lang", "n_total", "n_max", n_repeat.alias("n_repeat"))
+        .select(
+            "lang",
+            "n_total",
+            "n_max",
+            F.explode(F.expr("sequence(1, n_repeat)")).alias("epoch"),
+        )
+    )
+    return emitted.groupBy("lang").agg(
+        F.max("n_total").cast("bigint").alias("n_total"),
+        F.max("n_max").cast("bigint").alias("n_target"),
+        F.count(F.lit(1)).alias("n_emitted"),
+        (F.count(F.lit(1)).cast("double") / F.max("n_max").cast("double")).alias(
+            "fill"
+        ),
+    )
