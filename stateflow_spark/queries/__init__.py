@@ -63,7 +63,10 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # and one-to-three rows each from windows/setops/aggregates; every
 # demoted family keeps >=1 stamped row in the r05 prefix, so family-level
 # freshness holds, and tests/test_oracle.py checks every oracled query
-# locally each run regardless.
+# locally each run regardless. Round-6 rotation front-runners: the two
+# round-5 queries that registered outside the prefix (text_chunking,
+# events_retention_cohorts — oracle-green locally, no driver row yet)
+# plus whichever r05-demoted rows their families can trade back in.
 _PROMOTED = ["dedup_connected_components", "join_range_view_clicks"]
 _DEMOTED = [
     # curation.py imports dedup helpers, so the whole dedup family
