@@ -14,7 +14,13 @@ import io
 from stateflow_spark.queries import REGISTRY
 from tests.conftest import SF_DIR
 
-RELATIONAL_TAGS = {"tpch", "join", "agg", "window", "setops"}
+# every BATCH family joins the no-cartesian sweep (streaming queries are
+# excluded: building their plan starts a stream); one-row scalar cross
+# joins must plan as BNLJ, never CartesianProduct
+RELATIONAL_TAGS = {
+    "tpch", "join", "agg", "window", "setops",
+    "curation", "events", "text", "dedup", "similarity", "multimodal",
+}
 
 
 def explain_str(df, mode: str = "formatted") -> str:
