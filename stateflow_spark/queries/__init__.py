@@ -89,6 +89,7 @@ _DEMOTED = [
     "agg_variance_exact",
     "agg_grouping_sets",
     "agg_rollup_region_nation",
+    "window_running_total",
 ]
 _order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
 _ANCHORS = {

@@ -621,3 +621,116 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+_KNN_NPROBE = 3  # clusters probed per query in the pruned k-NN join
+
+
+@register(
+    "sim_ivf_knn_join",
+    oracle=f"""
+    WITH ex AS ({_EX_SQL}),
+    labeled AS (
+        SELECT e.vec_id, emb.label, e.pos, e.x
+        FROM ex e JOIN embeddings emb ON emb.vec_id = e.vec_id
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS c
+        FROM labeled GROUP BY label, pos
+    ),
+    q AS (SELECT vec_id AS qid, pos, x AS qv FROM ex WHERE vec_id < 20),
+    probe AS (
+        SELECT qid, label FROM (
+            SELECT q.qid, cent.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY CAST(SUM(CAST(cent.c * q.qv
+                                    AS DECIMAL(38,12))) AS DOUBLE) DESC,
+                                cent.label) AS rnk
+            FROM cent JOIN q USING (pos)
+            GROUP BY q.qid, cent.label
+        ) WHERE rnk <= {_KNN_NPROBE}
+    ),
+    norms AS (
+        SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+        FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT p.qid, l.vec_id,
+               CAST(SUM(CAST(l.x * q.qv AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM labeled l
+        JOIN probe p ON p.label = l.label
+        JOIN q ON q.qid = p.qid AND q.pos = l.pos
+        WHERE l.vec_id <> p.qid
+        GROUP BY p.qid, l.vec_id
+    ),
+    scored AS (
+        SELECT dots.qid, dots.vec_id,
+               dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = dots.qid
+        JOIN norms nb ON nb.vec_id = dots.vec_id
+    )
+    SELECT qid, vec_id AS neighbor_id, cosine, rnk FROM (
+        SELECT qid, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("similarity", "ivf", "knn-join", "ann"),
+)
+def sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned k-NN JOIN: top-3 (approximate) neighbors for each of 20
+    query vectors, scoring only the {_KNN_NPROBE} clusters whose
+    centroids rank highest per query — the scale form of sim_knn_join,
+    whose exact version scores corpus × 20 rows. Here scoring volume is
+    corpus × (nprobe/nlist) × 20: the probe table (qid, label — 60 rows)
+    broadcasts against the label-carrying corpus, so each corpus row
+    multiplies only by the queries that probed ITS cluster. Recall is the
+    IVF trade (neighbors outside probed clusters are missed) and the
+    oracle replays the identical probe ranking, so the approximation
+    itself is hash-gated."""
+    cent = _centroids(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    qblock = F.broadcast(
+        corpus.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            norm2_dec("v").alias("qn2"),
+        )
+    )
+    wprobe = Window.partitionBy("qid").orderBy(
+        F.col("cdot").desc(), F.col("label")
+    )
+    probe = (
+        cent.crossJoin(qblock)
+        .select("qid", "label", dot_dec("cv", "qv").alias("cdot"))
+        .withColumn("rnk", F.row_number().over(wprobe))
+        .filter(F.col("rnk") <= _KNN_NPROBE)
+        .select("qid", "label")
+    )
+    labeled = _corpus(spark, sf_dir, with_label=True, fan_out=True).select(
+        "vec_id", "label", "v", norm2_dec("v").alias("n2")
+    )
+    scored = (
+        labeled.join(F.broadcast(probe), "label")
+        .join(F.broadcast(qblock.select("qid", "qv", "qn2")), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                dot_dec("v", "qv")
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+    )

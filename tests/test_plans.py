@@ -198,7 +198,8 @@ def test_similarity_family_array_native(spark):
     allowed joins are broadcast (centroids / probed labels / the 1-or-20-
     row query side), and no join may hash on vec_id."""
     for name in ("sim_cosine_topk", "sim_centroid_distance",
-                 "sim_ivf_topk", "sim_knn_join", "sim_hyperplane_lsh"):
+                 "sim_ivf_topk", "sim_knn_join", "sim_hyperplane_lsh",
+                 "sim_ivf_knn_join"):
         plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
         assert "SortMergeJoin" not in plan, name
         assert "ShuffledHashJoin" not in plan, name
