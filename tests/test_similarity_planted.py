@@ -1,0 +1,54 @@
+"""Planted-neighbor recall for the ANN family: a vector nearly identical
+to the query is planted in an otherwise random corpus; every search
+variant must return it as the top neighbor. Ground truth is constructed,
+not oracle-replayed."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from stateflow_spark.queries import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    rng = random.Random(11)
+    dim = 64
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    near = [x + 1e-6 for x in base]  # cosine ~ 1 - 1e-12
+    rows = [(0, base, 0), (1, near, 0)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 10)
+        for i in range(2, 102)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tmp_path_factory.mktemp("planted-emb")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sim_cosine_topk", "sim_hyperplane_lsh", "sim_quantized_topk"],
+)
+def test_planted_neighbor_is_top1(spark, planted, name):
+    rows = REGISTRY[name].fn(spark, planted).collect()
+    assert rows, name
+    top = rows[0]
+    assert top.vec_id == 1, (name, [(r.vec_id, r.cosine) for r in rows[:3]])
+    assert top.cosine > 0.999
+    # and the random corpus stays far away
+    assert all(r.cosine < 0.9 for r in rows[1:]), name
+
+
+def test_planted_neighbor_in_knn_join(spark, planted):
+    rows = REGISTRY["sim_knn_join"].fn(spark, planted).collect()
+    by_q = {(r.qid, r.rnk): r for r in rows}
+    # query 0's nearest neighbor is the planted vec 1, and vice versa
+    assert by_q[(0, 1)].neighbor_id == 1
+    assert by_q[(1, 1)].neighbor_id == 0
