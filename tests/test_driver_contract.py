@@ -1,0 +1,39 @@
+"""The driver contract (__spark_entry__.py) is the runtime surface the
+round driver consumes — pin its shape so a registry refactor can't
+silently break entry()/queries()/oracle_sql() alignment."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import __spark_entry__ as E
+from stateflow_spark.queries import REGISTRY
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    assert df.columns  # stable schema
+    assert len(df.collect()) > 0
+
+
+def test_queries_and_oracles_align():
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(qs) == set(REGISTRY)
+    assert set(osql) <= set(qs)
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+    # the rows-only set stays deliberate and tiny
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {"agg_approx_sketches"}, rows_only
+
+
+def test_validate_tool_smoke():
+    """tools/validate.py is the standalone correctness gate — keep it
+    runnable (fresh interpreter, real Spark session)."""
+    r = subprocess.run(
+        [sys.executable, "tools/validate.py", "--sf",
+         "/root/testdata/sf0.001", "dedup_exact"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    assert "MATCH dedup_exact" in r.stdout
