@@ -90,6 +90,7 @@ _DEMOTED = [
     "agg_grouping_sets",
     "agg_rollup_region_nation",
     "window_running_total",
+    "agg_cube_status_priority",
 ]
 _order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
 _ANCHORS = {

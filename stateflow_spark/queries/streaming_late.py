@@ -227,3 +227,71 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "ts", "value")
     )
     return _run_stream(spark, dd, "append")
+
+
+_ROLLUP_CACHE: dict[str, str] = {}
+
+
+@register(
+    "stream_incremental_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "sink", "incremental"),
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental materialized-aggregate sink, driver-visible: the
+    events table streams through three overlapping micro-batches, an
+    UPDATE-mode hourly aggregate is upserted per batch into a parquet
+    table (streaming/sinks.py), and the MAINTAINED TABLE is returned —
+    the oracle is the plain batch aggregate, so the merge's convergence
+    (not just the window math) is hash-gated.
+
+    The watermark spans the data so the split order can't drop rows:
+    this row gates the SINK; late-data policy is stream_append_late_drop's
+    job. Scale: each trigger's merge cost is O(stored + changed groups),
+    independent of raw event volume (sinks.py docstring)."""
+    import uuid
+
+    from stateflow_spark.streaming.sinks import upsert_parquet_sink
+
+    table = _ROLLUP_CACHE.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        base = tempfile.mkdtemp(prefix="stream-rollup-")
+        src = os.path.join(base, "src")
+        e = load(spark, sf_dir, "events")
+        e.repartition(3).write.mode("overwrite").parquet(src)
+        table = os.path.join(base, "rollup")
+        lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+        span_h = int((hi - lo).total_seconds() // 3600) + 2
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{span_h} hours")
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", "total_value", 4),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert_parquet_sink(table, ["hour", "event_type"]))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .queryName(f"rollup_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        _ROLLUP_CACHE[sf_dir] = table
+    return spark.read.parquet(table)
