@@ -121,3 +121,64 @@ def test_capped_jaccard_still_finds_real_near_dups(spark, hot_corpus_dir):
     # and no boilerplate-only pair leaked through
     hot_pairs = {p for p in pairs if p[0] < 100 and p[1] < 100}
     assert hot_pairs == set()
+
+
+def test_aqe_splits_skewed_relational_join(spark):
+    """The relational-join skew path: one hot key carrying 30k of 31k fact
+    rows. With AQE skew-join thresholds scaled to the test data, the final
+    adaptive plan must mark the sort-merge join's skewed side as split
+    (`skew=true`) — the runtime mitigation DEPLOY.md names for fact-fact
+    joins, demonstrated rather than assumed. (Dedup-side skew is handled
+    differently — posting caps, test above — because bucketed pair
+    expansion never goes through an exchange AQE could split.)"""
+    import pyspark.sql.functions as FF
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        fact = spark.range(60000).select(
+            FF.when(FF.col("id") < 58000, FF.lit(7))
+            .otherwise(FF.col("id"))
+            .alias("k"),
+            # payload survives the join (aggregated below), so the hot
+            # partition's bytes reflect the skew after column pruning
+            FF.concat(FF.lit("x" * 64), FF.col("id")).alias("payload"),
+        )
+        dim = spark.range(3000).select(
+            FF.col("id").alias("k"), FF.lit("d").alias("dv")
+        )
+        # aggregate on a key DIFFERENT from the join key: a skew split
+        # breaks the join output's hash partitioning, so AQE only applies
+        # it when the parent doesn't require that partitioning (an
+        # aggregate on k directly above the join legally suppresses the
+        # split — the same reason skewed BUCKETS can't be split at all,
+        # storage.py docstring)
+        j = fact.join(dim, "k").groupBy("dv").agg(
+            FF.count(FF.lit(1)).alias("n"), FF.max("payload").alias("p")
+        )
+        j.collect()  # AQE finalizes the plan at execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
