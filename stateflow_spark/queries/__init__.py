@@ -91,6 +91,7 @@ _DEMOTED = [
     "agg_rollup_region_nation",
     "window_running_total",
     "agg_cube_status_priority",
+    "agg_pandas_udaf_median",
 ]
 _order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
 _ANCHORS = {

@@ -734,3 +734,149 @@ def sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
     )
+
+
+# --- iterative k-means (fixed Lloyd iterations, exact oracle) ---------------
+_KM_K = 4  # seeds: vec_id 1..4
+_KM_ITERS = 3
+
+
+def _km_oracle() -> str:
+    """Generate the 3-iteration oracle: each Lloyd step is one CTE layer
+    (decimal-exact distances, ROW_NUMBER tie-break on centroid id), so the
+    ITERATION ITSELF is replayed — not just the final shape."""
+    seeds = ", ".join(str(i) for i in range(1, _KM_K + 1))
+    sql = f"""
+    WITH ex AS ({_EX_SQL}),
+    cent0 AS (
+        SELECT vec_id AS cid, pos, x AS c FROM ex WHERE vec_id IN ({seeds})
+    )"""
+    prev = "cent0"
+    for it in range(1, _KM_ITERS + 1):
+        sql += f""",
+    dist{it} AS (
+        SELECT ex.vec_id, {prev}.cid,
+               CAST(SUM(CAST((ex.x - {prev}.c) * (ex.x - {prev}.c)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS d
+        FROM ex JOIN {prev} USING (pos)
+        GROUP BY ex.vec_id, {prev}.cid
+    ),
+    asg{it} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rnk
+            FROM dist{it}
+        ) WHERE rnk = 1
+    ),
+    cent{it} AS (
+        SELECT a.cid, e.pos,
+               CAST(SUM(CAST(e.x AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS c
+        FROM ex e JOIN asg{it} a USING (vec_id)
+        GROUP BY a.cid, e.pos
+    )"""
+        prev = f"cent{it}"
+    # final result: per final cluster, member count + the decimal-exact
+    # squared norm of the final centroid (a scalar fingerprint of the
+    # full centroid vector)
+    sql += f"""
+    SELECT a.cid, COUNT(*) AS n_members, n2.cnorm2
+    FROM asg{_KM_ITERS} a
+    JOIN (
+        SELECT cid, CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE)
+                 AS cnorm2
+        FROM cent{_KM_ITERS} GROUP BY cid
+    ) n2 USING (cid)
+    GROUP BY a.cid, n2.cnorm2
+    """
+    return sql
+
+
+@register(
+    "sim_kmeans_iterations",
+    oracle=_km_oracle(),
+    tags=("similarity", "kmeans", "iterative"),
+)
+def sim_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means: 3 fixed Lloyd iterations from deterministic
+    seeds (vectors 1..4), every step decimal-exact so the DuckDB oracle
+    replays the ITERATIONS themselves — assignment ties break on centroid
+    id identically in both engines, hence identical trajectories.
+
+    Scale shape per iteration: centroids are a k-row broadcast; distances
+    are per-row zip_with folds against each broadcast centroid (k columns
+    of work, no explode, no pair shuffle); the argmin is a least(...)
+    comparison chain evaluated in the row (no window, no per-vector
+    aggregation); the centroid update is the same (cid, pos) partial/
+    final aggregate as _centroids. The whole 3-iteration plan is one
+    Catalyst tree — no driver loop state, no actions between steps; a
+    convergence-driven variant would localCheckpoint between rounds like
+    dedup_connected_components."""
+    corpus = _corpus(spark, sf_dir, fan_out=True)
+    seeds = F.broadcast(
+        corpus.filter(F.col("vec_id").between(1, _KM_K)).select(
+            F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        # pivot the k centroids into one broadcast row of k arrays, then
+        # compute k distances per corpus row and take the argmin inline
+        one = F.broadcast(
+            cent_df.groupBy().agg(
+                *[
+                    F.max(F.when(F.col("cid") == c, F.col("cv"))).alias(
+                        f"c{c}"
+                    )
+                    for c in range(1, _KM_K + 1)
+                ]
+            )
+        )
+        d = corpus.crossJoin(one)
+        dist_cols = [
+            sqdist_dec("v", f"c{c}").alias(f"d{c}")
+            for c in range(1, _KM_K + 1)
+        ]
+        d = d.select("vec_id", "v", *dist_cols)
+        # argmin with tie-break on centroid id: fold over (distance, cid)
+        best = F.expr(
+            "aggregate("
+            + "array("
+            + ", ".join(
+                f"struct(d{c} AS d, {c} AS cid)" for c in range(1, _KM_K + 1)
+            )
+            + "), cast(null as struct<d:double,cid:int>),"
+            + " (acc, x) -> IF(acc IS NULL OR x.d < acc.d, x, acc))"
+        )
+        return d.select("vec_id", "v", best.getField("cid").alias("cid"))
+
+    def update(asg_df: DataFrame) -> DataFrame:
+        ex = asg_df.select(
+            "cid", F.posexplode("v").alias("pos0", "x")
+        ).select("cid", (F.col("pos0") + 1).alias("pos"), "x")
+        cent = ex.groupBy("cid", "pos").agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("c")
+        )
+        return cent.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+
+    cent = seeds
+    asg = None
+    for _ in range(_KM_ITERS):
+        asg = assign(cent)
+        cent = update(asg)
+    n2 = cent.select("cid", norm2_dec("cv").alias("cnorm2"))
+    return (
+        asg.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(F.broadcast(n2), "cid")
+        .select("cid", "n_members", "cnorm2")
+    )
