@@ -35,6 +35,9 @@ layout for which the flag is both safe and profitable.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,3 +93,38 @@ def write_partitioned(
     column is the small-files failure mode. At 100 TB the standard layout
     is partition-by-date THEN bucket-by-key within each partition."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def compact(
+    spark: SparkSession, path: str, target_file_bytes: int = 256 * 1024 * 1024
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    new file count.
+
+    The small-files problem is the quiet scale killer on long-lived
+    tables: every micro-batch append and every over-parallel write adds
+    files, and a 100 TB table with 10 M files spends more time in footer
+    reads and task scheduling than in scans. Compaction is the periodic
+    fix; file count = ceil(on-disk bytes / target). The rewrite goes to a
+    temp dir with an atomic swap (same self-overwrite hazard as
+    streaming/sinks.py — a plan must never read the directory it is
+    writing). Partitioned layouts should compact per partition directory
+    (call this per leaf dir); bucketed tables must NOT be compacted this
+    way — their file-per-bucket layout IS the contract."""
+    import glob
+
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix=".compact-", dir=os.path.dirname(path) or ".")
+    out = os.path.join(tmp, "data")
+    df.repartition(n_files).write.mode("overwrite").parquet(out)
+    old = path + ".old"
+    os.rename(path, old)
+    os.rename(out, path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_files

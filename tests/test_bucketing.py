@@ -197,3 +197,24 @@ def test_lsh_index_layout_probe_is_partition_pruned(spark, tmp_path):
     got = {r.vec_id for r in probe.select("vec_id").distinct().collect()}
     want = {r.vec_id for r in inline.collect()}
     assert got == want
+
+
+def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
+    from stateflow_spark.storage import compact
+
+    path = str(tmp_path / "fragmented")
+    e = load(spark, SF_DIR, "events")
+    e.repartition(64).write.mode("overwrite").parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 32  # genuinely fragmented
+    checksum_before = spark.read.parquet(path).agg(
+        F.sum("event_id"), F.count("*")
+    ).first()
+    n = compact(spark, path, target_file_bytes=1 << 30)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert after == n == 1
+    assert spark.read.parquet(path).agg(
+        F.sum("event_id"), F.count("*")
+    ).first() == checksum_before
