@@ -52,3 +52,45 @@ def test_planted_neighbor_in_knn_join(spark, planted):
     # query 0's nearest neighbor is the planted vec 1, and vice versa
     assert by_q[(0, 1)].neighbor_id == 1
     assert by_q[(1, 1)].neighbor_id == 0
+
+
+@pytest.fixture(scope="module")
+def planted_blobs(spark, tmp_path_factory):
+    """Four well-separated Gaussian blobs; seed vectors 1..4 land one per
+    blob, so 3 Lloyd iterations must recover blob membership exactly."""
+    rng = random.Random(31)
+    dim = 64
+    centers = []
+    for b in range(4):
+        c = [0.0] * dim
+        for d in range(16 * b, 16 * b + 16):
+            c[d] = 4.0
+        centers.append(c)
+    rows = []
+    vid = 1  # ids 1..4 are the first point of blobs 0..3 (the seeds)
+    sizes = [30, 25, 20, 15]
+    for b in range(4):
+        rows.append((vid, [x + rng.gauss(0, 0.1) for x in centers[b]], b))
+        vid += 1
+    for b in range(4):
+        for _ in range(sizes[b] - 1):
+            rows.append((vid, [x + rng.gauss(0, 0.3) for x in centers[b]], b))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tmp_path_factory.mktemp("planted-blobs")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d), dict(zip(range(1, 5), sizes))
+
+
+def test_kmeans_recovers_planted_blobs(spark, planted_blobs):
+    path, sizes = planted_blobs
+    rows = REGISTRY["sim_kmeans_iterations"].fn(spark, path).collect()
+    got = {r.cid: r.n_members for r in rows}
+    assert got == sizes, got
+    # centroids sit near the blob centers: ||c||^2 ~ 16 * 4^2 = 256
+    for r in rows:
+        assert 200 < r.cnorm2 < 300, r
