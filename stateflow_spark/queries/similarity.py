@@ -796,7 +796,7 @@ def _km_oracle() -> str:
 @register(
     "sim_kmeans_iterations",
     oracle=_km_oracle(),
-    tags=("similarity", "kmeans", "iterative", "bench"),
+    tags=("similarity", "kmeans", "iterative"),
 )
 def sim_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means: 3 fixed Lloyd iterations from deterministic
