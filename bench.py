@@ -54,13 +54,14 @@ def main() -> None:
                 times[name] = t
     times = {name: round(t, 4) for name, t in times.items()}
 
-    # streaming-path bench (BASELINE.md): YCSB A and T over the distributed
-    # entity engine — 1000 Zipf(0.99) ops on 100 entities, T = cross-entity
-    # transfer flows (the reference's own workload harness); best-of-2 like
-    # the relational queries
+    # streaming-path bench (BASELINE.md): YCSB A (update-heavy), B
+    # (read-heavy) and T (cross-entity transfer flows) over the
+    # distributed entity engine — 1000 Zipf(0.99) ops on 100 entities
+    # (the reference's own workload harness); best-of-2 like the
+    # relational queries
     from stateflow_spark import ycsb
 
-    for mix in ("a", "t"):
+    for mix in ("a", "b", "t"):
         key = f"ycsb_{mix}_superstep"
         times[key] = min(
             ycsb.run_superstep(spark, mix)["sec"] for _ in range(2)
