@@ -101,6 +101,14 @@ def main(sf_dir: str) -> None:
     for r in ann.collect():
         print(f"   vec {r.vec_id}: cosine {r.cosine:.4f}")
 
+    # 10. steps 1-6 again, as ONE registered Catalyst plan with a single
+    #     composed DuckDB oracle (curation_full_pipeline)
+    pipe = REGISTRY["curation_full_pipeline"].fn(spark, sf_dir)
+    print("10. the same sweep as one plan (curation_full_pipeline):")
+    for r in pipe.orderBy("lang").collect():
+        print(f"   {r.lang}: kept {r.n_kept}/{r.n_total} "
+              f"({r.tokens_kept} tokens)")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
