@@ -403,3 +403,83 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_n").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_obs,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS hour_avg
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM obs
+        GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1,
+               INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    )
+    SELECT g.user_id, g.hour,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           LAST_VALUE(o.hour_avg IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_avg
+    FROM grid g LEFT JOIN obs o USING (user_id, hour)
+    """,
+    tags=("events", "timeseries", "resample"),
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per user (bounded to ids < 20 for
+    a stable result size), an hourly grid from first to last observation,
+    each grid point carrying the decimal-exact average of that hour's
+    events, forward-filled across empty hours — the regularization step
+    before any downstream rolling-window feature.
+
+    Scale shape: the observed-hours aggregate is a normal partial/final
+    groupBy; the grid explode fans out to span/granularity rows per key
+    (bounded by TIME, not event volume — a year is 8,760 rows/key); the
+    forward fill is one window partitioned BY user (parallel across
+    keys, ordered within — never a global sort). Hourly averages rather
+    than last-event values make the fill deterministic without an
+    event-level tie-break."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    obs = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hour_avg"),
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.last("hour_avg", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+    )
