@@ -65,8 +65,9 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # freshness holds, and tests/test_oracle.py checks every oracled query
 # locally each run regardless. Round-6 rotation front-runners: the two
 # round-5 queries that registered outside the prefix (text_chunking,
-# events_retention_cohorts — oracle-green locally, no driver row yet)
-# plus whichever r05-demoted rows their families can trade back in.
+# events_retention_cohorts, events_resample_ffill — oracle-green locally
+# at sf0.01 AND sf1, no driver row yet) plus whichever r05-demoted rows
+# their families can trade back in.
 _PROMOTED = ["dedup_connected_components", "join_range_view_clicks"]
 _DEMOTED = [
     # curation.py imports dedup helpers, so the whole dedup family
