@@ -483,3 +483,67 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hour_avg", ignorenulls=True).over(w).alias("filled_avg"),
         )
     )
+
+
+@register(
+    "events_rolling_features",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_obs,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS hour_avg
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM obs
+        GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1,
+               INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    ),
+    filled AS (
+        SELECT g.user_id, g.hour,
+               COALESCE(o.n_obs, 0) AS n_obs,
+               LAST_VALUE(o.hour_avg IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_avg
+        FROM grid g LEFT JOIN obs o USING (user_id, hour)
+    )
+    SELECT user_id, hour,
+           CAST(SUM(n_obs) OVER w AS BIGINT) AS events_24h,
+           MAX(filled_avg) OVER w AS max_avg_24h
+    FROM filled
+    WINDOW w AS (PARTITION BY user_id ORDER BY hour
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "timeseries", "rolling"),
+)
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling features over the resampled series: trailing event
+    count and max hourly average per user-hour.
+
+    The resample step (events_resample_ffill) is what makes this cheap
+    AND exact: on the DENSE hourly grid a ROWS BETWEEN 23 PRECEDING
+    frame IS a 24-hour time frame — no RANGE frame (which Spark's window
+    exec evaluates without the sliding optimization) and no interval
+    arithmetic per row. Feature choice is deliberate: rolling COUNT
+    (integer) and rolling MAX (order-independent) are exact under any
+    frame evaluation strategy, unlike a rolling double SUM whose
+    accumulation order differs between engines."""
+    filled = events_resample_ffill(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(-23, 0)
+    )
+    return filled.select(
+        "user_id",
+        "hour",
+        F.sum("n_obs").over(w).cast("bigint").alias("events_24h"),
+        F.max("filled_avg").over(w).alias("max_avg_24h"),
+    )
