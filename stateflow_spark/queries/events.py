@@ -547,3 +547,58 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_obs").over(w).cast("bigint").alias("events_24h"),
         F.max("filled_avg").over(w).alias("max_avg_24h"),
     )
+
+
+@register(
+    "events_anomaly_hours",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_obs
+        FROM events
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, hour, n_obs,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n_obs DESC, hour) AS rnk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+        FROM hourly
+    )
+    SELECT event_type, hour, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(n_hours AS BIGINT) AS n_hours
+    FROM ranked
+    WHERE rnk <= CAST(ceil(0.01 * n_hours) AS BIGINT)
+    """,
+    tags=("events", "timeseries", "anomaly"),
+)
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous-volume hours: per event type, the top-1% busiest hours —
+    burst detection via exact order statistics.
+
+    The deliberate design point: no z-scores. A mean/stddev threshold
+    needs double aggregation whose value depends on summation order (and
+    is fragile to heavy tails anyway); rank-based flagging is exactly
+    reproducible on any engine and any partitioning — ROW_NUMBER with a
+    (count, hour) tie-break pins even the boundary rows. One groupBy +
+    one per-type window, both on the same key; at 100 TB the window
+    partitions by the series key exactly like every per-entity
+    analytic here."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.col("n_obs").desc(), F.col("hour")
+    )
+    wall = Window.partitionBy("event_type")
+    return (
+        hourly.withColumn("rnk", F.row_number().over(wrank))
+        .withColumn("n_hours", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rnk") <= F.ceil(0.01 * F.col("n_hours")))
+        .select(
+            "event_type",
+            "hour",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+        )
+    )
