@@ -64,10 +64,11 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # demoted family keeps >=1 stamped row in the r05 prefix, so family-level
 # freshness holds, and tests/test_oracle.py checks every oracled query
 # locally each run regardless. Round-6 rotation front-runners: the two
-# round-5 queries that registered outside the prefix (text_chunking,
-# events_retention_cohorts, events_resample_ffill — oracle-green locally
-# at sf0.01 AND sf1, no driver row yet) plus whichever r05-demoted rows
-# their families can trade back in.
+# round-5 queries without a driver row yet (text_chunking,
+# events_retention_cohorts, events_resample_ffill, events_rolling_features,
+# events_anomaly_hours, sim_kmeans_iterations*, dedup_pagerank — oracle-
+# green locally at sf0.01, several verified at sf1; *kmeans IS in the
+# prefix) plus whichever r05-demoted rows their families trade back in.
 _PROMOTED = ["dedup_connected_components", "join_range_view_clicks"]
 _DEMOTED = [
     # curation.py imports dedup helpers, so the whole dedup family
@@ -93,6 +94,10 @@ _DEMOTED = [
     "window_running_total",
     "agg_cube_status_priority",
     "agg_pandas_udaf_median",
+    # NEW round-5 rows that yield their prefix slot to the r03-stamped
+    # families and take the r06 rotation instead (oracle-green locally
+    # at sf0.01, several at sf1)
+    "dedup_pagerank",
 ]
 _order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
 _ANCHORS = {

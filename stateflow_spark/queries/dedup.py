@@ -843,3 +843,95 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("comp"))
         .alias("comp_size"),
     )
+
+
+# --- PageRank over the dup-pair graph (fixed iterations, exact oracle) ------
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pr_oracle() -> str:
+    """Generated 3-iteration PageRank oracle over the exact-Jaccard pair
+    graph — one CTE layer per iteration, decimal-exact contribution sums,
+    so the trajectory (not just the fixpoint shape) is replayed."""
+    sql = f"""
+    WITH {_JACCARD_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM dup
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM dup
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    prev = "r0"
+    for it in range(1, _PR_ITERS + 1):
+        sql += f""",
+    r{it} AS (
+        SELECT e.v AS node,
+               0.15 / (SELECT n FROM nn)
+               + {_PR_DAMP} * CAST(SUM(CAST({prev}.r / deg.d
+                    AS DECIMAL(38,12))) AS DOUBLE) AS r
+        FROM edges e
+        JOIN {prev} ON {prev}.node = e.u
+        JOIN deg ON deg.node = e.u
+        GROUP BY e.v
+    )"""
+        prev = f"r{it}"
+    sql += f"""
+    SELECT node AS doc_id, r AS pagerank FROM r{_PR_ITERS}
+    """
+    return sql
+
+
+@register(
+    "dedup_pagerank",
+    oracle=_pr_oracle(),
+    tags=("dedup", "graph", "pagerank"),
+)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) over the undirected
+    exact-Jaccard dup-pair graph — with connected components this
+    completes the two canonical distributed graph ops; on the dup graph
+    the rank orders each cluster's docs by how centrally duplicated they
+    are (the natural keeper-selection refinement over min-doc_id).
+
+    Exactness: contribution sums go through decimal(38,12) and every
+    division is IEEE on identical operands, so the 3-iteration
+    trajectory is bit-identical to the generated per-iteration CTE
+    oracle. Scale shape per iteration: one join of the edge list against
+    the rank vector (both keyed on the node — co-partitioned after the
+    first shuffle) and one aggregate; the convergence-driven variant
+    would localCheckpoint per round like dedup_connected_components."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+        pairs.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    ranks = nodes.crossJoin(nn).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.u == ranks.node)
+            .join(deg, deg.node == edges.u)
+            .select(
+                F.col("v"),
+                (F.col("r") / F.col("d")).cast("decimal(38,12)").alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("v").alias("node"))
+            .agg(F.sum("c").cast("double").alias("s"))
+            .crossJoin(nn)
+            .select(
+                "node",
+                (F.lit(0.15) / F.col("n") + _PR_DAMP * F.col("s")).alias("r"),
+            )
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank"))
