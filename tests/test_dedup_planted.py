@@ -86,3 +86,20 @@ def test_connected_components_clusters_the_planted_trio(spark, planted):
     sizes = {r.doc_id: r.comp_size for r in rows}
     assert sizes[1] == 3
     assert not {d for d in comp if d not in (1, 2, 3)}, comp
+
+
+def test_pagerank_ranks_the_cluster_center_highest(spark, planted):
+    """In the planted trio, d1 connects to BOTH d2 and d3 while d2-d3 are
+    also connected (all pairwise near-dups) — but d1 is the exact-copy
+    hub; with a symmetric triangle all three ranks are equal, so assert
+    the structural facts instead: ranks exist exactly for the trio, sum
+    to ~1 (within the damping leak), and are strictly positive."""
+    rows = REGISTRY["dedup_pagerank"].fn(spark, planted).collect()
+    ranks = {r.doc_id: r.pagerank for r in rows}
+    assert set(ranks) == {1, 2, 3}
+    assert all(v > 0 for v in ranks.values())
+    # symmetric triangle: uniform stationary distribution, preserved by
+    # every iteration — ranks identical across the trio
+    vals = sorted(ranks.values())
+    assert abs(vals[0] - vals[-1]) < 1e-12
+    assert abs(sum(vals) - 1.0) < 1e-9
