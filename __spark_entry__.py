@@ -31,7 +31,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted → driver rows-only check)."""
+    """DuckDB-equivalent SQL per query. The driver FAILS oracle-less rows
+    (err=no_oracle), so every registered query carries an oracle — even the
+    sketch aggregates, which emit exact twins + deterministic bound-check
+    booleans against literal TRUEs (aggregates.py:agg_approx_sketches)."""
     from stateflow_spark.queries import REGISTRY
 
     return {

@@ -224,33 +224,80 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_approx_sketches",
-    oracle=None,  # sketch outputs are engine-specific; rows-only driver
-    # check — the accuracy contract is pinned locally instead
-    # (tests/test_sketches.py: HLL error vs exact, quantile rank bounds)
-    tags=("agg", "sketch", "approx"),
-)
-def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates per event_type: HyperLogLog++ distinct
-    users (approx_count_distinct, rsd 2%) and t-digest-style value
-    quantiles (percentile_approx) next to their exact twins.
-
-    This is the 100 TB cardinality posture: exact COUNT(DISTINCT user)
-    shuffles every distinct key (the `expand` fan-out when combined with
-    other aggregates); the HLL sketch is a few KB per group, merges
-    associatively map-side, and is exact enough (±rsd) for monitoring /
-    planning use. The exact columns exist at test scale to expose the
-    error; a production query ships only the sketch columns. DuckDB's
-    approx functions use different sketch parameters, so there is no
-    cross-engine oracle — the driver does a rows-only check and
-    tests/test_sketches.py pins the accuracy contract."""
+def approx_sketch_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch aggregates per event_type — HLL++ distinct users
+    (approx_count_distinct, rsd 2%) and GK-summary value quantiles
+    (percentile_approx, accuracy 1000) beside their exact twins and the
+    exact rank bands the registered query checks them against. The raw
+    estimates are engine-specific, so this form is pinned locally
+    (tests/test_sketches.py); the registered query below reduces it to a
+    cross-engine-hashable shape."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.40)").alias("p40"),
+        F.expr("percentile(value, 0.60)").alias("p60"),
+        F.expr("percentile(value, 0.98)").alias("p98"),
+        F.max("value").alias("vmax"),
         F.expr("percentile_approx(value, 0.5, 1000)").alias("approx_p50"),
         F.expr("percentile_approx(value, 0.99, 1000)").alias("approx_p99"),
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS hll_within_3sd,
+           TRUE AS p50_in_band,
+           TRUE AS p99_in_band
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "sketch", "approx"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates per event_type: HyperLogLog++ distinct
+    users (approx_count_distinct, rsd 2%) and GK-summary value quantiles
+    (percentile_approx) next to their exact twins.
+
+    This is the 100 TB cardinality posture: exact COUNT(DISTINCT user)
+    shuffles every distinct key (the `expand` fan-out when combined with
+    other aggregates); the HLL sketch is a few KB per group, merges
+    associatively map-side, and is exact enough (±rsd) for monitoring /
+    planning use. The exact columns exist at test scale to expose the
+    error; a production query ships only the sketch columns.
+
+    Oracle contract: DuckDB's approx functions use different sketch
+    parameters, so the raw estimates can never hash-match. Instead the
+    query emits the EXACT aggregates plus deterministic bound-check
+    booleans — HLL estimate within 3·rsd of the exact distinct count,
+    approx quantiles inside exact rank bands (p40..p60 for the median:
+    accuracy=1000 bounds rank error at 0.1%, 100× tighter) — and the
+    oracle computes the exact sides with literal TRUEs. Both Spark
+    sketches are deterministic for a fixed input (HLL registers are an
+    order-independent max; the GK summary is merge-deterministic under a
+    fixed partitioning), so the booleans are stable round to round
+    (tests/test_sketches.py also pins determinism)."""
+    raw = approx_sketch_raw(spark, sf_dir)
+    return raw.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 3 * 0.02 * F.col("exact_users")
+        ).alias("hll_within_3sd"),
+        F.col("approx_p50").between(F.col("p40"), F.col("p60")).alias(
+            "p50_in_band"
+        ),
+        F.col("approx_p99").between(F.col("p98"), F.col("vmax")).alias(
+            "p99_in_band"
+        ),
     )

@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 class QueryDef:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]  # DuckDB SQL; None → driver does rows-only check
+    oracle: Optional[str]  # DuckDB SQL; None → driver marks the row FAIL
+    # (err=no_oracle), so every registered query must carry one — approx
+    # sketches hash exact twins + bound booleans vs literal TRUEs
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
 

@@ -22,9 +22,10 @@ def test_queries_and_oracles_align():
     assert set(qs) == set(REGISTRY)
     assert set(osql) <= set(qs)
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # the rows-only set stays deliberate and tiny
+    # every registered query carries an oracle: the driver FAILS oracle-less
+    # rows (r05's one red), so a registration without one is a bug here
     rows_only = set(qs) - set(osql)
-    assert rows_only == {"agg_approx_sketches"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_validate_tool_smoke():
