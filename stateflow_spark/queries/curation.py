@@ -321,7 +321,8 @@ _CONTAM_DROP = 0.5  # drop docs sharing >= half their shingles with benchmark
         SELECT d.lang, len(string_split(d.text, ' ')) AS n_tokens
         FROM documents d
         JOIN canon USING (doc_id)
-        WHERE len(string_split(d.text, ' ')) BETWEEN 20 AND 2000
+        WHERE d.doc_id % 49 <> 0
+          AND len(string_split(d.text, ' ')) BETWEEN 20 AND 2000
           AND CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
               / CAST(len(string_split(d.text, ' ')) AS DOUBLE) > 0.25
           AND d.doc_id NOT IN (SELECT doc_id FROM dupb)
@@ -383,7 +384,11 @@ def curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     surv = (
-        d.filter(quality)
+        # the benchmark subset itself (doc_id % 49 == 0) is the held-out
+        # EVAL set — it must never land in the training corpus, mirroring
+        # how curation_benchmark_contamination excludes it from scoring
+        # (round-5 ADVICE: keeping it contradicted the contamination gate)
+        d.filter((F.col("doc_id") % 49 != 0) & quality)
         .join(canon, "doc_id", "left_semi")
         .join(F.broadcast(dupb), "doc_id", "left_anti")
         .join(F.broadcast(hot), "doc_id", "left_anti")

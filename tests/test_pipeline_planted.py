@@ -73,6 +73,7 @@ def planted(spark, tmp_path_factory):
     return {
         "dir": str(d),
         "drop": {id_copy, id_near, id_lowq, id_cont},
+        "bench_ids": bench_ids,
         "n_docs": len(rows),
         "base": id_base,
     }
@@ -93,4 +94,9 @@ def test_pipeline_drops_exactly_the_planted_violations(spark, planted):
     out = REGISTRY["curation_full_pipeline"].fn(spark, planted["dir"]).collect()
     (row,) = out  # single language
     assert row.n_total == planted["n_docs"]
-    assert row.n_kept == planted["n_docs"] - len(planted["drop"])
+    # dropped: the 4 planted violations AND the benchmark eval docs
+    # themselves (doc_id % 49 == 0) — the held-out set must never end up
+    # inside the training corpus (round-5 ADVICE)
+    assert row.n_kept == (
+        planted["n_docs"] - len(planted["drop"]) - len(planted["bench_ids"])
+    )
