@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from stateflow_spark.catalog import load
 from stateflow_spark.queries.common import register
+from stateflow_spark.storage import unpersist_local_checkpoint
 
 JACCARD_THRESHOLD = 0.10
 
@@ -810,6 +811,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    prev_ckpt = labels  # the checkpointed DF itself (not a projection of it)
     for _ in range(_CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
@@ -828,6 +830,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         labels = relabeled.select("id", "comp")
+        # new round's labels are materialized: release the previous
+        # round's blocks so executor storage is O(1) in round count
+        unpersist_local_checkpoint(prev_ckpt)
+        prev_ckpt = relabeled
         if relabeled.filter("changed").limit(1).count() == 0:
             break
     else:

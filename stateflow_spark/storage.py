@@ -123,8 +123,34 @@ def compact(
     out = os.path.join(tmp, "data")
     df.repartition(n_files).write.mode("overwrite").parquet(out)
     old = path + ".old"
+    # clear a leftover `.old` from a crashed prior compaction before the
+    # swap — otherwise os.rename(path, old) raises ENOTEMPTY and every
+    # subsequent compaction fails until manual cleanup (round-5 ADVICE).
+    # The brief table-less window between the renames is inherent to
+    # dir-swap without renameat2(RENAME_EXCHANGE); compaction is an
+    # offline maintenance op, re-runnable after a crash.
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(out, path)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return n_files
+
+
+def unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor blocks behind a ``localCheckpoint()``-ed DataFrame.
+
+    Iterative algorithms (superstep engine, connected components,
+    convergence-driven PageRank) checkpoint per round to truncate lineage;
+    without an explicit release, every round's blocks stay pinned until the
+    driver GC + ContextCleaner get around to them, so executor storage grows
+    linearly with round count (round-5 ADVICE). The checkpointed RDD is the
+    ``rdd`` field of the LogicalRDD plan node (``private[sql]`` compiles to
+    a public accessor, so py4j can reach it). Best-effort: any non-
+    LogicalRDD input (first iteration's plain DataFrame) is a silent no-op
+    and falls back to GC-driven cleanup.
+    """
+    try:
+        df._jdf.logicalPlan().rdd().unpersist(False)
+    except Exception:
+        pass

@@ -58,6 +58,13 @@ def upsert_parquet_sink(
         out = os.path.join(tmp, "data")
         merged.write.mode("overwrite").parquet(out)
         old = path + ".old"
+        # a crash between the two renames below leaves a populated `.old`
+        # and no table at `path`; clear any such leftover FIRST so a
+        # wedged prior swap cannot fail this one with ENOTEMPTY forever
+        # (round-5 ADVICE). The table-less window between the renames is
+        # inherent to dir-swap without renameat2(RENAME_EXCHANGE); readers
+        # retry, and the batch itself re-runs from the checkpoint.
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(path):
             os.rename(path, old)
         os.rename(out, path)

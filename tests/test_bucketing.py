@@ -6,6 +6,8 @@ repeated fact-fact joins of a 100 TB workload (storage.py docstring)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -218,3 +220,17 @@ def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
     assert spark.read.parquet(path).agg(
         F.sum("event_id"), F.count("*")
     ).first() == checksum_before
+
+
+def test_compaction_recovers_from_crashed_swap(spark, tmp_path):
+    """A stale `.old` from a crashed prior compaction must not wedge the
+    next one (round-5 ADVICE)."""
+    from stateflow_spark.storage import compact
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(path)
+    os.makedirs(path + ".old")
+    spark.range(1).write.mode("overwrite").parquet(path + ".old")
+    compact(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.isdir(path + ".old")

@@ -167,3 +167,30 @@ def test_superstep_max_supersteps_guard(spark):
     tight = SuperstepRuntime(spark, max_supersteps=1)
     with pytest.raises(RuntimeError, match="supersteps"):
         tight.run([buy], state_df=res.state_df)
+
+
+def test_superstep_releases_prior_checkpoints(spark):
+    """Per-superstep localCheckpoints must be unpersisted as the loop
+    advances — executor storage is O(1) in superstep count, not O(rounds)
+    (round-5 ADVICE). Only the final state/events checkpoints (plus any
+    pre-existing persisted RDDs) may remain."""
+    def n_persistent():
+        return spark._jsc.sc().getPersistentRDDs().size()
+
+    init_u = operator.make_init_event("User", ("ckpt-u",))
+    init_i = operator.make_init_event("Item", ("ckpt-i", 9))
+    rt = SuperstepRuntime(spark)
+    res = rt.run([init_u, init_i])
+    uref, iref = res.result_of(init_u), res.result_of(init_i)
+    res = rt.run(
+        [operator.make_invoke_event(uref, "update_balance", (50,))],
+        state_df=res.state_df,
+    )
+    before = n_persistent()
+    for _ in range(4):  # 4 multi-superstep flows, ≥3 supersteps each
+        buy = operator.make_invoke_event(uref, "buy_item", (1, iref))
+        res = rt.run([buy], state_df=res.state_df)
+        assert res.supersteps >= 3
+    # each run leaves exactly its final state+events checkpoints; all
+    # intermediate rounds' blocks must be gone
+    assert n_persistent() <= before + 2, (before, n_persistent())

@@ -74,3 +74,22 @@ def test_upsert_sink_converges_to_batch_aggregate(spark, tmp_path):
     assert _rows(stored) == _rows(batch)
     # and the swap left no stale side directories behind
     assert not os.path.isdir(table + ".old")
+
+
+def test_upsert_sink_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the sink's two renames leaves a populated `.old`
+    dir (and possibly no table). The next merge must clear it and
+    proceed instead of failing with ENOTEMPTY forever (round-5 ADVICE)."""
+    table = str(tmp_path / "t")
+    df1 = spark.range(5).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 10
+    )
+    sink = upsert_parquet_sink(table, ["k"])
+    sink(df1, 0)
+    # simulate the crashed prior swap: table renamed aside, new data lost
+    os.rename(table, table + ".old")
+    assert not os.path.isdir(table)
+    sink(df1.withColumn("v", F.col("v") + 1), 1)
+    got = {(r.k, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(i, i * 10 + 1) for i in range(5)}
+    assert not os.path.isdir(table + ".old")
