@@ -908,8 +908,13 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     trajectory is bit-identical to the generated per-iteration CTE
     oracle. Scale shape per iteration: one join of the edge list against
     the rank vector (both keyed on the node — co-partitioned after the
-    first shuffle) and one aggregate; the convergence-driven variant
-    would localCheckpoint per round like dedup_connected_components."""
+    first shuffle) and one aggregate. The convergence-driven production
+    form is ``pagerank_converged`` below (localCheckpoint per round with
+    previous-round release, L∞ stopping rule, loud non-convergence) —
+    tested on planted hub/pendant graphs and on this dup graph
+    (tests/test_dedup_planted.py); it stays out of the registry because
+    a data-dependent round count cannot be replayed by a fixed CTE
+    oracle without rounding away the very values the gate hashes."""
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
         pairs.selectExpr("doc_b AS u", "doc_a AS v")
@@ -941,3 +946,93 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank"))
+
+
+def pagerank_converged(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = _PR_DAMP,
+    tol: float = 1e-6,
+    max_iters: int = 200,
+) -> DataFrame:
+    """Convergence-driven PageRank over an edge list (``src``, ``dst``) —
+    the production form of the registered fixed-3-iteration query
+    (``dedup_pagerank`` keeps fixed iterations because its value is a
+    bit-exact trajectory oracle; this variant runs until the rank vector
+    moves less than ``tol`` in L∞, the posture a real ranking job ships).
+
+    Same per-round lifecycle discipline as connected components:
+    ``localCheckpoint`` truncates the otherwise-compounding logical plan
+    each round, and the PREVIOUS round's blocks are released via
+    ``unpersist_local_checkpoint`` once the new round materializes —
+    executor storage is O(1) in round count (round-5 ADVICE). The
+    degree-weighted edge list is checkpointed ONCE and reused; the driver
+    sees one scalar (the L∞ delta) per round. Assumes every node has
+    out-degree >= 1 (true for any undirected/symmetrized edge list, e.g.
+    the dup-pair graph) — no dangling-mass redistribution term.
+
+    Fails loud after ``max_iters`` rather than returning a non-fixpoint.
+    Convergence rate is ~damping^k, so tol=1e-6 at damping 0.85 needs
+    ~80 rounds worst-case; near-clique dup components converge far
+    faster. For adversarial graphs the same large-star/small-star
+    literature cited on connected components applies."""
+    e = edges.toDF("src", "dst")
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # degree-weighted edges, materialized once — every round joins these
+    w_edges = (
+        e.join(deg, e.src == deg.node)
+        .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
+        .localCheckpoint()
+    )
+    nodes = deg.select("node")
+    n = nodes.count()
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n).alias("r")
+    ).localCheckpoint()
+    prev_ckpt = ranks
+    teleport = (1.0 - damping) / n
+    for _ in range(max_iters):
+        new_ranks = (
+            w_edges.join(ranks, w_edges.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (F.lit(teleport) + damping * F.sum(F.col("r") * F.col("w"))).alias(
+                    "r"
+                )
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(F.max(F.abs(F.col("a.r") - F.col("b.r"))).alias("d"))
+            .first()
+            .d
+        )
+        ranks = new_ranks
+        unpersist_local_checkpoint(prev_ckpt)
+        prev_ckpt = new_ranks
+        if delta < tol:
+            break
+    else:
+        raise RuntimeError(
+            f"pagerank did not converge to {tol} in {max_iters} rounds"
+        )
+    unpersist_local_checkpoint(w_edges)
+    return ranks
+
+
+def dup_graph_pagerank_converged(
+    spark: SparkSession, sf_dir: str, tol: float = 1e-6
+) -> DataFrame:
+    """Convergence-driven PageRank over the symmetrized exact-Jaccard
+    dup-pair graph — the production twin of ``dedup_pagerank``."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    return pagerank_converged(spark, edges, tol=tol).select(
+        F.col("node").alias("doc_id"), F.col("r").alias("pagerank")
+    )

@@ -103,3 +103,90 @@ def test_pagerank_ranks_the_cluster_center_highest(spark, planted):
     vals = sorted(ranks.values())
     assert abs(vals[0] - vals[-1]) < 1e-12
     assert abs(sum(vals) - 1.0) < 1e-9
+
+
+def test_pagerank_converged_hub_graph(spark):
+    """Planted star graph K_{1,8}: the convergence-driven variant must
+    (a) actually converge, (b) rank the hub strictly above every spoke,
+    (c) produce a rank vector summing to ~1, and (d) agree with a long
+    fixed-iteration power run to within the convergence tolerance."""
+    from stateflow_spark.queries.dedup import pagerank_converged
+
+    hub, spokes = 0, list(range(1, 9))
+    pairs = [(hub, s) for s in spokes]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    ranks = {
+        r.node: r.r
+        for r in pagerank_converged(spark, edges, tol=1e-9).collect()
+    }
+    assert set(ranks) == {hub, *spokes}
+    assert all(ranks[hub] > ranks[s] for s in spokes), ranks
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    # closed form for K_{1,n}: spoke = (0.15/N + 0.85*hub/n), hub =
+    # 0.15/N + 0.85*(sum of spokes' full rank) — check the fixpoint eqn
+    n = len(spokes) + 1
+    assert abs(ranks[hub] - (0.15 / n + 0.85 * sum(ranks[s] for s in spokes))) < 1e-8
+    for s in spokes:
+        assert abs(ranks[s] - (0.15 / n + 0.85 * ranks[hub] / len(spokes))) < 1e-8
+
+
+def test_pagerank_converged_matches_fixed_iterations_and_releases(spark):
+    """On the planted trio + a pendant node, the converged vector equals a
+    100-iteration power run to within tol, it FAILS LOUD when max_iters is
+    too small, and per-round checkpoints are released (persistent-RDD
+    count stays bounded)."""
+    import pytest as _pytest
+
+    from stateflow_spark.queries.dedup import pagerank_converged
+
+    # triangle 1-2-3 plus pendant 4 attached to 1 (asymmetric: real deltas)
+    und = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+
+    def n_persistent():
+        return spark._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    got = {
+        r.node: r.r
+        for r in pagerank_converged(spark, edges, tol=1e-10).collect()
+    }
+    # bounded: the result checkpoint (+ the degree-edge one freed at exit)
+    assert n_persistent() <= before + 2, (before, n_persistent())
+
+    # reference: long fixed-iteration power run, driver-side
+    deg = {1: 3, 2: 2, 3: 2, 4: 1}
+    r = {k: 0.25 for k in deg}
+    for _ in range(200):
+        nxt = {}
+        for k in deg:
+            incoming = [u for (u, v) in und + [(b, a) for a, b in und] if v == k]
+            nxt[k] = 0.15 / 4 + 0.85 * sum(r[u] / deg[u] for u in incoming)
+        r = nxt
+    for k in deg:
+        assert abs(got[k] - r[k]) < 1e-8, (k, got[k], r[k])
+    assert got[1] > got[2] > got[4]  # degree order: 3 > 2 > 1
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        pagerank_converged(spark, edges, tol=1e-12, max_iters=2)
+
+
+def test_dup_graph_converged_twin_covers_same_nodes(spark):
+    """The production convergence twin over the real sf0.001 dup graph:
+    same node set as the registered fixed-3 query, ranks sum to ~1."""
+    from stateflow_spark.queries.dedup import dup_graph_pagerank_converged
+    from tests.conftest import SF_DIR
+
+    fixed = {
+        r.doc_id for r in REGISTRY["dedup_pagerank"].fn(spark, SF_DIR).collect()
+    }
+    conv = {
+        r.doc_id: r.pagerank
+        for r in dup_graph_pagerank_converged(spark, SF_DIR).collect()
+    }
+    assert set(conv) == fixed
+    assert abs(sum(conv.values()) - 1.0) < 1e-6
