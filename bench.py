@@ -7,12 +7,18 @@
 Timing = full query execution into a noop sink (scan → compute → materialize
 every row, no driver collect), after a one-query JVM warmup.
 
-Each query is timed as best-of-2 over two full passes (the SCALING.md
-methodology): a single shared-session pass lets heavy headliners inflate
-their neighbors by 15-50% through GC/codegen-cache pressure (round-3 bench
-showed q1 +44% / q3 +51% vs round 2 with zero code change); the second pass
-re-measures every query against a session already perturbed by everything
-else, and the min is the uncontended figure.
+The headline set is computed from the registry's `bench` tags (COVERAGE.md
+documents which rows carry it and why kmeans deliberately doesn't).
+
+Noise posture (round-5 VERDICT #4: the driver's shared-machine run diverged
+70% from an idle re-run with zero code change): each query is timed as
+best-of-3 full passes — a single shared-session pass lets heavy headliners
+inflate their neighbors 15-50% through GC/codegen-cache pressure — then any
+query whose best two passes still disagree by >40% gets one extra isolated
+re-measure (co-located load rarely strikes the same query four times). The
+artifact carries the evidence: per-pass times for every query and the
+1-minute load average at start/end, so a contaminated run is visible in
+BENCH_r{N}.json itself rather than masquerading as a regression.
 """
 
 from __future__ import annotations
@@ -30,6 +36,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 BENCH_QUERIES = [name for name, qd in sorted(REGISTRY.items()) if "bench" in qd.tags]
 
+N_PASSES = 3
+DISPERSION = 0.40  # best two passes differ by more → one extra re-run
+
 
 def run_one(spark, name: str) -> float:
     fn = REGISTRY[name].fn
@@ -42,30 +51,36 @@ def run_one(spark, name: str) -> float:
 def main() -> None:
     spark = get_spark(app_name="stateflow-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    load_start = os.getloadavg()[0]
 
     # warmup: JVM/codegen/parquet-footer caches
     run_one(spark, "q6_forecast_revenue")
 
-    times: dict[str, float] = {}
-    for _pass in range(2):
+    passes: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _pass in range(N_PASSES):
         for name in BENCH_QUERIES:
-            t = run_one(spark, name)
-            if name not in times or t < times[name]:
-                times[name] = t
-    times = {name: round(t, 4) for name, t in times.items()}
+            passes[name].append(run_one(spark, name))
+
+    # dispersion guard: if even the two best passes disagree badly, the
+    # measurement window was contaminated — re-measure once more
+    for name in BENCH_QUERIES:
+        a, b = sorted(passes[name])[:2]
+        if b > a * (1 + DISPERSION):
+            passes[name].append(run_one(spark, name))
+
+    times = {name: round(min(ts), 4) for name, ts in passes.items()}
 
     # streaming-path bench (BASELINE.md): YCSB A (update-heavy), B
     # (read-heavy) and T (cross-entity transfer flows) over the
     # distributed entity engine — 1000 Zipf(0.99) ops on 100 entities
-    # (the reference's own workload harness); best-of-2 like the
-    # relational queries
+    # (the reference's own workload harness); best-of-2 like before
+    # (each pass is a full engine run, so 2 passes bound the cost)
     from stateflow_spark import ycsb
 
     for mix in ("a", "b", "t"):
         key = f"ycsb_{mix}_superstep"
-        times[key] = min(
-            ycsb.run_superstep(spark, mix)["sec"] for _ in range(2)
-        )
+        passes[key] = [ycsb.run_superstep(spark, mix)["sec"] for _ in range(2)]
+        times[key] = min(passes[key])
 
     total = round(sum(times.values()), 4)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -78,6 +93,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "passes": {
+                    name: [round(t, 3) for t in ts]
+                    for name, ts in passes.items()
+                },
+                "loadavg_1m": {
+                    "start": round(load_start, 2),
+                    "end": round(os.getloadavg()[0], 2),
+                },
             }
         )
     )
