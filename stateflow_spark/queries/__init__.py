@@ -1,6 +1,7 @@
 """Query registry: every implemented operator from SURVEY.md §2 registers a
-named query (Spark DataFrame builder) and, where ANSI SQL can express it, a
-DuckDB oracle string. The driver runs both sides at sf0.01 and hash-compares.
+named query (Spark DataFrame builder) and a DuckDB oracle string (the driver
+FAILS oracle-less rows, so every registration carries one). The driver runs
+both sides at sf0.01 and hash-compares.
 
 Import side effects populate ``REGISTRY``.
 """
@@ -9,37 +10,18 @@ from __future__ import annotations
 
 from stateflow_spark.queries.common import REGISTRY, QueryDef, register  # noqa: F401
 
-# Each module registers its queries on import.  Registration order matters:
-# the driver's correctness harness checks the first ~50 registered queries
-# per round, so the prefix holds (a) every family whose code CHANGED this
-# round and (b) the families longest without a fresh driver row. Local
+# Each module registers its queries on import; the driver-checked 50-query
+# prefix is pinned EXPLICITLY below (imports only group families). Local
 # tests/test_oracle.py checks ALL oracled queries every run regardless —
 # that is the regression net for rotated-out families (round-2 ADVICE).
-#
-# Round 5 prefix: similarity first (rewritten array-native this round),
-# then the NEW round-5 queries (streaming_late: append+watermark late-drop;
-# entity_stream: continuous-engine replay), then every r03-stamped family
-# — tpch (importing tpch2 pulls tpch first, so the full TPC-H suite lands
-# here: the q10/q13/q14/q18/q19/q22 tail and all of tpch2 had no driver
-# row since round 3), windows, setops, aggregates. streaming_events pulls
-# the batch events family in just before itself; the ~50 cut lands inside
-# events, refreshing its head. Rotated to the back: dedup, joins, entity,
-# text, udtfs, multimodal and the stream/events tails — all r04-green
-# (CORRECTNESS_r04.json, 50/50). Local tests/test_oracle.py checks ALL
-# oracled queries every run — that is the regression net for rotated-out
-# families.
 from stateflow_spark.queries import similarity  # noqa: F401, E402
 from stateflow_spark.queries import streaming_late  # noqa: F401, E402
 from stateflow_spark.queries import entity_stream  # noqa: F401, E402
-from stateflow_spark.queries import curation  # noqa: F401, E402  (NEW round 5)
+from stateflow_spark.queries import curation  # noqa: F401, E402
 from stateflow_spark.queries import tpch2  # noqa: F401, E402  (pulls tpch)
 from stateflow_spark.queries import windows  # noqa: F401, E402
 from stateflow_spark.queries import setops  # noqa: F401, E402
 from stateflow_spark.queries import aggregates  # noqa: F401, E402
-# dedup here (not the back): the jaccard family changed this round
-# (_jaccard_pairs refactor + NEW dedup_jaccard_stop_shingle) — the 50-cut
-# lands on exact/ngram_jaccard/jaccard_stop_shingle, stamping exactly the
-# changed queries; the unchanged r04-green dedup tail rotates out
 from stateflow_spark.queries import dedup  # noqa: F401, E402
 from stateflow_spark.queries import streaming_events  # noqa: F401, E402  (pulls events)
 from stateflow_spark.queries import text  # noqa: F401, E402
@@ -49,64 +31,91 @@ from stateflow_spark.queries import joins  # noqa: F401, E402
 from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 
-# Import order only groups families; the driver-checked 50-query prefix is
-# pinned EXPLICITLY here. Round-5 prefix contents: everything NEW this
-# round (sim_hyperplane_lsh, sim_quantized_topk, stream_append_late_drop,
-# stream_dedup_watermark, entity_stream_replay, the 4 curation rows,
-# join_range_view_clicks, dedup_normalized, dedup_connected_components,
-# dedup_jaccard_stop_shingle, agg_approx_sketches), everything REWRITTEN
-# this round (the sim_* array-native family, the dedup jaccard pair
-# chain), and every r03-stamped family needing a fresh stamp (all 22
-# TPC-H, windows, setops, aggregates). Rotated out to make room: the
-# UNCHANGED r04-green dedup tail (simhash/minhash/embedding — curation.py
-# imports dedup helpers, which registers the whole family at the head)
-# and one-to-three rows each from windows/setops/aggregates; every
-# demoted family keeps >=1 stamped row in the r05 prefix, so family-level
-# freshness holds, and tests/test_oracle.py checks every oracled query
-# locally each run regardless. Round-6 rotation front-runners: the two
-# round-5 queries without a driver row yet (text_chunking,
-# events_retention_cohorts, events_resample_ffill, events_rolling_features,
-# events_anomaly_hours, sim_kmeans_iterations*, dedup_pagerank — oracle-
-# green locally at sf0.01, several verified at sf1; *kmeans IS in the
-# prefix) plus whichever r05-demoted rows their families trade back in.
-_PROMOTED = ["dedup_connected_components", "join_range_view_clicks"]
-_DEMOTED = [
-    # curation.py imports dedup helpers, so the whole dedup family
-    # registers at the head; the unchanged r04-green dedup tail rotates
-    # out (keeping the three CHANGED jaccard rows + new cc in the prefix)
+# Round-6 prefix (the driver stamps the first ~50 registered queries):
+#   1-6   the six queries that have NEVER had a driver row (round-5
+#         VERDICT "Next round" #2): text_chunking, the four round-5
+#         events analytics rows, dedup_pagerank
+#   7-9   changed THIS round: agg_approx_sketches (r05's only red — now
+#         carries a deterministic bound-check oracle), entity_stream_replay
+#         (bursts rebuilt cluster-side), curation_full_pipeline (benchmark
+#         eval docs excluded from survivors)
+#   10-47 every family whose last stamp is r04 and that the round-5
+#         VERDICT called out: events head (incl. funnel + scalar zoo),
+#         the stream_* COMPLETE four, text, udtf, multimodal, asof/full-
+#         outer joins, the entity family, the dedup simhash/minhash/
+#         embedding tail
+#   48-50 one representative each from the r04-stamped windows/setops/
+#         aggregates demoted rows (family-level freshness)
+# Rotated out (all r05-green, CORRECTNESS_r05.json): similarity (8),
+# streaming_late (3), the dedup jaccard head + connected components,
+# the rest of curation, all 22 TPC-H, window_topk, setops_union_distinct,
+# agg_salted_two_phase. The 13 remaining windows/setops/aggregates
+# demoted rows stay r04-stamped and are the round-7 rotation front.
+_R06_PREFIX = [
+    # never driver-stamped
+    "text_chunking",
+    "events_retention_cohorts",
+    "events_resample_ffill",
+    "events_rolling_features",
+    "events_anomaly_hours",
+    "dedup_pagerank",
+    # changed this round
+    "agg_approx_sketches",
+    "entity_stream_replay",
+    "curation_full_pipeline",
+    # events head (r04)
+    "events_hourly_tumbling",
+    "events_sliding_window",
+    "events_session_windows",
+    "events_dedup_first",
+    "events_json_payload",
+    "events_topk_users",
+    "events_type_pivot",
+    "events_funnel",
+    "scalar_function_zoo",
+    # streaming COMPLETE four (r04)
+    "stream_hourly_tumbling",
+    "stream_sliding_window",
+    "stream_session_windows",
+    "stream_stream_join",
+    # text (r04; chunking already above)
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_length_histogram",
+    "text_bpe_token_count",
+    "text_rolling_fingerprint",
+    # udtf + multimodal (r04)
+    "udtf_bigram_top20",
+    "multimodal_binary_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    # joins (r04)
+    "join_asof_click_view",
+    "join_full_outer_part_sales",
+    # entity family (r04)
+    "entity_get_state",
+    "entity_find_class",
+    "entity_update_state",
+    "entity_init_class",
+    "entity_invoke_fold",
+    "entity_stateful_replay",
+    "entity_ycsb_replay",
+    "entity_flow_golden",
+    # dedup tail (r04)
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "window_distribution_functions",
-    "window_range_frame",
-    "window_lag_lead_events",
-    "window_rank_customers_by_balance",
-    "setops_intersect_all",
-    "setops_union_all_counts",
-    "setops_except",
-    "setops_intersect",
-    "setops_except_all",
-    "agg_distinct_counts",
-    "agg_variance_exact",
-    "agg_grouping_sets",
-    "agg_rollup_region_nation",
+    # family representatives from the demoted r04 rows
     "window_running_total",
-    "agg_cube_status_priority",
-    "agg_pandas_udaf_median",
-    # NEW round-5 rows that yield their prefix slot to the r03-stamped
-    # families and take the r06 rotation instead (oracle-green locally
-    # at sf0.01, several at sf1)
-    "dedup_pagerank",
+    "setops_intersect_all",
+    "agg_grouping_sets",
 ]
-_order = [n for n in REGISTRY if n not in _PROMOTED + _DEMOTED]
-_ANCHORS = {
-    "dedup_connected_components": "dedup_jaccard_stop_shingle",
-    "join_range_view_clicks": "curation_balance_mixture",  # NEW round 5
-}
-for name in _PROMOTED:
-    _order.insert(_order.index(_ANCHORS[name]) + 1, name)
-_order += _DEMOTED
+assert len(_R06_PREFIX) == 50, len(_R06_PREFIX)
+assert set(_R06_PREFIX) <= set(REGISTRY), set(_R06_PREFIX) - set(REGISTRY)
+_order = _R06_PREFIX + [n for n in REGISTRY if n not in set(_R06_PREFIX)]
 assert set(_order) == set(REGISTRY) and len(_order) == len(REGISTRY)
 _by_name = dict(REGISTRY)
 REGISTRY.clear()
