@@ -201,6 +201,12 @@ class SuperstepRuntime:
         result = RunResult()
         events_df = self._events_df(events)
         n_pending = len(events)
+        # checkpoints created by THIS run's previous superstep — the only
+        # ones safe to release. The caller's input state_df must survive
+        # (it may be the base of several runs, e.g. branching from one
+        # save_state snapshot), and a localCheckpoint'd RDD is
+        # unrecoverable once its blocks are dropped (lineage truncated).
+        own_ckpts: tuple = ()
         while n_pending:
             result.supersteps += 1
             if result.supersteps > self.max_supersteps:
@@ -228,7 +234,6 @@ class SuperstepRuntime:
             # checkpointing the whole `out` instead (one materialization)
             # measures ~30% slower on the YCSB T mix — the reply rows don't
             # need checkpoint durability
-            prev_state_df, prev_events_df = state_df, events_df
             state_df = (
                 out.filter(out.kind == "state")
                 .select("entity", "key", "blob")
@@ -241,11 +246,13 @@ class SuperstepRuntime:
             )
             out.unpersist()
             # the new checkpoints have materialized — release the previous
-            # round's blocks now instead of waiting for driver GC +
+            # superstep's (never the caller's input, never the returned
+            # final state) instead of waiting for driver GC +
             # ContextCleaner, so executor storage stays O(1) in superstep
             # count rather than O(rounds) (round-5 ADVICE)
-            unpersist_local_checkpoint(prev_state_df)
-            unpersist_local_checkpoint(prev_events_df)
+            for df in own_ckpts:
+                unpersist_local_checkpoint(df)
+            own_ckpts = (state_df, events_df)
             n_pending = events_df.count()
 
         result.state_df = state_df

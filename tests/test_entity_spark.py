@@ -170,27 +170,41 @@ def test_superstep_max_supersteps_guard(spark):
 
 
 def test_superstep_releases_prior_checkpoints(spark):
-    """Per-superstep localCheckpoints must be unpersisted as the loop
-    advances — executor storage is O(1) in superstep count, not O(rounds)
-    (round-5 ADVICE). Only the final state/events checkpoints (plus any
-    pre-existing persisted RDDs) may remain."""
+    """Per-superstep localCheckpoints must be released as the loop
+    advances — executor storage is O(1) in superstep count within a run
+    (round-5 ADVICE) — while BOTH the caller's input state_df and the
+    returned final state survive (a localCheckpoint'd RDD is
+    unrecoverable once its blocks drop, so freeing live data would
+    corrupt branch-from-snapshot callers)."""
     def n_persistent():
         return spark._jsc.sc().getPersistentRDDs().size()
 
     init_u = operator.make_init_event("User", ("ckpt-u",))
     init_i = operator.make_init_event("Item", ("ckpt-i", 9))
     rt = SuperstepRuntime(spark)
-    res = rt.run([init_u, init_i])
-    uref, iref = res.result_of(init_u), res.result_of(init_i)
-    res = rt.run(
-        [operator.make_invoke_event(uref, "update_balance", (50,))],
-        state_df=res.state_df,
+    base = rt.run([init_u, init_i])
+    uref, iref = base.result_of(init_u), base.result_of(init_i)
+    base = rt.run(
+        [
+            operator.make_invoke_event(uref, "update_balance", (50,)),
+            operator.make_invoke_event(iref, "update_stock", (10,)),
+        ],
+        state_df=base.state_df,
     )
     before = n_persistent()
-    for _ in range(4):  # 4 multi-superstep flows, ≥3 supersteps each
-        buy = operator.make_invoke_event(uref, "buy_item", (1, iref))
-        res = rt.run([buy], state_df=res.state_df)
-        assert res.supersteps >= 3
-    # each run leaves exactly its final state+events checkpoints; all
-    # intermediate rounds' blocks must be gone
+    buy = operator.make_invoke_event(uref, "buy_item", (1, iref))
+    res = rt.run([buy], state_df=base.state_df)
+    assert res.supersteps >= 3  # user → item (stock) → user (balance)
+    # ≥3 supersteps created ≥3 checkpoint pairs; only the FINAL pair may
+    # remain — every intermediate round's blocks must be gone
     assert n_persistent() <= before + 2, (before, n_persistent())
+    # the caller's input snapshot is untouched: branch a second run off
+    # the SAME base state and read both results
+    res2 = rt.run(
+        [operator.make_invoke_event(uref, "buy_item", (2, iref))],
+        state_df=base.state_df,
+    )
+    # price 9/unit, base balance 50: buy 1 → 41, branch buy 2 → 32
+    assert res.collect_state()[("User", "ckpt-u")]["balance"] == 41
+    assert res2.collect_state()[("User", "ckpt-u")]["balance"] == 32
+    assert base.collect_state()[("User", "ckpt-u")]["balance"] == 50
