@@ -737,10 +737,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 20
 
 
-@register(
-    "dedup_connected_components",
-    oracle=f"""
-    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+# CC oracle chain shared with dedup_cluster_keeper: exact-Jaccard pairs →
+# symmetric edges → recursive reachability → per-node min-label components
+_CC_COMPS_CTES = f"""{_JACCARD_PAIR_CTES},
     edges AS (
         SELECT doc_a AS a, doc_b AS b FROM dup
         UNION ALL
@@ -753,6 +752,13 @@ _CC_MAX_ITERS = 20
         SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
     ),
     comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY id)
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_CC_COMPS_CTES}
     SELECT doc_id, comp_id,
            COUNT(*) OVER (PARTITION BY comp_id) AS comp_size
     FROM comps
@@ -1035,4 +1041,68 @@ def dup_graph_pagerank_converged(
     )
     return pagerank_converged(spark, edges, tol=tol).select(
         F.col("node").alias("doc_id"), F.col("r").alias("pagerank")
+    )
+
+
+@register(
+    "dedup_cluster_keeper",
+    oracle=f"""
+    WITH RECURSIVE {_CC_COMPS_CTES},
+    j AS (
+        SELECT c.comp_id, c.doc_id,
+               len(string_split(d.text, ' ')) AS n_tokens
+        FROM comps c JOIN documents d USING (doc_id)
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY comp_id ORDER BY n_tokens DESC, doc_id ASC
+        ) AS rn
+        FROM j
+    )
+    SELECT comp_id,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT)
+             AS keeper_tokens,
+           COUNT(*) AS comp_size,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM r GROUP BY comp_id
+    """,
+    tags=("dedup", "graph", "keeper"),
+)
+def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection per dup cluster — the step a real
+    dedup pipeline runs AFTER connected components: each component keeps
+    the doc a curator would keep (longest token count; ties broken by min
+    doc_id, the component label rule), not merely the smallest id. Emits
+    one row per cluster with the keeper and corpus accounting.
+
+    Plan shape: the component table (bounded by docs-in-dup-pairs, small
+    by construction) joins documents on doc_id, then ONE aggregate per
+    component computes keeper + stats via an order-encoding max over
+    struct(n_tokens, -doc_id) — no window, no second shuffle; the
+    documents side prunes to (doc_id, token count) at the scan. The
+    oracle replays keeper choice with a ROW_NUMBER tie-broken identically."""
+    comps = dedup_connected_components(spark, sf_dir).select(
+        "doc_id", "comp_id"
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    j = comps.join(d, "doc_id")
+    agg = j.groupBy("comp_id").agg(
+        F.max(
+            F.struct(
+                F.col("n_tokens").alias("nt"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("m"),
+        F.count(F.lit(1)).alias("comp_size"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    return agg.select(
+        "comp_id",
+        (-F.col("m.neg_id")).cast("long").alias("keeper_doc_id"),
+        F.col("m.nt").cast("bigint").alias("keeper_tokens"),
+        "comp_size",
+        "total_tokens",
     )

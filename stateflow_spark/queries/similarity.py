@@ -880,3 +880,68 @@ def sim_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), "cid")
         .select("cid", "n_members", "cnorm2")
     )
+
+
+RANGE_COSINE_THRESHOLD = 0.30
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    WITH ex AS ({_EX_SQL}),
+    q AS (SELECT vec_id AS query_id, pos, x AS qx FROM ex
+          WHERE vec_id % 101 = 0),
+    n AS (SELECT vec_id,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+          FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT q.query_id, ex.vec_id,
+               CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM ex JOIN q USING (pos)
+        GROUP BY 1, 2
+    )
+    SELECT d.query_id, d.vec_id,
+           d.dot / (sqrt(nc.n2) * sqrt(nq.n2)) AS cosine
+    FROM dots d
+    JOIN n nc ON nc.vec_id = d.vec_id
+    JOIN n nq ON nq.vec_id = d.query_id
+    WHERE d.vec_id <> d.query_id
+      AND d.dot / (sqrt(nc.n2) * sqrt(nq.n2)) >= {RANGE_COSINE_THRESHOLD}
+    """,
+    tags=("similarity", "range"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search — every corpus vector within a similarity
+    radius of each query (vec_id % 101 == 0), the complement of top-k:
+    top-k bounds the RESULT size, range search bounds the QUALITY (all
+    neighbors at >= τ, however many exist). The retrieval primitive for
+    near-dup harvesting and radius-bounded clustering.
+
+    Plan shape: the query block is a k-row broadcast (like sim_knn_join);
+    cosines are per-row array folds against each broadcast query — zero
+    shuffles, no explode; the θ filter runs before anything leaves the
+    scan task, so output volume is the actual neighbor count, not
+    corpus×queries. Exactness: decimal folds produce bit-identical
+    doubles in both engines, so the >= τ comparison itself is
+    deterministic — no boundary flicker. At 100 TB the broadcast bound is
+    the query-block size; beyond that the same plan becomes a
+    block-partitioned join (IVF probe first, as sim_ivf_knn_join does)."""
+    q = F.broadcast(
+        _corpus(spark, sf_dir)
+        .filter(F.col("vec_id") % 101 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            norm2_dec("v").alias("qn2"),
+        )
+    )
+    c = _corpus(spark, sf_dir, fan_out=True)
+    cos = dot_dec("v", "qv") / (
+        F.sqrt(norm2_dec("v")) * F.sqrt(F.col("qn2"))
+    )
+    return (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_COSINE_THRESHOLD)
+    )

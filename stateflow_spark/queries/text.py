@@ -316,3 +316,63 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size({sl})").cast("bigint").alias("n_tok"),
         F.md5(F.expr(f"concat_ws(' ', {sl})")).alias("chunk_hash"),
     )
+
+
+@register(
+    "text_token_rarity",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    dt AS (SELECT doc_id, tok, COUNT(*) AS k FROM w GROUP BY 1, 2),
+    c AS (SELECT tok, SUM(k) AS cnt FROM dt GROUP BY 1)
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(k * cnt) AS DOUBLE) / CAST(SUM(k) AS DOUBLE)
+             AS mean_token_freq
+    FROM dt JOIN c USING (tok)
+    GROUP BY doc_id
+    """,
+    tags=("text", "rarity", "lm"),
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal per document: hapax-legomenon count
+    (tokens occurring exactly once in the ENTIRE corpus — high density
+    flags OCR noise, codes, mojibake) and mean corpus frequency of the
+    doc's tokens (low = exotic vocabulary, high = boilerplate) — the
+    exact-count core of a unigram LM score, kept in integer arithmetic so
+    it hash-gates cross-engine (log-prob summation is order-dependent in
+    doubles and engine-specific in libm, so the LM form ships the same
+    plan with one extra log lookup column).
+
+    Plan shape for 100 TB: tokens are pre-aggregated per (doc, token)
+    BEFORE the corpus-count join, so the join carries distinct-per-doc
+    rows, not raw occurrences, and the corpus count table derives from
+    the same aggregate (one explode, two reuse-partitioned aggregates).
+    The token key is Zipf-skewed ('the' touches every doc) — the same
+    mitigation ladder as the shingle pipeline applies: broadcast the
+    head of the count table / AQE skew-split the join; the stop-shingle
+    cap demo (tests/test_skew.py) shows the measured effect."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dt = words.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    counts = dt.groupBy("tok").agg(F.sum("k").alias("cnt"))
+    return (
+        dt.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            (
+                F.sum(F.col("k") * F.col("cnt")).cast("double")
+                / F.sum("k").cast("double")
+            ).alias("mean_token_freq"),
+        )
+    )
