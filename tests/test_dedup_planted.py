@@ -190,3 +190,31 @@ def test_dup_graph_converged_twin_covers_same_nodes(spark):
     }
     assert set(conv) == fixed
     assert abs(sum(conv.values()) - 1.0) < 1e-6
+
+
+def test_cluster_keeper_prefers_longest_not_min_id(spark, tmp_path):
+    """Keeper selection must pick the LONGEST doc in a cluster even when a
+    smaller doc_id exists (the min-id label stays the comp_id; the keeper
+    is the quality choice) — planted: doc 11 is a superset of doc 10."""
+    rng_words = [f"w{i}" for i in range(30)]
+    short = " ".join(rng_words)
+    longer = " ".join(rng_words + [f"x{i}" for i in range(10)])
+    other = " ".join(f"z{i}" for i in range(25))
+    rows = [
+        (10, short, "en", "s", len(short)),
+        (11, longer, "en", "s", len(longer)),
+        (12, other, "en", "s", len(other)),  # isolated: no dup pair
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "kp"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {
+        r.comp_id: r
+        for r in REGISTRY["dedup_cluster_keeper"].fn(spark, str(d)).collect()
+    }
+    assert set(out) == {10}  # one cluster, labeled by min doc_id
+    assert out[10].keeper_doc_id == 11  # but the keeper is the longer doc
+    assert out[10].comp_size == 2
+    assert out[10].keeper_tokens == 40
