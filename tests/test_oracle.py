@@ -71,9 +71,8 @@ def test_query_matches_oracle(spark, duck, name):
     assert_same_result(sdf, drows, name=name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(spark, name):
-    qd = REGISTRY[name]
-    sdf = qd.fn(spark, SF_DIR)
-    n = sdf.count()
-    assert n >= 0
+def test_no_rows_only_queries():
+    """Every registered query carries an oracle — the driver FAILS
+    oracle-less rows (r05's one red), so an empty ROWS_ONLY set is the
+    contract, not a coincidence."""
+    assert ROWS_ONLY == []
