@@ -890,7 +890,7 @@ RANGE_COSINE_THRESHOLD = 0.30
     oracle=f"""
     WITH ex AS ({_EX_SQL}),
     q AS (SELECT vec_id AS query_id, pos, x AS qx FROM ex
-          WHERE vec_id % 101 = 0),
+          WHERE vec_id % 101 = 0 AND vec_id < 1010),
     n AS (SELECT vec_id,
                  CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
           FROM ex GROUP BY vec_id),
@@ -921,14 +921,17 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines are per-row array folds against each broadcast query — zero
     shuffles, no explode; the θ filter runs before anything leaves the
     scan task, so output volume is the actual neighbor count, not
-    corpus×queries. Exactness: decimal folds produce bit-identical
-    doubles in both engines, so the >= τ comparison itself is
-    deterministic — no boundary flicker. At 100 TB the broadcast bound is
-    the query-block size; beyond that the same plan becomes a
+    corpus×queries. The query set is CAPPED (vec_id < 1010, ≤10 queries)
+    so cost scales with the corpus, not corpus×corpus — a query workload
+    does not grow with the table (uncapped, the sf0.1→sf1 decade measured
+    14× because both sides grew). Exactness: decimal folds produce
+    bit-identical doubles in both engines, so the >= τ comparison itself
+    is deterministic — no boundary flicker. At 100 TB the broadcast bound
+    is the query-block size; beyond that the same plan becomes a
     block-partitioned join (IVF probe first, as sim_ivf_knn_join does)."""
     q = F.broadcast(
         _corpus(spark, sf_dir)
-        .filter(F.col("vec_id") % 101 == 0)
+        .filter((F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 1010))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),

@@ -350,12 +350,17 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape for 100 TB: tokens are pre-aggregated per (doc, token)
     BEFORE the corpus-count join, so the join carries distinct-per-doc
-    rows, not raw occurrences, and the corpus count table derives from
-    the same aggregate (one explode, two reuse-partitioned aggregates).
-    The token key is Zipf-skewed ('the' touches every doc) — the same
-    mitigation ladder as the shingle pipeline applies: broadcast the
-    head of the count table / AQE skew-split the join; the stop-shingle
-    cap demo (tests/test_skew.py) shows the measured effect."""
+    rows, not raw occurrences. The (doc,token) aggregate is deliberately
+    computed in BOTH branches (join input + corpus counts): unifying them
+    behind one exchange would require repartitioning RAW token rows by
+    the Zipf-skewed token key ('the' touches every doc — the hot-partition
+    regime), while the double-computed form shuffles only uniformly-keyed
+    partial aggregates twice — map-side combine makes the recompute the
+    cheaper side of that trade at scale (a deployment with cheap local
+    disk can instead persist the (doc,token) aggregate once). Skew in the
+    JOIN itself gets the same mitigation ladder as the shingle pipeline:
+    broadcast the head of the count table / AQE skew-split; the
+    stop-shingle cap demo (tests/test_skew.py) shows the measured effect."""
     d = load(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")

@@ -260,3 +260,34 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "jb" in plan  # the bin rides the join keys
+
+
+def test_range_search_is_broadcast_filter_scan(spark):
+    """sim_range_search: the capped query block must broadcast (a
+    BroadcastNestedLoopJoin over <=10 rows, never a shuffled join or
+    CartesianProduct) and the θ predicate must sit with the join output,
+    so nothing data-proportional leaves the scan stage."""
+    plan = explain_str(REGISTRY["sim_range_search"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cluster_keeper_has_no_window(spark):
+    """dedup_cluster_keeper picks the keeper with ONE order-encoding
+    struct-max aggregate — a per-cluster window (sort + row_number) would
+    add a second sort+shuffle over the component table."""
+    plan = explain_str(REGISTRY["dedup_cluster_keeper"].fn(spark, SF_DIR))
+    assert "Window" not in plan
+
+
+def test_token_rarity_partial_aggs_before_shuffle(spark):
+    """text_token_rarity shuffles only PARTIAL aggregates (map-side
+    combine on both the (doc,token) and corpus-count branches) — raw
+    Zipf-keyed token rows must never cross an exchange."""
+    plan = explain_str(REGISTRY["text_token_rarity"].fn(spark, SF_DIR))
+    assert "partial_count" in plan or "partial" in plan.lower()
+    # the explode feeds a HashAggregate (map-side combine) before any
+    # Exchange consumes the generator output
+    import re
+    assert re.search(r"Generate[\s\S]{0,400}?HashAggregate", plan)
