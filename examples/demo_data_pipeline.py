@@ -45,10 +45,23 @@ def main(sf_dir: str) -> None:
     print(f"2. minhash-LSH near-dup: {near.count()} verified pairs, "
           f"{drop_b.count()} docs marked as near-duplicates")
 
-    # 3. quality gate: keep docs passing the composite score
+    # 2b. pairs → clusters → quality-aware keeper per cluster (longest
+    #     doc wins, min-doc_id tiebreak): the curator's choice, not just
+    #     the smallest id
+    keepers = REGISTRY["dedup_cluster_keeper"].fn(spark, sf_dir)
+    print(f"2b. {keepers.count()} dup clusters; keeper = longest member")
+
+    # 3. quality gate: keep docs passing the composite score; the
+    #    corpus-statistics signal (hapax density / mean token frequency)
+    #    is the companion unigram-LM-style feature
     quality = REGISTRY["text_quality_score"].fn(spark, sf_dir)
     kept = quality.filter(F.col("quality_ok"))
-    print(f"3. quality gate: {kept.count()}/{n_docs} pass")
+    rare = REGISTRY["text_token_rarity"].fn(spark, sf_dir)
+    extremes = rare.filter(
+        (F.col("n_hapax") * 4 > F.col("n_tokens"))
+    ).count()
+    print(f"3. quality gate: {kept.count()}/{n_docs} pass; "
+          f"{extremes} docs >25% hapax tokens (rarity signal)")
 
     # 4. the surviving set: exact-canonical ∩ not-near-dup ∩ quality-pass
     survivors = (
@@ -100,6 +113,9 @@ def main(sf_dir: str) -> None:
     print("9. ANN top-10 (IVF, nprobe=3):")
     for r in ann.collect():
         print(f"   vec {r.vec_id}: cosine {r.cosine:.4f}")
+    rng = REGISTRY["sim_range_search"].fn(spark, sf_dir)
+    print(f"9b. range search: {rng.count()} neighbors within "
+          f"cosine >= 0.30 of the capped query block")
 
     # 10. steps 1-6 again, as ONE registered Catalyst plan with a single
     #     composed DuckDB oracle (curation_full_pipeline)

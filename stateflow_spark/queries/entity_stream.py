@@ -151,10 +151,11 @@ def entity_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # starves the per-key Python operator at sf1+ (measured 7.6×/decade
     # fixed at 8), while tiny key sets pay per-partition state-commit
     # overhead every micro-batch if over-partitioned
+    n_part = min(32, max(8, len(keys) // 100))
     eng = StreamingEntityEngine(
         spark,
         tempfile.mkdtemp(prefix="entity-stream-replay-"),
-        shuffle_partitions=min(32, max(8, len(keys) // 100)),
+        shuffle_partitions=n_part,
     )
     try:
         eng.send(
@@ -172,8 +173,11 @@ def entity_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             # repartition first: the events scan may arrive in a handful of
             # file-sized partitions, and the Python serialization is the
             # per-row cost here — measured 21.6s on 4 scan partitions vs
-            # ~3s spread over the full core count at sf1
-            ev.repartition(spark.sparkContext.defaultParallelism)
+            # ~3s spread across the workload-scaled partition count at sf1
+            # (n_part, not raw core count: burst file count = task count,
+            # and each micro-batch relists the source dir, so a tiny
+            # workload should not pay 32 files per burst)
+            ev.repartition(n_part)
             .withColumn(
                 "burst",
                 F.pmod(

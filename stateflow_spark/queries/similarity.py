@@ -908,7 +908,7 @@ RANGE_COSINE_THRESHOLD = 0.30
     WHERE d.vec_id <> d.query_id
       AND d.dot / (sqrt(nc.n2) * sqrt(nq.n2)) >= {RANGE_COSINE_THRESHOLD}
     """,
-    tags=("similarity", "range"),
+    tags=("similarity", "range", "bench"),
 )
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine RANGE search — every corpus vector within a similarity

@@ -336,7 +336,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dt JOIN c USING (tok)
     GROUP BY doc_id
     """,
-    tags=("text", "rarity", "lm"),
+    tags=("text", "rarity", "lm", "bench"),
 )
 def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics quality signal per document: hapax-legomenon count
