@@ -301,3 +301,56 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_in_band"
         ),
     )
+
+
+@register(
+    "agg_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS rollup_within_3sd
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "sketch", "rollup"),
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE sketches — the property that makes sketches the
+    100 TB cardinality tool: per-(event_type, day) HLL sketches
+    (Datasketches ``hll_sketch_agg``, the precomputed-partition artifact a
+    lakehouse rollup table stores) are UNIONED per event_type
+    (``hll_union_agg``) and estimated — daily distinct-user sketches roll
+    up to any coarser grain without rescanning raw data, which exact
+    distinct counts fundamentally cannot do (distinct is not
+    re-aggregatable). Plan: two keyed aggregates over sketch blobs (KB per
+    group) + one broadcast-sized join against the exact twin.
+
+    Oracle contract: same as agg_approx_sketches — the raw estimate is
+    engine-specific, so the row hashes the exact sides plus a
+    deterministic bound boolean (union estimate within 3σ ≈ 6% at the
+    default lgK=12, rsd ≈ 1.6%); tests/test_sketches.py additionally pins
+    that the UNION-of-daily-sketches estimate equals the single-pass
+    whole-group sketch estimate exactly (register-wise max is associative)
+    and that everything is deterministic."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        ).alias("rollup_within_3sd"),
+    )

@@ -49,3 +49,36 @@ def test_sketch_determinism(spark):
     a = sorted(map(tuple, approx_sketch_raw(spark, SF_DIR).collect()))
     b = sorted(map(tuple, approx_sketch_raw(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_sketch_rollup_mergeability(spark):
+    """The core sketch property: the union of per-day HLL sketches must
+    estimate EXACTLY what a single-pass whole-group sketch estimates —
+    HLL registers merge by elementwise max, which is associative, so
+    pre-aggregated daily sketches lose nothing vs rescanning raw data."""
+    import pyspark.sql.functions as F
+
+    from stateflow_spark.catalog import load
+
+    e = load(spark, SF_DIR, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    rolled = (
+        e.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    r = {x.event_type: x.est for x in rolled.collect()}
+    d = {x.event_type: x.est for x in direct.collect()}
+    assert r == d, (r, d)
+
+
+def test_sketch_rollup_booleans_true(spark):
+    rows = REGISTRY["agg_sketch_rollup"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.rollup_within_3sd, r
