@@ -39,18 +39,20 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         carries a deterministic bound-check oracle), entity_stream_replay
 #         (bursts rebuilt cluster-side), curation_full_pipeline (benchmark
 #         eval docs excluded from survivors)
-#   10-47 every family whose last stamp is r04 and that the round-5
+#   10-14 NEW this round (registered after the initial pin; swapped in so
+#         no query debuts unstamped): agg_sketch_rollup, sim_range_search,
+#         join_range_view_clicks, dedup_cluster_keeper, text_token_rarity
+#   15-50 every family whose last stamp is r04 and that the round-5
 #         VERDICT called out: events head (incl. funnel + scalar zoo),
 #         the stream_* COMPLETE four, text, udtf, multimodal, asof/full-
 #         outer joins, the entity family, the dedup simhash/minhash/
 #         embedding tail
-#   48-50 one representative each from the r04-stamped windows/setops/
-#         aggregates demoted rows (family-level freshness)
 # Rotated out (all r05-green, CORRECTNESS_r05.json): similarity (8),
 # streaming_late (3), the dedup jaccard head + connected components,
 # the rest of curation, all 22 TPC-H, window_topk, setops_union_distinct,
-# agg_salted_two_phase. The 13 remaining windows/setops/aggregates
-# demoted rows stay r04-stamped and are the round-7 rotation front.
+# agg_salted_two_phase. The windows/setops/aggregates demoted rows plus
+# events_type_pivot and text_length_histogram (evicted for the five new
+# queries) stay r04-stamped and are the round-7 rotation front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -63,6 +65,12 @@ _R06_PREFIX = [
     "agg_approx_sketches",
     "entity_stream_replay",
     "curation_full_pipeline",
+    # new this round, registered after the initial prefix pin
+    "agg_sketch_rollup",
+    "sim_range_search",
+    "join_range_view_clicks",
+    "dedup_cluster_keeper",
+    "text_token_rarity",
     # events head (r04)
     "events_hourly_tumbling",
     "events_sliding_window",
@@ -70,7 +78,6 @@ _R06_PREFIX = [
     "events_dedup_first",
     "events_json_payload",
     "events_topk_users",
-    "events_type_pivot",
     "events_funnel",
     "scalar_function_zoo",
     # streaming COMPLETE four (r04)
@@ -83,7 +90,6 @@ _R06_PREFIX = [
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
-    "text_length_histogram",
     "text_bpe_token_count",
     "text_rolling_fingerprint",
     # udtf + multimodal (r04)
@@ -108,10 +114,6 @@ _R06_PREFIX = [
     "dedup_simhash_pairs",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    # family representatives from the demoted r04 rows
-    "window_running_total",
-    "setops_intersect_all",
-    "agg_grouping_sets",
 ]
 assert len(_R06_PREFIX) == 50, len(_R06_PREFIX)
 assert set(_R06_PREFIX) <= set(REGISTRY), set(_R06_PREFIX) - set(REGISTRY)
