@@ -381,3 +381,144 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_token_freq"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition filter (Rae et al. 2021, §A1.1 repetition rules)
+# --------------------------------------------------------------------------
+
+# Thresholds sized so the gate splits the synthetic corpus both ways
+# (medians at sf0.01: top-word .093, top-bigram .066, top-trigram .060);
+# the Gopher paper's own values (.2/.18/.16 over *character* fractions)
+# gate real web text, not this vocabulary-30 corpus.
+_REP_MAX_TOP_WORD = 0.10
+_REP_MAX_TOP_BIGRAM = 0.08
+_REP_MAX_TOP_TRIGRAM = 0.09
+_REP_MAX_DUP_5GRAM = 0.10
+
+
+def _gram_struct(n: int) -> str:
+    """SQL expr: array<struct<n,g>> of the doc's n-grams; empty when the
+    doc is shorter than n tokens (filter, never sequence(1, k<1) — Spark's
+    sequence DESCENDS when stop < start, which would fabricate grams)."""
+    return f"""
+    transform(filter(sequence(1, size(t)), i -> i <= size(t) - {n} + 1),
+              i -> named_struct('n', {n},
+                                'g', array_join(slice(t, i, {n}), ' ')))
+    """
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, 2 AS n,
+               unnest([array_to_string(t[i:i+1], ' ')
+                       for i in range(1, len(t))]) AS g
+        FROM toks
+        UNION ALL
+        SELECT doc_id, 3 AS n,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, len(t)-1)]) AS g
+        FROM toks
+        UNION ALL
+        SELECT doc_id, 5 AS n,
+               unnest([array_to_string(t[i:i+4], ' ')
+                       for i in range(1, len(t)-3)]) AS g
+        FROM toks
+    ),
+    cnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+    per AS (
+        SELECT doc_id, n, MAX(c) AS top_c,
+               COALESCE(SUM(c) FILTER (c >= 2), 0) AS dup_c,
+               SUM(c) AS tot_c
+        FROM cnt GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(MAX(CASE WHEN n = 1 THEN tot_c END) AS BIGINT) AS n_tokens,
+               CAST(MAX(CASE WHEN n = 1 THEN top_c END) AS DOUBLE)
+                 / CAST(MAX(CASE WHEN n = 1 THEN tot_c END) AS DOUBLE)
+                 AS top_word_frac,
+               CAST(2 * MAX(CASE WHEN n = 2 THEN top_c END) AS DOUBLE)
+                 / CAST(MAX(CASE WHEN n = 1 THEN tot_c END) AS DOUBLE)
+                 AS top_bigram_frac,
+               CAST(3 * MAX(CASE WHEN n = 3 THEN top_c END) AS DOUBLE)
+                 / CAST(MAX(CASE WHEN n = 1 THEN tot_c END) AS DOUBLE)
+                 AS top_trigram_frac,
+               CAST(MAX(CASE WHEN n = 5 THEN dup_c END) AS DOUBLE)
+                 / CAST(MAX(CASE WHEN n = 5 THEN tot_c END) AS DOUBLE)
+                 AS dup_5gram_frac
+        FROM per GROUP BY doc_id
+    )
+    SELECT *,
+           (top_word_frac <= {_REP_MAX_TOP_WORD}
+            AND top_bigram_frac <= {_REP_MAX_TOP_BIGRAM}
+            AND top_trigram_frac <= {_REP_MAX_TOP_TRIGRAM}
+            AND dup_5gram_frac <= {_REP_MAX_DUP_5GRAM}) AS repetition_ok
+    FROM m
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens
+    claimed by the most frequent unigram / bigram / trigram, fraction of
+    5-gram occurrences that are duplicates, and the conjunctive quality
+    gate over all four (Rae et al. 2021 repetition rules, token-based).
+
+    Plan shape for 100 TB: ONE unified gram explode (n ∈ {1,2,3,5} built
+    per-row with higher-order functions, flattened, exploded once — ~4
+    rows per token), then two aggregation shuffles: (doc_id, n, g) gram
+    counts — partial aggregation collapses within-partition repeats before
+    the exchange — and the (doc_id, n) rollup, then a doc_id regroup for
+    the pivot. Every shuffle key embeds doc_id, so hot grams ('the' at
+    corpus scale) CANNOT skew a partition — contrast the corpus-global
+    token table in text_token_rarity, which is where the skew ladder
+    lives. All expressions are JVM built-ins; fractions are single double
+    divisions of bit-identical integer operands on both engines."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    gram_arrays = ", ".join(_gram_struct(n) for n in (1, 2, 3, 5))
+    gr = t.select(
+        "doc_id", F.explode(F.expr(f"flatten(array({gram_arrays}))")).alias("ng")
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    per = (
+        gr.groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_c"),
+            F.sum("c").alias("tot_c"),
+        )
+    )
+
+    def at(n: int, col: str):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    ntok = at(1, "tot_c")
+    m = per.groupBy("doc_id").agg(
+        ntok.alias("n_tokens"),
+        (at(1, "top_c").cast("double") / ntok.cast("double")).alias(
+            "top_word_frac"
+        ),
+        ((at(2, "top_c") * 2).cast("double") / ntok.cast("double")).alias(
+            "top_bigram_frac"
+        ),
+        ((at(3, "top_c") * 3).cast("double") / ntok.cast("double")).alias(
+            "top_trigram_frac"
+        ),
+        (at(5, "dup_c").cast("double") / at(5, "tot_c").cast("double")).alias(
+            "dup_5gram_frac"
+        ),
+    )
+    ok = (
+        (F.col("top_word_frac") <= _REP_MAX_TOP_WORD)
+        & (F.col("top_bigram_frac") <= _REP_MAX_TOP_BIGRAM)
+        & (F.col("top_trigram_frac") <= _REP_MAX_TOP_TRIGRAM)
+        & (F.col("dup_5gram_frac") <= _REP_MAX_DUP_5GRAM)
+    )
+    return m.withColumn("repetition_ok", ok)
