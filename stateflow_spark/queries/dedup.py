@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stateflow_spark.catalog import load
+from stateflow_spark.functions.similarity import dot_dec, norm2_dec, sqdist_dec
 from stateflow_spark.queries.common import register
 from stateflow_spark.storage import unpersist_local_checkpoint
 
@@ -1105,4 +1106,143 @@ def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.nt").cast("bigint").alias("keeper_tokens"),
         "comp_size",
         "total_tokens",
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup over COMPUTED clusters (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.30  # within-cluster cosine above which the larger-id
+# vector is pruned (~49% survivors on the synthetic corpus — SemDeDup is an
+# aggressive pruner by design)
+_SEMDEDUP_K = 4  # quantizer granularity; seeds = vec_id 1..k
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, x AS c FROM ex
+             WHERE vec_id BETWEEN 1 AND {_SEMDEDUP_K}),
+    dist AS (
+        SELECT ex.vec_id, cent.cid,
+               CAST(SUM(CAST((ex.x - cent.c) * (ex.x - cent.c)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS d
+        FROM ex JOIN cent USING (pos) GROUP BY 1, 2
+    ),
+    asg AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rnk
+            FROM dist) WHERE rnk = 1
+    ),
+    n AS (SELECT vec_id,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+          FROM ex GROUP BY 1),
+    dots AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM ex a
+        JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        JOIN asg aa ON aa.vec_id = a.vec_id
+        JOIN asg ab ON ab.vec_id = b.vec_id AND ab.cid = aa.cid
+        GROUP BY 1, 2
+    ),
+    dropped AS (
+        SELECT DISTINCT vb FROM dots
+        JOIN n na ON na.vec_id = va
+        JOIN n nb ON nb.vec_id = vb
+        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT a.vec_id, a.cid, (d.vb IS NULL) AS kept
+    FROM asg a LEFT JOIN dropped d ON d.vb = a.vec_id
+    """,
+    tags=("dedup", "embedding", "semantic"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): quantize embeddings onto k computed
+    centroids (one deterministic assignment step from fixed seeds — the
+    k-means front-end; sim_kmeans_iterations shows the full Lloyd loop),
+    then within each cluster prune every vector that has a smaller-id
+    cluster-mate with cosine ≥ τ. Emits (vec_id, cid, kept) — survivors
+    AND casualties, so the hash gate pins both classes.
+
+    This differs from dedup_embedding_cosine (pairs within PLANTED labels)
+    in both blocking — the cluster id is computed from the data, as in
+    production where no labels exist — and policy — smaller-id-survives
+    pruning needs no transitive closure: a vector is dropped iff ANY
+    smaller-id neighbor clears τ, which is one distinct + one left join
+    rather than connected components.
+
+    Scale shape: the k centroids pivot into ONE broadcast row (k packed
+    arrays); assignment is k per-row decimal folds + an inline argmin fold
+    — no explode, no shuffle, no window. The pair stage is the same
+    single-shuffle cluster-blocked equi-join as dedup_embedding_cosine
+    (broadcast build side at test scale → label-partitioned sort-merge +
+    AQE skew split at 100 TB); the quadratic in-cluster volume is bounded
+    by the quantizer granularity k, which is the SemDeDup scale knob —
+    production raises k (finer clusters) precisely to cap cluster sizes.
+    The drop set is a distinct on pruned ids (≤ corpus-sized, uniformly
+    keyed) and the final kept flag is one left anti-shaped join."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    one = F.broadcast(
+        e.filter(F.col("vec_id").between(1, _SEMDEDUP_K))
+        .select(F.col("vec_id").cast("int").alias("cid"), "v")
+        .groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("cid") == c, F.col("v"))).alias(f"c{c}")
+                for c in range(1, _SEMDEDUP_K + 1)
+            ]
+        )
+    )
+    dist_cols = [
+        sqdist_dec("v", f"c{c}").alias(f"d{c}") for c in range(1, _SEMDEDUP_K + 1)
+    ]
+    best = F.expr(
+        "aggregate(array("
+        + ", ".join(
+            f"struct(d{c} AS d, {c} AS cid)" for c in range(1, _SEMDEDUP_K + 1)
+        )
+        + "), cast(null as struct<d:double,cid:int>),"
+        + " (acc, x) -> IF(acc IS NULL OR x.d < acc.d, x, acc))"
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    asg = (
+        e.repartition(n_part, "vec_id")
+        .crossJoin(one)
+        .select("vec_id", "v", *dist_cols)
+        .select("vec_id", "v", best.getField("cid").alias("cid"))
+        .withColumn("n2", norm2_dec("v"))
+    )
+    a = asg.select(
+        F.col("vec_id").alias("va"), "cid",
+        F.col("v").alias("v_a"), F.col("n2").alias("na2"),
+    )
+    b = F.broadcast(
+        asg.select(
+            F.col("vec_id").alias("vb"), "cid",
+            F.col("v").alias("v_b"), F.col("n2").alias("nb2"),
+        )
+    )
+    cos = dot_dec("v_a", "v_b") / (F.sqrt("na2") * F.sqrt("nb2"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select("vb", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+        .select("vb")
+        .distinct()
+    )
+    return (
+        asg.join(dropped, asg.vec_id == dropped.vb, "left")
+        .select("vec_id", "cid", F.col("vb").isNull().alias("kept"))
     )
