@@ -491,3 +491,91 @@ def curation_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Adaptive per-stratum quality threshold (quantile gate without a sort)
+# --------------------------------------------------------------------------
+
+_ADAPTIVE_KEEP_NUM = 3  # keep the top KEEP_NUM/KEEP_DEN of each stratum
+_ADAPTIVE_KEEP_DEN = 4  # (boundary ties are all kept — inclusive gate)
+
+
+@register(
+    "curation_adaptive_threshold",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+        FROM documents
+    ),
+    n AS (SELECT lang, COUNT(*) AS stratum_n FROM s GROUP BY 1),
+    d AS (SELECT lang, score, COUNT(*) AS c FROM s GROUP BY 1, 2),
+    cum AS (
+        SELECT lang, score,
+               COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS n_gt
+        FROM d
+    )
+    SELECT s.doc_id, s.lang, s.score,
+           CAST(n.stratum_n AS BIGINT) AS stratum_n,
+           CAST(cum.n_gt AS BIGINT) AS n_gt,
+           (cum.n_gt * {_ADAPTIVE_KEEP_DEN}
+              < {_ADAPTIVE_KEEP_NUM} * n.stratum_n) AS kept
+    FROM s JOIN n USING (lang) JOIN cum USING (lang, score)
+    """,
+    tags=("curation", "quality", "quantile"),
+)
+def curation_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-stratum quality gate: within each language stratum keep
+    the top 3/4 of documents by type/token-ratio score — the threshold is
+    learned from the stratum's own score distribution (DataComp/DCLM-style
+    per-source quantile filtering), not a global constant. A doc is kept
+    iff fewer than 3/4·n stratum-mates score strictly higher, so boundary
+    ties are all-in and no per-document ordering exists anywhere.
+
+    Scale shape — this is the quantile gate WITHOUT a corpus sort: doc
+    rows pass only through a (lang, score) groupBy (map-side combine;
+    near-uniform keys) and a broadcast hash join. The window runs over the
+    DISTINCT-SCORE table (|strata| × |distinct scores| rows — thousands,
+    not billions), which then broadcasts back as the threshold lookup. A
+    rank/percent_rank over the corpus would instead sort every stratum
+    through one partition each (|strata| ≈ 5 active tasks at 100 TB).
+    For a continuous score the distinct table degenerates toward corpus
+    size — there the same plan holds with scores bucketed to fixed
+    precision first (the gate then binds at bucket granularity, the
+    standard sketch trade)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    score = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    ).alias("score")
+    s = d.select("doc_id", "lang", score)
+    n = s.groupBy("lang").agg(F.count(F.lit(1)).alias("stratum_n"))
+    dist = s.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = dist.select(
+        "lang", "score", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("n_gt")
+    )
+    return (
+        s.join(F.broadcast(n), "lang")
+        .join(F.broadcast(cum), ["lang", "score"])
+        .select(
+            "doc_id",
+            "lang",
+            "score",
+            "stratum_n",
+            "n_gt",
+            (
+                F.col("n_gt") * _ADAPTIVE_KEEP_DEN
+                < F.lit(_ADAPTIVE_KEEP_NUM) * F.col("stratum_n")
+            ).alias("kept"),
+        )
+    )
