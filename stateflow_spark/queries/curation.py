@@ -19,8 +19,10 @@ from pyspark.sql.window import Window
 from stateflow_spark.catalog import load
 from stateflow_spark.queries.common import register
 from stateflow_spark.queries.dedup import (
+    _JACCARD_PAIR_CTES,
     _MINHASH_ORACLE,
     _SHINGLE_SQL,
+    _jaccard_pairs,
     _shingles_df,
 )
 
@@ -577,5 +579,70 @@ def curation_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_gt") * _ADAPTIVE_KEEP_DEN
                 < F.lit(_ADAPTIVE_KEEP_NUM) * F.col("stratum_n")
             ).alias("kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source overlap matrix (contamination audit between corpus sources)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_source_overlap",
+    oracle=f"""
+    WITH {_JACCARD_PAIR_CTES},
+    src AS (SELECT doc_id, source FROM documents),
+    xp AS (
+        SELECT LEAST(sa.source, sb.source) AS source_a,
+               GREATEST(sa.source, sb.source) AS source_b,
+               d.jaccard
+        FROM dup d JOIN src sa ON sa.doc_id = d.doc_a
+                   JOIN src sb ON sb.doc_id = d.doc_b
+        WHERE sa.source <> sb.source
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_jaccard
+    FROM xp GROUP BY 1, 2
+    """,
+    tags=("curation", "dedup", "audit"),
+)
+def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered pair of
+    corpus sources, the number of cross-source near-duplicate doc pairs
+    (exact n-gram Jaccard ≥ 0.10 via the shared inverted-index pipeline)
+    and their exact mean Jaccard. The audit that tells a data curator
+    which ingestion feeds are re-serving each other's content — run
+    BEFORE mixture weighting, since overlapping sources double-count.
+
+    Scale shape: the expensive part is the shared _jaccard_pairs pass
+    (single inverted-index shuffle, already skew-capped via the
+    stop-shingle knob); everything on top is two doc_id-keyed equi-joins
+    that shuffle only the POST-THRESHOLD pair set (orders smaller than
+    the corpus) against the 2-column (doc_id, source) projection — column
+    pruning reaches the parquet scan — then a |sources|²-cell aggregate
+    with map-side combine. Source-pair normalization is least/greatest,
+    so the matrix is upper-triangular with no self-cells."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(F.col("jaccard").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_jaccard"),
         )
     )
