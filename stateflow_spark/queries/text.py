@@ -522,3 +522,78 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("dup_5gram_frac") <= _REP_MAX_DUP_5GRAM)
     )
     return m.withColumn("repetition_ok", ok)
+
+
+# --------------------------------------------------------------------------
+# Corpus-learned vocabulary coverage (OOV-rate encoding readiness gate)
+# --------------------------------------------------------------------------
+
+_VOCAB_SIZE = 20
+_VOCAB_MAX_OOV = 0.34
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM w GROUP BY 1),
+    vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_SIZE}),
+    per AS (
+        SELECT w.doc_id, COUNT(*) AS n_tokens,
+               COUNT(*) FILTER (v.tok IS NULL) AS n_oov
+        FROM w LEFT JOIN vocab v USING (tok) GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate,
+           (CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              <= {_VOCAB_MAX_OOV}) AS vocab_covered
+    FROM per
+    """,
+    tags=("text", "vocab", "tokenizer"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-readiness gate: learn a top-V vocabulary from the corpus
+    itself (count-ranked, lexicographic tiebreak — the unigram front-end
+    of BPE/WordPiece training), then score every document's out-of-vocab
+    token rate against it. Docs above the OOV ceiling would shred into
+    byte-fallback tokens and dilute training, so they fail the gate.
+
+    Scale shape — two passes, both shuffle-bounded: (1) the corpus token
+    count is the same Zipf-skewed (tok)-keyed aggregate as
+    text_token_rarity (map-side combine absorbs the skew: each partition
+    emits ≤|vocab| partial rows regardless of token heat), and the top-V
+    cut is a TakeOrdered over the |vocab|-row count table — never a
+    corpus sort. (2) per-doc scoring pre-aggregates (doc_id, tok) — so
+    the vocab probe touches distinct-per-doc tokens, not raw occurrences
+    — then LEFT-joins the BROADCAST V-row vocab and folds counts back by
+    uniformly-keyed doc_id. No corpus-sized shuffle carries a skewed
+    key."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dt = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    vocab = F.broadcast(
+        dt.groupBy("tok")
+        .agg(F.sum("k").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(_VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    per = (
+        dt.join(vocab, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("k")).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    rate = F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        rate.alias("oov_rate"),
+        (rate <= _VOCAB_MAX_OOV).alias("vocab_covered"),
+    )
