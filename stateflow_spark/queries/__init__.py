@@ -39,10 +39,13 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         carries a deterministic bound-check oracle), entity_stream_replay
 #         (bursts rebuilt cluster-side), curation_full_pipeline (benchmark
 #         eval docs excluded from survivors)
-#   10-14 NEW this round (registered after the initial pin; swapped in so
+#   10-19 NEW this round (registered after the initial pin; swapped in so
 #         no query debuts unstamped): agg_sketch_rollup, sim_range_search,
-#         join_range_view_clicks, dedup_cluster_keeper, text_token_rarity
-#   15-50 every family whose last stamp is r04 and that the round-5
+#         join_range_view_clicks, dedup_cluster_keeper, text_token_rarity,
+#         text_repetition_filter, dedup_semantic,
+#         curation_adaptive_threshold, curation_source_overlap,
+#         text_vocab_coverage
+#   20-50 every family whose last stamp is r04 and that the round-5
 #         VERDICT called out: events head (incl. funnel + scalar zoo),
 #         the stream_* COMPLETE four, text, udtf, multimodal, asof/full-
 #         outer joins, the entity family, the dedup simhash/minhash/
@@ -50,9 +53,12 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # Rotated out (all r05-green, CORRECTNESS_r05.json): similarity (8),
 # streaming_late (3), the dedup jaccard head + connected components,
 # the rest of curation, all 22 TPC-H, window_topk, setops_union_distinct,
-# agg_salted_two_phase. The windows/setops/aggregates demoted rows plus
-# events_type_pivot and text_length_histogram (evicted for the five new
-# queries) stay r04-stamped and are the round-7 rotation front.
+# agg_salted_two_phase. The windows/setops/aggregates demoted rows,
+# events_type_pivot and text_length_histogram, plus the five r04 rows
+# evicted for this round's second new-query batch (events_json_payload,
+# events_topk_users, scalar_function_zoo, join_full_outer_part_sales,
+# events_dedup_first) stay r04-stamped and are the round-7 rotation
+# front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -71,15 +77,16 @@ _R06_PREFIX = [
     "join_range_view_clicks",
     "dedup_cluster_keeper",
     "text_token_rarity",
+    "text_repetition_filter",
+    "dedup_semantic",
+    "curation_adaptive_threshold",
+    "curation_source_overlap",
+    "text_vocab_coverage",
     # events head (r04)
     "events_hourly_tumbling",
     "events_sliding_window",
     "events_session_windows",
-    "events_dedup_first",
-    "events_json_payload",
-    "events_topk_users",
     "events_funnel",
-    "scalar_function_zoo",
     # streaming COMPLETE four (r04)
     "stream_hourly_tumbling",
     "stream_sliding_window",
@@ -99,7 +106,6 @@ _R06_PREFIX = [
     "multimodal_frame_sample",
     # joins (r04)
     "join_asof_click_view",
-    "join_full_outer_part_sales",
     # entity family (r04)
     "entity_get_state",
     "entity_find_class",
