@@ -291,3 +291,57 @@ def test_token_rarity_partial_aggs_before_shuffle(spark):
     # Exchange consumes the generator output
     import re
     assert re.search(r"Generate[\s\S]{0,400}?HashAggregate", plan)
+
+
+def test_repetition_filter_single_generate_docid_keyed(spark):
+    """text_repetition_filter: ONE unified gram explode (a single
+    Generate) feeding doc_id-embedded aggregation keys — a per-n explode
+    would quadruple scan passes, and any shuffle keyed on the gram alone
+    would re-create the hot-token skew the unified key avoids."""
+    import re
+
+    plan = explain_str(REGISTRY["text_repetition_filter"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "Window" not in plan
+
+
+def test_semdedup_assignment_is_broadcast_fold_no_explode(spark):
+    """dedup_semantic: centroid assignment must be a one-row broadcast
+    (BNLJ of the k-array pivot) with per-row folds — no posexplode of the
+    corpus, no window; the pair stage joins on the computed cid as a hash
+    equi-join, never a cartesian product."""
+    plan = explain_str(REGISTRY["dedup_semantic"].fn(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # cid pair join + kept-flag join
+
+
+def test_adaptive_threshold_window_only_on_distinct_scores(spark):
+    """curation_adaptive_threshold: the quantile gate must NOT sort the
+    corpus — the only Window runs over the (lang, score) DISTINCT table
+    (downstream of its aggregate), and the corpus re-join takes both
+    lookup sides by broadcast."""
+    import re
+
+    plan = explain_str(
+        REGISTRY["curation_adaptive_threshold"].fn(spark, SF_DIR)
+    )
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the window consumes the aggregated distinct-score table, not a scan:
+    # an Exchange on (lang, score) group keys must sit above the window's
+    # input aggregate
+    assert "hashpartitioning(lang" in plan
+
+
+def test_vocab_coverage_probe_is_broadcast(spark):
+    """text_vocab_coverage: the V-row vocabulary must broadcast into the
+    per-(doc,token) probe (left BroadcastHashJoin) — shuffling the corpus
+    by token to meet the vocab would put the Zipf key on the wire."""
+    plan = explain_str(REGISTRY["text_vocab_coverage"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # the top-V cut, never a sort
