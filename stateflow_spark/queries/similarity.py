@@ -948,3 +948,169 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= RANGE_COSINE_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# Maximal Marginal Relevance — diversity-aware top-k selection
+# --------------------------------------------------------------------------
+
+_MMR_K = 3  # selections (each is one CTE layer in the generated oracle)
+_MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to selected
+
+
+def _mmr_oracle() -> str:
+    """Generate the k-step oracle: each greedy MMR pick is one CTE layer
+    (decimal-exact cosines, min-vec_id tie-break), so the SELECTION
+    TRAJECTORY itself is replayed — the same pattern as _km_oracle."""
+    lam, k = _MMR_LAMBDA, _MMR_K
+    sql = f"""
+    WITH ex AS ({_EX_SQL}),
+    n AS (SELECT vec_id,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+          FROM ex GROUP BY 1),
+    rel AS (
+        SELECT c.vec_id,
+               CAST(SUM(CAST(c.x * q.x AS DECIMAL(38,12))) AS DOUBLE)
+                 / (sqrt(nc.n2) * sqrt(nq.n2)) AS rel
+        FROM ex c
+        JOIN ex q ON q.pos = c.pos AND q.vec_id = 0
+        JOIN n nc ON nc.vec_id = c.vec_id
+        JOIN n nq ON nq.vec_id = 0
+        WHERE c.vec_id <> 0
+        GROUP BY c.vec_id, nc.n2, nq.n2
+    ),
+    s1 AS (SELECT vec_id, rel, rel AS mmr_score FROM rel
+           ORDER BY rel DESC, vec_id LIMIT 1)"""
+    prev_sel = ["s1"]
+    for it in range(2, k + 1):
+        # the redundancy term joins the selected vectors' exploded rows
+        # directly (a correlated per-pos scalar subquery would re-scan)
+        sql += f""",
+    m{it} AS (
+        SELECT r.vec_id, r.rel,
+               {lam} * r.rel - {1 - lam:.1f} * MAX(
+                   CAST(sub.dot AS DOUBLE) / (sqrt(nc.n2) * sqrt(sub.n2))
+               ) AS mmr_score
+        FROM rel r
+        JOIN n nc ON nc.vec_id = r.vec_id
+        JOIN (
+            SELECT c.vec_id AS cand, s.vec_id AS sel, ns.n2,
+                   CAST(SUM(CAST(c.x * s.x AS DECIMAL(38,12))) AS DOUBLE)
+                     AS dot
+            FROM ex c
+            JOIN ex s ON s.pos = c.pos
+            JOIN n ns ON ns.vec_id = s.vec_id
+            WHERE s.vec_id IN (SELECT vec_id FROM ({
+                " UNION ALL ".join(f"SELECT vec_id FROM {p}" for p in prev_sel)
+            }))
+            GROUP BY 1, 2, 3
+        ) sub ON sub.cand = r.vec_id
+        WHERE r.vec_id NOT IN (SELECT vec_id FROM ({
+                " UNION ALL ".join(f"SELECT vec_id FROM {p}" for p in prev_sel)
+            }))
+        GROUP BY r.vec_id, r.rel, nc.n2
+    ),
+    s{it} AS (SELECT vec_id, rel, mmr_score FROM m{it}
+              ORDER BY mmr_score DESC, vec_id LIMIT 1)"""
+        prev_sel.append(f"s{it}")
+    parts = " UNION ALL ".join(
+        f"SELECT {i + 1} AS sel_rank, vec_id, rel AS relevance, mmr_score"
+        f" FROM {s}" for i, s in enumerate(prev_sel)
+    )
+    return sql + f" {parts}"
+
+
+@register(
+    "sim_mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "mmr", "iterative"),
+)
+def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+    top-k selection that trades relevance to the query (vec 0) against
+    redundancy with what is already selected — the retrieval-side
+    complement of SemDeDup for assembling DIVERSE training/eval samples
+    rather than merely similar ones. k=3 greedy picks, λ=0.7.
+
+    Scale shape: relevance is the sim_cosine_topk plan (per-row broadcast
+    fold, zero pre-shuffle); each greedy step is a 1-row TakeOrdered
+    (never a corpus sort) whose winner — id AND vector — crossJoin-
+    broadcasts back so the next step's redundancy term is again a per-row
+    fold against ≤k−1 broadcast vectors. The whole k-step greedy chain is
+    ONE Catalyst plan with no driver loop state and no collect; since
+    each step re-embeds the previous winners' subplans (DataFrame reuse
+    duplicates the subtree), the plan holds 2^k−1 TakeOrdered passes —
+    7 cheap linear scans at k=3. That exponent is fine for the constant
+    small k MMR uses in practice; a large-k variant would localCheckpoint
+    each winner between steps exactly like the connected-components
+    rounds, trading plan purity for linear pass count. The
+    trajectory (argmax per step, min-id tie-break) is replayed layer by
+    layer by the generated CTE oracle, like sim_kmeans_iterations."""
+    c = _corpus(spark, sf_dir, fan_out=True).withColumn(
+        "n2", norm2_dec("v")
+    )
+    q = F.broadcast(
+        c.filter(F.col("vec_id") == 0).select(
+            F.col("v").alias("qv"), F.col("n2").alias("qn2")
+        )
+    )
+    rel = (
+        c.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "v",
+            "n2",
+            (dot_dec("v", "qv") / (F.sqrt("n2") * F.sqrt("qn2"))).alias("rel"),
+        )
+    )
+    sel = [
+        rel.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "v", "n2", "rel", F.col("rel").alias("mmr_score"))
+    ]
+    for _ in range(2, _MMR_K + 1):
+        picked = [
+            F.broadcast(
+                s.select(
+                    F.col("vec_id").alias(f"sel_id{i}"),
+                    F.col("v").alias(f"sv{i}"),
+                    F.col("n2").alias(f"sn2{i}"),
+                )
+            )
+            for i, s in enumerate(sel)
+        ]
+        cand = rel
+        for p in picked:
+            cand = cand.crossJoin(p)
+        not_picked = F.lit(True)
+        for i in range(len(sel)):
+            not_picked = not_picked & (F.col("vec_id") != F.col(f"sel_id{i}"))
+        max_sim = F.greatest(
+            *[
+                dot_dec("v", f"sv{i}")
+                / (F.sqrt("n2") * F.sqrt(F.col(f"sn2{i}")))
+                for i in range(len(sel))
+            ]
+        ) if len(sel) > 1 else (
+            dot_dec("v", "sv0") / (F.sqrt("n2") * F.sqrt(F.col("sn20")))
+        )
+        score = F.lit(_MMR_LAMBDA) * F.col("rel") - F.lit(
+            round(1 - _MMR_LAMBDA, 10)
+        ) * max_sim
+        sel.append(
+            cand.filter(not_picked)
+            .select("vec_id", "v", "n2", "rel", score.alias("mmr_score"))
+            .orderBy(F.col("mmr_score").desc(), "vec_id")
+            .limit(1)
+        )
+    out = None
+    for i, s in enumerate(sel):
+        row = s.select(
+            F.lit(i + 1).alias("sel_rank"),
+            "vec_id",
+            F.col("rel").alias("relevance"),
+            "mmr_score",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -345,3 +345,18 @@ def test_vocab_coverage_probe_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan  # the top-V cut, never a sort
+
+
+def test_mmr_greedy_chain_shape(spark):
+    """sim_mmr_diverse_topk: every greedy pick is a 1-row TakeOrdered
+    (never a corpus sort/window) and every winner meets the corpus as a
+    1-row broadcast (BNLJ) — with the documented 2^k−1 subplan re-embed,
+    that is exactly 7 TakeOrdered nodes at k=3. No shuffled join
+    anywhere."""
+    import re
+
+    plan = explain_str(REGISTRY["sim_mmr_diverse_topk"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 7
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -94,3 +94,32 @@ def test_kmeans_recovers_planted_blobs(spark, planted_blobs):
     # centroids sit near the blob centers: ||c||^2 ~ 16 * 4^2 = 256
     for r in rows:
         assert 200 < r.cnorm2 < 300, r
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
+    """MMR pick 2 must skip the near-copy of pick 1 (higher relevance,
+    sim≈1 → score .7·.8−.3·1 ≈ .26) in favor of the diverse vector
+    (rel .78, sim to pick 1 ≈ .25 → score ≈ .47); plain top-k would
+    have returned the copy. Pick 3 then takes the copy."""
+    pad = [0.0] * 5
+    rows = [
+        (0, [1.0, 0.0, 0.0] + pad, 0),            # query
+        (1, [0.8, 0.6, 0.0] + pad, 0),            # top relevance (.8)
+        (2, [0.8, 0.6, 1e-6] + pad, 0),           # its near-copy
+        (3, [0.78, -0.62, 0.0] + pad, 0),         # diverse, rel .78
+        (4, [0.0, 0.0, 1.0] + pad, 0),            # rel 0 filler
+        (5, [0.1, 0.1, 0.9] + pad, 0),            # low-rel filler
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = sorted(
+        REGISTRY["sim_mmr_diverse_topk"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.sel_rank,
+    )
+    assert [r.vec_id for r in out] == [1, 3, 2], out
+    assert out[0].mmr_score == out[0].relevance  # pick 1 is pure relevance
+    assert out[1].mmr_score > 0.4 and out[2].mmr_score < 0.3
