@@ -44,7 +44,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         join_range_view_clicks, dedup_cluster_keeper, text_token_rarity,
 #         text_repetition_filter, dedup_semantic,
 #         curation_adaptive_threshold, curation_source_overlap,
-#         text_vocab_coverage, sim_mmr_diverse_topk
+#         text_vocab_coverage, sim_mmr_diverse_topk, text_bm25_retrieval
 #   20-50 every family whose last stamp is r04 and that the round-5
 #         VERDICT called out: events head (incl. funnel + scalar zoo),
 #         the stream_* COMPLETE four, text, udtf, multimodal, asof/full-
@@ -57,8 +57,8 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # events_type_pivot and text_length_histogram, plus the five r04 rows
 # evicted for this round's second new-query batch (events_json_payload,
 # events_topk_users, scalar_function_zoo, join_full_outer_part_sales,
-# events_dedup_first, text_fingerprint) stay r04-stamped and are the
-# round-7 rotation front.
+# events_dedup_first, text_fingerprint, text_lang_id) stay r04-stamped
+# and are the round-7 rotation front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -83,6 +83,7 @@ _R06_PREFIX = [
     "curation_source_overlap",
     "text_vocab_coverage",
     "sim_mmr_diverse_topk",
+    "text_bm25_retrieval",
     # events head (r04)
     "events_hourly_tumbling",
     "events_sliding_window",
@@ -96,7 +97,6 @@ _R06_PREFIX = [
     # text (r04; chunking already above)
     "text_token_stats",
     "text_quality_score",
-    "text_lang_id",
     "text_bpe_token_count",
     "text_rolling_fingerprint",
     # udtf + multimodal (r04)

@@ -597,3 +597,123 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("oov_rate"),
         (rate <= _VOCAB_MAX_OOV).alias("vocab_covered"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25-core retrieval scoring (Robertson et al.; log-free idf variant)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+@register(
+    "text_bm25_retrieval",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl,
+               {", ".join(
+                   f"len(list_filter(t, x -> x = '{w}')) AS tf_{w}"
+                   for w in _BM25_TERMS)}
+        FROM d
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(CAST(dl AS DECIMAL(38,4))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END)"
+                   f" AS DOUBLE) AS df_{w}"
+                   for w in _BM25_TERMS)}
+        FROM tf
+    )
+    SELECT doc_id,
+           {", ".join(f"tf_{w}" for w in _BM25_TERMS)},
+           {" + ".join(
+               f"((n_docs - df_{w} + 0.5) / (df_{w} + 0.5))"
+               f" * (CAST(tf_{w} AS DOUBLE) * ({_BM25_K1} + 1.0))"
+               f" / (CAST(tf_{w} AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}"
+               f" + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl)))"
+               for w in _BM25_TERMS)} AS score
+    FROM tf, stats
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPN}
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-core retrieval: score every document against a fixed query
+    term set and return the top-20. Uses the saturating tf normalization
+    and length penalty of BM25 exactly (k1=1.2, b=0.75) with the idf's
+    log dropped — (N−df+.5)/(df+.5) is a strictly monotone transform of
+    Robertson idf per term, kept log-free so every arithmetic step is an
+    IEEE double op on bit-identical operands in both engines (libm's ln
+    is not bit-pinned across engines; rankings differ only where true
+    BM25's inter-term weighting would, documented here). The per-doc sum
+    adds the per-term contributions in LITERAL expression order, not via
+    an aggregation, so no float reassociation exists anywhere.
+
+    Scale shape: term frequencies are per-row higher-order filters on the
+    token array — no explode, no (doc,term) shuffle; the corpus statistics
+    (N, decimal-exact avgdl, per-term document frequencies) reduce to ONE
+    broadcast row in a single partial/final aggregate; scoring is then a
+    stateless per-row expression and the top-20 is a TakeOrdered — the
+    whole retrieval is two corpus scans and zero pre-TakeOrdered
+    shuffles. Adding query terms widens the stats row, never the plan."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("dl", F.size("t"))
+    tf = d.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.expr(f"filter(t, x -> x = '{w}')")).alias(f"tf_{w}")
+            for w in _BM25_TERMS
+        ],
+    )
+    stats = F.broadcast(
+        tf.groupBy().agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (
+                F.sum(F.col("dl").cast("decimal(38,4)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avgdl"),
+            *[
+                F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0))
+                .cast("double")
+                .alias(f"df_{w}")
+                for w in _BM25_TERMS
+            ],
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+
+    def term_score(w: str) -> F.Column:
+        idf = (F.col("n_docs") - F.col(f"df_{w}") + 0.5) / (
+            F.col(f"df_{w}") + 0.5
+        )
+        tfd = F.col(f"tf_{w}").cast("double")
+        return idf * (tfd * (k1 + 1.0)) / (
+            tfd + k1 * (1.0 - b + b * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+
+    score = term_score(_BM25_TERMS[0])
+    for w in _BM25_TERMS[1:]:
+        score = score + term_score(w)
+    return (
+        tf.crossJoin(stats)
+        .select(
+            "doc_id",
+            *[f"tf_{w}" for w in _BM25_TERMS],
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPN)
+    )

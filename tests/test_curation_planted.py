@@ -190,3 +190,33 @@ def test_repetition_filter_hand_computed_fractions(spark, tmp_path):
     assert r2.n_tokens == 10
     assert r2.top_word_frac == 0.1 and r2.dup_5gram_frac == 0.0
     assert r2.top_bigram_frac == 0.2 and r2.top_trigram_frac == pytest.approx(0.3)
+
+
+# --------------------------------------------------------------------------
+# text_bm25_retrieval: ranking semantics (saturation + length norm)
+# --------------------------------------------------------------------------
+
+
+def test_bm25_ranks_multi_term_match_first(spark, tmp_path):
+    """Same-length docs: covering all three query terms must outrank a
+    single-term doc even when that doc repeats its term (tf saturation);
+    and between two all-terms docs of equal tf, the shorter wins (length
+    normalization)."""
+    rows = [
+        (1, "join hash scan pad1 pad2 pad3"),           # all terms, len 6
+        (2, "join join join join join pad1"),           # one term, tf 5
+        (3, "join hash scan pad1 pad2 pad3 pad4 pad5"), # all terms, len 8
+        (4, "pad1 pad2 pad3 pad4 pad5 pad6"),           # no terms
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = [r.doc_id for r in
+           REGISTRY["text_bm25_retrieval"].fn(spark, str(tmp_path)).collect()]
+    assert out[0] == 1, out       # all-terms beats repeated single term
+    assert out.index(1) < out.index(3) < out.index(2), out
+    assert out[-1] == 4, out      # zero-match doc scores 0, ranks last

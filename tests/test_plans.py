@@ -360,3 +360,18 @@ def test_mmr_greedy_chain_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_bm25_two_scans_no_explode_one_exchange(spark):
+    """text_bm25_retrieval: term frequencies are per-row array filters
+    (no Generate), corpus stats reduce through exactly ONE exchange (the
+    single-partition final of the stats aggregate, whose output is one
+    broadcast row), and the ranking is a TakeOrdered — never a sort or a
+    (doc,term) shuffle."""
+    import re
+
+    plan = explain_str(REGISTRY["text_bm25_retrieval"].fn(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 1
+    assert "SortMergeJoin" not in plan and "Window" not in plan
