@@ -1187,30 +1187,42 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast build side at test scale → label-partitioned sort-merge +
     AQE skew split at 100 TB); the quadratic in-cluster volume is bounded
     by the quantizer granularity k, which is the SemDeDup scale knob —
-    production raises k (finer clusters) precisely to cap cluster sizes.
-    The drop set is a distinct on pruned ids (≤ corpus-sized, uniformly
-    keyed) and the final kept flag is one left anti-shaped join."""
+    production raises k with N precisely to cap cluster sizes (the
+    registered row holds k=4 for the oracle; semantic_dedup(k=32) on the
+    same sf1 corpus is the measured demonstration in SCALING.md — same
+    plan, ~8× less pair work). The drop set is a distinct on pruned ids
+    (≤ corpus-sized, uniformly keyed) and the final kept flag is one left
+    anti-shaped join."""
+    return semantic_dedup(spark, sf_dir, _SEMDEDUP_K)
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, k: int, tau: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """Parameterized SemDeDup core (see dedup_semantic): seeds = vec_id
+    1..k; raising k is THE scale knob — expected within-cluster pair
+    volume falls ~1/k while the plan stays byte-identical."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     one = F.broadcast(
-        e.filter(F.col("vec_id").between(1, _SEMDEDUP_K))
+        e.filter(F.col("vec_id").between(1, k))
         .select(F.col("vec_id").cast("int").alias("cid"), "v")
         .groupBy()
         .agg(
             *[
                 F.max(F.when(F.col("cid") == c, F.col("v"))).alias(f"c{c}")
-                for c in range(1, _SEMDEDUP_K + 1)
+                for c in range(1, k + 1)
             ]
         )
     )
     dist_cols = [
-        sqdist_dec("v", f"c{c}").alias(f"d{c}") for c in range(1, _SEMDEDUP_K + 1)
+        sqdist_dec("v", f"c{c}").alias(f"d{c}") for c in range(1, k + 1)
     ]
     best = F.expr(
         "aggregate(array("
         + ", ".join(
-            f"struct(d{c} AS d, {c} AS cid)" for c in range(1, _SEMDEDUP_K + 1)
+            f"struct(d{c} AS d, {c} AS cid)" for c in range(1, k + 1)
         )
         + "), cast(null as struct<d:double,cid:int>),"
         + " (acc, x) -> IF(acc IS NULL OR x.d < acc.d, x, acc))"
@@ -1238,7 +1250,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cid")
         .filter(F.col("va") < F.col("vb"))
         .select("vb", cos.alias("cosine"))
-        .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+        .filter(F.col("cosine") >= tau)
         .select("vb")
         .distinct()
     )

@@ -220,3 +220,17 @@ def test_bm25_ranks_multi_term_match_first(spark, tmp_path):
     assert out[0] == 1, out       # all-terms beats repeated single term
     assert out.index(1) < out.index(3) < out.index(2), out
     assert out[-1] == 4, out      # zero-match doc scores 0, ranks last
+
+
+def test_semantic_dedup_k_knob_refines_blocking(spark, sem_corpus):
+    """Raising k only REFINES the blocking (recall falls, pair volume
+    falls, the kept/cid contract holds): at k=7 every planted vector is
+    its own seed, so each sits alone in its own cluster (distance 0 to
+    itself beats every other seed) and ALL survive — including the two
+    vectors k=4 pruned."""
+    from stateflow_spark.queries.dedup import semantic_dedup
+
+    out = {r.vec_id: r for r in semantic_dedup(spark, sem_corpus, 7).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    assert all(r.kept for r in out.values())
+    assert all(r.cid == r.vec_id for r in out.values())
