@@ -44,7 +44,8 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         join_range_view_clicks, dedup_cluster_keeper, text_token_rarity,
 #         text_repetition_filter, dedup_semantic,
 #         curation_adaptive_threshold, curation_source_overlap,
-#         text_vocab_coverage, sim_mmr_diverse_topk, text_bm25_retrieval
+#         text_vocab_coverage, sim_mmr_diverse_topk, text_bm25_retrieval,
+#         curation_temperature_mixture
 #   20-50 every family whose last stamp is r04 and that the round-5
 #         VERDICT called out: events head (incl. funnel + scalar zoo),
 #         the stream_* COMPLETE four, text, udtf, multimodal, asof/full-
@@ -57,7 +58,8 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # events_type_pivot and text_length_histogram, plus the five r04 rows
 # evicted for this round's second new-query batch (events_json_payload,
 # events_topk_users, scalar_function_zoo, join_full_outer_part_sales,
-# events_dedup_first, text_fingerprint, text_lang_id) stay r04-stamped
+# events_dedup_first, text_fingerprint, text_lang_id,
+# events_session_windows — its streaming twin stays in) stay r04-stamped
 # and are the round-7 rotation front.
 _R06_PREFIX = [
     # never driver-stamped
@@ -84,10 +86,10 @@ _R06_PREFIX = [
     "text_vocab_coverage",
     "sim_mmr_diverse_topk",
     "text_bm25_retrieval",
+    "curation_temperature_mixture",
     # events head (r04)
     "events_hourly_tumbling",
     "events_sliding_window",
-    "events_session_windows",
     "events_funnel",
     # streaming COMPLETE four (r04)
     "stream_hourly_tumbling",

@@ -646,3 +646,114 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based mixture resampling (mT5 / XLM-R α-sampling)
+# --------------------------------------------------------------------------
+
+# α = 0.5: weight_s ∝ n_s^α — sqrt keeps every arithmetic step an IEEE
+# builtin (no pow/exp, which are not bit-pinned across engines)
+_TEMP_ALPHA_SQL = "sqrt(CAST(n_total AS DOUBLE))"
+
+
+@register(
+    "curation_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+    ), sums AS (
+        SELECT CAST(SUM(CAST({_TEMP_ALPHA_SQL} AS DECIMAL(38,12)))
+                    AS DOUBLE) AS s_alpha,
+               CAST(SUM(n_total) AS BIGINT) AS n_corpus
+        FROM counts
+    ), quota AS (
+        SELECT lang, n_total,
+               {_TEMP_ALPHA_SQL} / s_alpha AS weight,
+               CAST(floor(({_TEMP_ALPHA_SQL} / s_alpha)
+                          * CAST(n_corpus AS DOUBLE)) AS BIGINT) AS n_target
+        FROM counts, sums
+    ), d AS (
+        SELECT doc.lang, q.n_total, q.weight, q.n_target,
+               q.n_target // q.n_total
+               + CASE WHEN ({_BUCKET_SQL}) * q.n_total
+                           < (q.n_target % q.n_total) * 100
+                      THEN 1 ELSE 0 END AS n_repeat
+        FROM documents doc JOIN quota q ON doc.lang = q.lang
+    ), emitted AS (
+        SELECT lang, n_total, weight, n_target
+        FROM d, (SELECT unnest(range(0, 1000)) AS i)
+        WHERE i < n_repeat
+    )
+    SELECT lang, CAST(MAX(n_total) AS BIGINT) AS n_total,
+           MAX(weight) AS weight,
+           CAST(MAX(n_target) AS BIGINT) AS n_target,
+           COUNT(*) AS n_emitted
+    FROM emitted GROUP BY lang
+    """,
+    tags=("curation", "mixture", "temperature"),
+)
+def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (mT5/XLM-R α-sampling, α=0.5):
+    redistribute the SAME corpus budget across languages proportional to
+    n^α — low-resource strata upsample, high-resource downsample, the
+    standard fix for head-language dominance that uniform balancing
+    (curation_balance_mixture, α=0) overcorrects. Weights use sqrt (IEEE
+    bit-pinned; pow/exp are not) and the weight denominator accumulates
+    through decimal, so the per-stratum quota arithmetic is bit-identical
+    cross-engine; the realized multiset comes from the same
+    floor(epochs) + md5-hash-threshold fractional pass as
+    curation_epoch_upsample — deterministic under any partitioning.
+
+    Scale shape: one tiny per-language count (broadcast back with the
+    1-row corpus sums), then a single corpus map with bounded fan-out
+    (×n_target/n_total). No sort, no window, no shuffle of emitted rows;
+    the 1000-epoch cap lives only in the oracle's replay (range join),
+    not the Spark plan."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    sums = counts.agg(
+        F.sum(F.sqrt(F.col("n_total").cast("double")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s_alpha"),
+        F.sum("n_total").cast("bigint").alias("n_corpus"),
+    )
+    w = F.sqrt(F.col("n_total").cast("double")) / F.col("s_alpha")
+    quota = (
+        counts.crossJoin(F.broadcast(sums))
+        .select(
+            "lang",
+            "n_total",
+            w.alias("weight"),
+            F.floor(w * F.col("n_corpus").cast("double"))
+            .cast("bigint")
+            .alias("n_target"),
+        )
+    )
+    n_repeat = (
+        F.expr("n_target div n_total")
+        + F.when(
+            _bucket100() * F.col("n_total")
+            < (F.col("n_target") % F.col("n_total")) * 100,
+            1,
+        ).otherwise(0)
+    )
+    emitted = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(quota), "lang")
+        .select("lang", "n_total", "weight", "n_target", n_repeat.alias("n_repeat"))
+        .filter(F.col("n_repeat") > 0)
+        .select(
+            "lang",
+            "n_total",
+            "weight",
+            "n_target",
+            F.explode(F.expr("sequence(1, n_repeat)")).alias("epoch"),
+        )
+    )
+    return emitted.groupBy("lang").agg(
+        F.max("n_total").cast("bigint").alias("n_total"),
+        F.max("weight").alias("weight"),
+        F.max("n_target").cast("bigint").alias("n_target"),
+        F.count(F.lit(1)).alias("n_emitted"),
+    )
