@@ -354,3 +354,137 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.06 * F.col("exact_users")
         ).alias("rollup_within_3sd"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+_CM_DEPTH = 4  # hash rows
+_CM_WIDTH = 64  # buckets per row
+_CM_TOPN = 15  # candidates reported (the exact top-N user_ids)
+
+# md5-derived row hash, replayable in DuckDB hex-digit arithmetic:
+# bucket_j(key) = int(md5(j ':' key)[:8 hex]) % WIDTH
+_CM_BUCKET_SQL = f"""list_reduce(list_transform(range(1, 9),
+        i -> CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                    CAST(user_id AS VARCHAR)), i, 1))
+                  - 1 AS BIGINT)),
+        (a, b) -> a * 16 + b) % {_CM_WIDTH}"""
+
+
+def _cm_bucket() -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("j").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CM_WIDTH
+    )
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+    WITH ev AS (SELECT user_id FROM events),
+    hashed AS (
+        SELECT user_id, j, {_CM_BUCKET_SQL} AS bucket
+        FROM ev, (SELECT unnest(range(0, {_CM_DEPTH})) AS j)
+    ),
+    counters AS (
+        SELECT j, bucket, COUNT(*) AS c FROM hashed GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS exact_cnt, COUNT(*) OVER () AS n_users,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_events
+        FROM ev GROUP BY user_id
+    ),
+    cand AS (
+        SELECT user_id, exact_cnt, n_events FROM exact
+        ORDER BY exact_cnt DESC, user_id LIMIT {_CM_TOPN}
+    ),
+    est AS (
+        SELECT c.user_id, c.exact_cnt, c.n_events,
+               MIN(ct.c) AS cm_estimate
+        FROM (SELECT cand.*, j, {_CM_BUCKET_SQL.replace("user_id", "cand.user_id")} AS bucket
+              FROM cand, (SELECT unnest(range(0, {_CM_DEPTH})) AS j)) c
+        JOIN counters ct ON ct.j = c.j AND ct.bucket = c.bucket
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(cm_estimate - exact_cnt AS BIGINT) AS overcount,
+           (cm_estimate >= exact_cnt) AS never_undercounts,
+           (cm_estimate - exact_cnt <= 2 * n_events / {_CM_WIDTH})
+             AS within_bound
+    FROM est
+    """,
+    tags=("agg", "sketch", "countmin"),
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: build a {_CM_DEPTH}×{_CM_WIDTH}
+    counter sketch over event user_ids with md5-derived row hashes, then
+    report the exact top-{_CM_TOPN} users beside their sketch estimates,
+    the overcount, and the CM guarantees as computed booleans — the
+    one-sided error (never undercounts) and the ε=2/width bound. Fixed
+    deterministic hashes make the SKETCH CONTENT itself hash-gateable
+    cross-engine, the same trick the curation samplers use — where
+    agg_approx_sketches gates Spark's built-in HLL/KLL behind bound
+    checks, this row pins every counter bit.
+
+    Scale shape: the build explodes each event into {_CM_DEPTH} hash rows
+    but the (j, bucket) key space is {_CM_DEPTH}×{_CM_WIDTH} = 256 —
+    map-side combine collapses each partition to ≤256 partial rows, so
+    the exchange carries ~256 rows per partition REGARDLESS of event
+    volume: the textbook mergeable-sketch aggregation (and why CM beats
+    exact counting at 100 TB: the shuffle is O(sketch), not O(keys)).
+    The counter table broadcasts back to score the candidate set; the
+    candidate list itself is a TakeOrdered over the exact per-user
+    aggregate (at production scale the candidates come from upstream —
+    the sketch is the filter, exact counting the verify pass)."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    js = F.array(*[F.lit(j) for j in range(_CM_DEPTH)])
+    hashed = ev.select("user_id", F.explode(js).alias("j")).select(
+        "j", _cm_bucket().alias("bucket")
+    )
+    counters = F.broadcast(
+        hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_events = F.broadcast(ev.agg(F.count(F.lit(1)).alias("n_events")))
+    cand = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(_CM_TOPN)
+        .crossJoin(n_events)
+    )
+    est = (
+        cand.select("user_id", "exact_cnt", "n_events", F.explode(js).alias("j"))
+        .select("user_id", "exact_cnt", "n_events", "j", _cm_bucket().alias("bucket"))
+        .join(counters, ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt", "n_events")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).alias("overcount"),
+        (F.col("cm_estimate") >= F.col("exact_cnt")).alias("never_undercounts"),
+        (
+            F.col("cm_estimate") - F.col("exact_cnt")
+            <= 2 * F.col("n_events") / _CM_WIDTH
+        ).alias("within_bound"),
+    )

@@ -375,3 +375,24 @@ def test_bm25_two_scans_no_explode_one_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 1
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_countmin_shuffle_is_sketch_sized(spark):
+    """agg_countmin_heavy_hitters: the sketch build must shuffle PARTIAL
+    (j, bucket) aggregates — map-side combine bounds the exchange at
+    depth×width rows per partition regardless of event volume — and the
+    counter table must come back as a broadcast, never a shuffled join."""
+    plan = explain_str(REGISTRY["agg_countmin_heavy_hitters"].fn(spark, SF_DIR))
+    import re
+
+    # a partial HashAggregate on (j, bucket) exists, and the only
+    # exchanges in the whole plan carry aggregate keys (user_id for the
+    # exact side, j/bucket for the sketch) — raw hashed event rows never
+    # cross the wire
+    assert re.search(
+        r"Keys \[2\]: \[j#\d+, bucket#\d+L?\][\s\S]{0,120}?partial_count",
+        plan,
+    ), plan
+    assert re.search(r"hashpartitioning\(j#\d+, bucket#", plan), plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
