@@ -45,7 +45,8 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         text_repetition_filter, dedup_semantic,
 #         curation_adaptive_threshold, curation_source_overlap,
 #         text_vocab_coverage, sim_mmr_diverse_topk, text_bm25_retrieval,
-#         curation_temperature_mixture, agg_countmin_heavy_hitters
+#         curation_temperature_mixture, agg_countmin_heavy_hitters,
+#         agg_bloom_filter_membership
 #   20-50 every family whose last stamp is r04 and that the round-5
 #         VERDICT called out: events head (incl. funnel + scalar zoo),
 #         the stream_* COMPLETE four, text, udtf, multimodal, asof/full-
@@ -59,8 +60,9 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # evicted for this round's second new-query batch (events_json_payload,
 # events_topk_users, scalar_function_zoo, join_full_outer_part_sales,
 # events_dedup_first, text_fingerprint, text_lang_id,
-# events_session_windows and events_hourly_tumbling — their streaming
-# twins stay in) stay r04-stamped and are the round-7 rotation front.
+# events_session_windows, events_hourly_tumbling and
+# events_sliding_window — their streaming twins stay in) stay
+# r04-stamped and are the round-7 rotation front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -88,8 +90,8 @@ _R06_PREFIX = [
     "text_bm25_retrieval",
     "curation_temperature_mixture",
     "agg_countmin_heavy_hitters",
+    "agg_bloom_filter_membership",
     # events head (r04)
-    "events_sliding_window",
     "events_funnel",
     # streaming COMPLETE four (r04)
     "stream_hourly_tumbling",

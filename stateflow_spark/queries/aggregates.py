@@ -488,3 +488,127 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 2 * F.col("n_events") / _CM_WIDTH
         ).alias("within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership (Bloom 1970) — the join-pruning sketch
+# --------------------------------------------------------------------------
+
+_BLOOM_K = 3  # hash functions
+_BLOOM_M = 16384  # bits
+
+_BLOOM_BUCKET_SQL = f"""list_reduce(list_transform(range(1, 9),
+        i -> CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                    CAST(k AS VARCHAR)), i, 1))
+                  - 1 AS BIGINT)),
+        (a, b) -> a * 16 + b) % {_BLOOM_M}"""
+
+
+def _bloom_bucket(key: str) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("j").cast("string"), F.col(key).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+
+
+@register(
+    "agg_bloom_filter_membership",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+        SELECT DISTINCT j, {_BLOOM_BUCKET_SQL} AS bucket
+        FROM build, (SELECT unnest(range(0, {_BLOOM_K})) AS j)
+    ),
+    probe AS (
+        SELECT c_custkey AS k, j, {_BLOOM_BUCKET_SQL} AS bucket
+        FROM customer, (SELECT unnest(range(0, {_BLOOM_K})) AS j)
+    ),
+    hits AS (
+        SELECT p.k, COUNT(b.bucket) AS n_set
+        FROM probe p
+        LEFT JOIN bits b ON b.j = p.j AND b.bucket = p.bucket
+        GROUP BY p.k
+    ),
+    truth AS (SELECT k, TRUE AS has_urgent FROM build)
+    SELECT h.k AS c_custkey,
+           (h.n_set = {_BLOOM_K}) AS in_bloom,
+           COALESCE(t.has_urgent, FALSE) AS has_urgent,
+           ((h.n_set = {_BLOOM_K}) AND t.has_urgent IS NULL)
+             AS is_false_positive,
+           (NOT (h.n_set = {_BLOOM_K}) AND t.has_urgent IS NOT NULL)
+             AS is_false_negative
+    FROM hits h LEFT JOIN truth t ON t.k = h.k
+    """,
+    tags=("agg", "sketch", "bloom"),
+)
+def agg_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership — the join-pruning sketch: build a k=3,
+    m=16384-bit filter over the custkeys that placed an URGENT order,
+    probe every customer, and emit the sketch verdict beside ground truth
+    with false-positive / false-negative booleans (the latter must be
+    all-FALSE — Bloom's one-sided guarantee — and IS, pinned by the hash
+    gate; the former surfaces the actual ε of this fill level). Fixed
+    md5-derived bit positions make the filter CONTENT bit-identical
+    cross-engine, like agg_countmin_heavy_hitters.
+
+    Scale shape: the build side reduces to ≤ k·m DISTINCT (j, bucket)
+    rows — map-side combine caps each partition's output at the sketch
+    size, the exchange is O(sketch) not O(keys), and the bit set
+    broadcasts to the probe (one scan, no shuffle). This is exactly how
+    a runtime bloom join filter prunes a 100 TB probe side: the build
+    fact's key set travels as kilobytes of bits, and probe rows that
+    miss any of the k buckets never reach the join."""
+    o = load(spark, sf_dir, "orders")
+    build = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    js = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+    bits = F.broadcast(
+        build.select("k", F.explode(js).alias("j"))
+        .select("j", _bloom_bucket("k").alias("bucket"))
+        .distinct()
+        .withColumn("set_bit", F.lit(1))
+    )
+    probe = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .select("k", F.explode(js).alias("j"))
+        .select("k", "j", _bloom_bucket("k").alias("bucket"))
+    )
+    hits = (
+        probe.join(bits, ["j", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.count("set_bit").alias("n_set"))
+    )
+    truth = F.broadcast(build.withColumn("has_urgent", F.lit(True)))
+    in_bloom = F.col("n_set") == _BLOOM_K
+    return (
+        hits.join(truth, "k", "left")
+        .select(
+            F.col("k").alias("c_custkey"),
+            in_bloom.alias("in_bloom"),
+            F.coalesce(F.col("has_urgent"), F.lit(False)).alias("has_urgent"),
+            (in_bloom & F.col("has_urgent").isNull()).alias("is_false_positive"),
+            (~in_bloom & F.col("has_urgent").isNotNull()).alias(
+                "is_false_negative"
+            ),
+        )
+    )
