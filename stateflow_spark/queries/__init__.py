@@ -46,7 +46,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         curation_adaptive_threshold, curation_source_overlap,
 #         text_vocab_coverage, sim_mmr_diverse_topk, text_bm25_retrieval,
 #         curation_temperature_mixture, agg_countmin_heavy_hitters,
-#         agg_bloom_filter_membership
+#         agg_bloom_filter_membership, stream_countmin_sketch
 #   20-50 every family whose last stamp is r04 and that the round-5
 #         VERDICT called out: events head (incl. funnel + scalar zoo),
 #         the stream_* COMPLETE four, text, udtf, multimodal, asof/full-
@@ -60,9 +60,10 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # evicted for this round's second new-query batch (events_json_payload,
 # events_topk_users, scalar_function_zoo, join_full_outer_part_sales,
 # events_dedup_first, text_fingerprint, text_lang_id,
-# events_session_windows, events_hourly_tumbling and
-# events_sliding_window — their streaming twins stay in) stay
-# r04-stamped and are the round-7 rotation front.
+# events_session_windows, events_hourly_tumbling, events_sliding_window
+# — their streaming twins stay in — and entity_get_state, whose family
+# keeps 7 other rows in) stay r04-stamped and are the round-7 rotation
+# front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -91,6 +92,7 @@ _R06_PREFIX = [
     "curation_temperature_mixture",
     "agg_countmin_heavy_hitters",
     "agg_bloom_filter_membership",
+    "stream_countmin_sketch",
     # events head (r04)
     "events_funnel",
     # streaming COMPLETE four (r04)
@@ -111,7 +113,6 @@ _R06_PREFIX = [
     # joins (r04)
     "join_asof_click_view",
     # entity family (r04)
-    "entity_get_state",
     "entity_find_class",
     "entity_update_state",
     "entity_init_class",

@@ -136,3 +136,48 @@ for _stream_name, _batch_name in (
     ("stream_session_windows", "events_session_windows"),
 ):
     REGISTRY[_stream_name].oracle = REGISTRY[_batch_name].oracle
+
+
+@register(
+    "stream_countmin_sketch",
+    oracle=None,  # set below from the aggregates module's hash SQL
+    tags=("streaming", "sketch", "countmin"),
+)
+def stream_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min counters built AS STREAMING STATE: the events table is
+    re-served through a real file stream and the (j, bucket) counter
+    aggregate runs under Structured Streaming — the production telemetry
+    shape, where the sketch IS the state store and its size is
+    depth×width rows NO MATTER how long the stream runs (contrast the
+    per-key state of stream_dedup_watermark, which grows with key
+    cardinality until the watermark reaps it). The final counters must
+    equal the batch build bit-for-bit — count-min is a pure sum sketch,
+    so incremental micro-batch merge is exact, the same mergeability
+    contract agg_sketch_rollup pins for HLL across grains."""
+    from stateflow_spark.queries.aggregates import _CM_DEPTH, _cm_bucket
+
+    from pyspark.sql import functions as F
+
+    s = _events_stream(spark, sf_dir).select("user_id")
+    js = F.array(*[F.lit(j) for j in range(_CM_DEPTH)])
+    counters = (
+        s.select("user_id", F.explode(js).alias("j"))
+        .select("j", _cm_bucket().alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _run_stream(spark, counters, "complete")
+
+
+def _cm_counters_oracle() -> str:
+    from stateflow_spark.queries.aggregates import _CM_BUCKET_SQL, _CM_DEPTH
+
+    return f"""
+    SELECT j, {_CM_BUCKET_SQL} AS bucket, COUNT(*) AS c
+    FROM (SELECT user_id FROM events),
+         (SELECT unnest(range(0, {_CM_DEPTH})) AS j)
+    GROUP BY 1, 2
+    """
+
+
+REGISTRY["stream_countmin_sketch"].oracle = _cm_counters_oracle()
