@@ -46,7 +46,8 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         curation_adaptive_threshold, curation_source_overlap,
 #         text_vocab_coverage, sim_mmr_diverse_topk, text_bm25_retrieval,
 #         curation_temperature_mixture, agg_countmin_heavy_hitters,
-#         agg_bloom_filter_membership, stream_countmin_sketch
+#         agg_bloom_filter_membership, stream_countmin_sketch,
+#         events_ewma_value
 #   20-50 every family whose last stamp is r04 and that the round-5
 #         VERDICT called out: events head (incl. funnel + scalar zoo),
 #         the stream_* COMPLETE four, text, udtf, multimodal, asof/full-
@@ -61,9 +62,9 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # events_topk_users, scalar_function_zoo, join_full_outer_part_sales,
 # events_dedup_first, text_fingerprint, text_lang_id,
 # events_session_windows, events_hourly_tumbling, events_sliding_window
-# — their streaming twins stay in — and entity_get_state, whose family
-# keeps 7 other rows in) stay r04-stamped and are the round-7 rotation
-# front.
+# — their streaming twins stay in — entity_get_state (family keeps 7
+# other rows in) and multimodal_frame_sample (family keeps 2 rows in)
+# stay r04-stamped and are the round-7 rotation front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -93,6 +94,7 @@ _R06_PREFIX = [
     "agg_countmin_heavy_hitters",
     "agg_bloom_filter_membership",
     "stream_countmin_sketch",
+    "events_ewma_value",
     # events head (r04)
     "events_funnel",
     # streaming COMPLETE four (r04)
@@ -109,7 +111,6 @@ _R06_PREFIX = [
     "udtf_bigram_top20",
     "multimodal_binary_metadata",
     "multimodal_decode_features",
-    "multimodal_frame_sample",
     # joins (r04)
     "join_asof_click_view",
     # entity family (r04)

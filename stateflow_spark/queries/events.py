@@ -602,3 +602,91 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hours").cast("bigint").alias("n_hours"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing — finite-horizon exponential decay over each user's tail
+# --------------------------------------------------------------------------
+
+# decay 0.8, horizon 10: weights generated by REPEATED IEEE MULTIPLICATION
+# (w[i] = w[i-1] * 0.8), serialized via repr() so both engines parse the
+# bit-identical double — pow() is libm and not bit-pinned across engines
+_EWMA_N = 10
+_EWMA_WEIGHTS: list[float] = [1.0]
+for _ in range(_EWMA_N - 1):
+    _EWMA_WEIGHTS.append(_EWMA_WEIGHTS[-1] * 0.8)
+_EWMA_W_SQL = "[" + ", ".join(
+    f"CAST('{w!r}' AS DOUBLE)" for w in _EWMA_WEIGHTS
+) + "]"
+
+
+@register(
+    "events_ewma_value",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT event_id, user_id, ts, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_EWMA_N - 1} PRECEDING AND CURRENT ROW
+               ) AS lst
+        FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           CAST(len(lst) AS BIGINT) AS n_window,
+           CAST(list_sum(list_transform(range(1, len(lst) + 1),
+                    i -> CAST(lst[i] * ({_EWMA_W_SQL})[len(lst) - i + 1]
+                              AS DECIMAL(38,12)))) AS DOUBLE)
+             / CAST(list_sum(list_transform(range(1, len(lst) + 1),
+                    i -> CAST(({_EWMA_W_SQL})[i] AS DECIMAL(38,12))))
+                    AS DOUBLE) AS ewma
+    FROM lagged
+    """,
+    tags=("events", "timeseries", "ewma"),
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon EWMA of each user's event values: per event, the
+    exponentially weighted average of the trailing {_EWMA_N} observations
+    (decay 0.8, weights renormalized over the actual window length so
+    early events are exact, not zero-padded) — the smoothing feature a
+    telemetry/feature-store pipeline derives next to the rolling
+    count/max of events_rolling_features, which deliberately avoided
+    order-dependent float sums; THIS row shows how to do the weighted
+    float version exactly: per-element products round once to
+    DECIMAL(38,12), the sum is decimal (order-free), and the weights are
+    bit-pinned literals generated by repeated IEEE multiplication, so
+    both engines divide bit-identical operands.
+
+    Scale shape: one window per user (uniform keys, frame bounded at
+    {_EWMA_N} rows — ROWS not RANGE, keeping Spark's sliding-frame
+    optimization), a per-row fold of ≤{_EWMA_N} products, no joins, no
+    second shuffle."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_N - 1), 0)
+    )
+    wl = F.array(*[F.lit(x) for x in _EWMA_WEIGHTS])
+    lst = F.collect_list("value").over(w)
+    num = F.expr(
+        "aggregate(transform(lst, (x, i) -> "
+        "CAST(x * element_at(wl, size(lst) - i) AS DECIMAL(38,12))), "
+        "CAST(0 AS DECIMAL(26,12)), (a, x) -> CAST(a + x AS DECIMAL(26,12)))"
+    ).cast("double")
+    den = F.expr(
+        "aggregate(transform(slice(wl, 1, size(lst)), "
+        "x -> CAST(x AS DECIMAL(38,12))), "
+        "CAST(0 AS DECIMAL(26,12)), (a, x) -> CAST(a + x AS DECIMAL(26,12)))"
+    ).cast("double")
+    return (
+        e.select("event_id", "user_id", "ts", "value", lst.alias("lst"))
+        .withColumn("wl", wl)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.size("lst").cast("bigint").alias("n_window"),
+            (num / den).alias("ewma"),
+        )
+    )
