@@ -47,7 +47,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         text_vocab_coverage, sim_mmr_diverse_topk, text_bm25_retrieval,
 #         curation_temperature_mixture, agg_countmin_heavy_hitters,
 #         agg_bloom_filter_membership, stream_countmin_sketch,
-#         events_ewma_value
+#         events_ewma_value, dedup_containment
 #   20-50 every family whose last stamp is r04 and that the round-5
 #         VERDICT called out: events head (incl. funnel + scalar zoo),
 #         the stream_* COMPLETE four, text, udtf, multimodal, asof/full-
@@ -63,8 +63,9 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # events_dedup_first, text_fingerprint, text_lang_id,
 # events_session_windows, events_hourly_tumbling, events_sliding_window
 # — their streaming twins stay in — entity_get_state (family keeps 7
-# other rows in) and multimodal_frame_sample (family keeps 2 rows in)
-# stay r04-stamped and are the round-7 rotation front.
+# other rows in), multimodal_frame_sample (family keeps 2 rows in) and
+# entity_find_class (family keeps 6 rows in) stay r04-stamped and are
+# the round-7 rotation front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -95,6 +96,7 @@ _R06_PREFIX = [
     "agg_bloom_filter_membership",
     "stream_countmin_sketch",
     "events_ewma_value",
+    "dedup_containment",
     # events head (r04)
     "events_funnel",
     # streaming COMPLETE four (r04)
@@ -114,7 +116,6 @@ _R06_PREFIX = [
     # joins (r04)
     "join_asof_click_view",
     # entity family (r04)
-    "entity_find_class",
     "entity_update_state",
     "entity_init_class",
     "entity_invoke_fold",

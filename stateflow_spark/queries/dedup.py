@@ -207,17 +207,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir)
 
 
-def _jaccard_pairs(
+def _shingle_pairs(
     spark: SparkSession, sf_dir: str, stop_shingle_cap: int | None = None
 ) -> DataFrame:
-    """Inverted-index exact-Jaccard pair expansion; with stop_shingle_cap
-    set, postings longer than the cap are dropped BEFORE pair expansion —
-    the hot-shingle skew knob dedup_ngram_jaccard's docstring names, made
-    real. The worst task then expands ≤ cap²/2 pairs per shingle no matter
-    how hot the corpus's hottest phrase is; the cost is recall on pairs
-    whose overlap lives ONLY in stop-shingles (their n_common undercounts;
-    denominators keep the full per-doc shingle counts, so capped Jaccard
-    is a LOWER bound on true Jaccard — precision is preserved)."""
+    """Inverted-index pair expansion, PRE-threshold: every co-shingling
+    doc pair with (doc_a, doc_b, na, nb, n_common). Shared core of the
+    Jaccard family and the containment query, which apply different
+    set-overlap measures on top. With stop_shingle_cap set, postings
+    longer than the cap are dropped BEFORE pair expansion — the
+    hot-shingle skew knob dedup_ngram_jaccard's docstring names, made
+    real. The worst task then expands ≤ cap²/2 pairs per shingle no
+    matter how hot the corpus's hottest phrase is; the cost is recall on
+    pairs whose overlap lives ONLY in stop-shingles (their n_common
+    undercounts; denominators keep the full per-doc shingle counts, so
+    capped measures are LOWER bounds — precision is preserved)."""
     sh = _shingles_df(spark, sf_dir)
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
@@ -225,7 +228,7 @@ def _jaccard_pairs(
     keep = F.size("ds") > 1
     if stop_shingle_cap is not None:
         keep = keep & (F.size("ds") <= stop_shingle_cap)
-    pairs = (
+    return (
         ex.groupBy("s")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(keep)
@@ -246,6 +249,14 @@ def _jaccard_pairs(
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def _jaccard_pairs(
+    spark: SparkSession, sf_dir: str, stop_shingle_cap: int | None = None
+) -> DataFrame:
+    """Exact-Jaccard pairs at the family threshold (see _shingle_pairs
+    for the expansion and the skew-cap semantics)."""
+    pairs = _shingle_pairs(spark, sf_dir, stop_shingle_cap)
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     ).cast("double")
@@ -1257,4 +1268,73 @@ def semantic_dedup(
     return (
         asg.join(dropped, asg.vec_id == dropped.vb, "left")
         .select("vec_id", "cid", F.col("vb").isNull().alias("kept"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingle CONTAINMENT — asymmetric near-dup (quoted/embedded documents)
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / CAST(ca.n AS DOUBLE) AS cont_a,
+               CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE) AS cont_b
+        FROM rawpairs JOIN counts ca ON ca.doc_id = doc_a
+                      JOIN counts cb ON cb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           cont_a, cont_b,
+           CASE WHEN cont_a >= cont_b THEN 'a_in_b' ELSE 'b_in_a' END
+             AS direction
+    FROM c
+    WHERE GREATEST(cont_a, cont_b) >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup detection: C(A,B) = |A∩B| / |A| — the
+    asymmetric measure that catches a short document quoted or embedded
+    inside a long one, which Jaccard structurally misses (a 50-shingle
+    doc fully contained in a 5000-shingle doc has J ≈ 0.01 but C = 1.0).
+    Emits every pair where either direction clears 0.8, with both
+    containments and which side is the contained one — the quote/expanded-
+    edition detector a curation pipeline runs beside symmetric dedup
+    (Broder's original resemblance/containment pairing).
+
+    Scale shape: identical to the Jaccard family — the shared
+    _shingle_pairs inverted index (single shuffle, posting-cap skew knob
+    available); only the final per-pair measure differs, so adding this
+    detector to a pipeline that already computes Jaccard costs one extra
+    projection, not a second index."""
+    pairs = _shingle_pairs(spark, sf_dir)
+    cont_a = F.col("n_common").cast("double") / F.col("na").cast("double")
+    cont_b = F.col("n_common").cast("double") / F.col("nb").cast("double")
+    return (
+        pairs.withColumn("cont_a", cont_a)
+        .withColumn("cont_b", cont_b)
+        .filter(F.greatest("cont_a", "cont_b") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "cont_a",
+            "cont_b",
+            F.when(F.col("cont_a") >= F.col("cont_b"), "a_in_b")
+            .otherwise("b_in_a")
+            .alias("direction"),
+        )
     )

@@ -218,3 +218,38 @@ def test_cluster_keeper_prefers_longest_not_min_id(spark, tmp_path):
     assert out[10].keeper_doc_id == 11  # but the keeper is the longer doc
     assert out[10].comp_size == 2
     assert out[10].keeper_tokens == 40
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark, tmp_path):
+    """A 10-word doc quoted verbatim inside a 200-word doc: Jaccard is
+    ~8/~200 ≈ 0.04 — below the family threshold, invisible to
+    dedup_ngram_jaccard — but containment of the short side is 1.0 and
+    dedup_containment must flag it with the right direction."""
+    import random
+
+    rng = random.Random(21)
+    vocab = [f"w{i}" for i in range(500)]
+    short = [rng.choice(vocab) for _ in range(10)]
+    long_doc = [rng.choice(vocab) for _ in range(95)] + short + [
+        rng.choice(vocab) for _ in range(95)
+    ]
+    rows = [
+        (1, " ".join(short)),
+        (2, " ".join(long_doc)),
+        (3, " ".join(rng.choice(vocab) for _ in range(60))),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    jac = _pairs(REGISTRY["dedup_ngram_jaccard"].fn(spark, str(tmp_path)))
+    assert (1, 2) not in jac  # symmetric measure blind to the embedding
+    cont = {(r.doc_a, r.doc_b): r for r in
+            REGISTRY["dedup_containment"].fn(spark, str(tmp_path)).collect()}
+    assert set(cont) == {(1, 2)}, cont
+    r = cont[(1, 2)]
+    assert r.cont_a == 1.0 and r.direction == "a_in_b"
+    assert r.cont_b < 0.1
