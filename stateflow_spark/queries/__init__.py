@@ -39,7 +39,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         carries a deterministic bound-check oracle), entity_stream_replay
 #         (bursts rebuilt cluster-side), curation_full_pipeline (benchmark
 #         eval docs excluded from survivors)
-#   10-19 NEW this round (registered after the initial pin; swapped in so
+#   10-27 NEW this round (registered after the initial pin; swapped in so
 #         no query debuts unstamped): agg_sketch_rollup, sim_range_search,
 #         join_range_view_clicks, dedup_cluster_keeper, text_token_rarity,
 #         text_repetition_filter, dedup_semantic,
@@ -48,11 +48,12 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         curation_temperature_mixture, agg_countmin_heavy_hitters,
 #         agg_bloom_filter_membership, stream_countmin_sketch,
 #         events_ewma_value, dedup_containment
-#   20-50 every family whose last stamp is r04 and that the round-5
-#         VERDICT called out: events head (incl. funnel + scalar zoo),
-#         the stream_* COMPLETE four, text, udtf, multimodal, asof/full-
-#         outer joins, the entity family, the dedup simhash/minhash/
-#         embedding tail
+#   28-50 the r04-stamped families the round-5 VERDICT called out for
+#         re-stamp, minus the rows evicted (one per extra new query —
+#         listed below as the round-7 rotation front): events funnel,
+#         the stream_* COMPLETE four, text, udtf,
+#         multimodal, asof join, the entity core, the dedup simhash/
+#         minhash/embedding tail
 # Rotated out (all r05-green, CORRECTNESS_r05.json): similarity (8),
 # streaming_late (3), the dedup jaccard head + connected components,
 # the rest of curation, all 22 TPC-H, window_topk, setops_union_distinct,
