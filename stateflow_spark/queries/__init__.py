@@ -47,7 +47,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         text_vocab_coverage, sim_mmr_diverse_topk, text_bm25_retrieval,
 #         curation_temperature_mixture, agg_countmin_heavy_hitters,
 #         agg_bloom_filter_membership, stream_countmin_sketch,
-#         events_ewma_value, dedup_containment
+#         events_ewma_value, dedup_containment, sim_power_iteration
 #   28-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): events funnel,
@@ -65,8 +65,9 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # events_session_windows, events_hourly_tumbling, events_sliding_window
 # — their streaming twins stay in — entity_get_state (family keeps 7
 # other rows in), multimodal_frame_sample (family keeps 2 rows in) and
-# entity_find_class (family keeps 6 rows in) stay r04-stamped and are
-# the round-7 rotation front.
+# entity_find_class (family keeps 6 rows in) and dedup_simhash_pairs
+# (dedup_simhash stays in) stay r04-stamped and are the round-7
+# rotation front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -98,6 +99,7 @@ _R06_PREFIX = [
     "stream_countmin_sketch",
     "events_ewma_value",
     "dedup_containment",
+    "sim_power_iteration",
     # events head (r04)
     "events_funnel",
     # streaming COMPLETE four (r04)
@@ -125,7 +127,6 @@ _R06_PREFIX = [
     "entity_flow_golden",
     # dedup tail (r04)
     "dedup_simhash",
-    "dedup_simhash_pairs",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
 ]

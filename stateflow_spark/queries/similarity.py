@@ -1114,3 +1114,166 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Power iteration — top principal direction of the embedding corpus
+# --------------------------------------------------------------------------
+
+_PI_ITERS = 3
+# fixed-point kernel: term = trunc(p·10¹²) as int64 — truncation toward
+# zero is what Spark's double→long CAST does and what DuckDB's trunc()
+# does, and integral doubles convert exactly, so unlike double→DECIMAL
+# casts there is NO rounding step and therefore NO half-way tie to break
+# differently (a real product in this corpus lands exactly on a scale-12
+# half-way point, where Spark rounds HALF_UP and DuckDB half-even).
+# Integer sums are exact and order-free; headroom: |p|·1e12 ≤ ~4e13 per
+# term, × corpus rows ≪ 2^63 at every aggregate in this query.
+_PI_SCALE = "1e12"
+
+
+def _pi_oracle() -> str:
+    """Generated per-iteration CTE oracle: each power step (scores d_i =
+    x_i·v, update w = Σ d_i·x_i, renormalize) is one layer, so the
+    ITERATION TRAJECTORY is replayed exactly — same pattern as _km_oracle
+    and _mmr_oracle. Every fold is the fixed-point int64 kernel above."""
+    S = _PI_SCALE
+    sql = f"""
+    WITH ex AS ({_EX_SQL}),
+    n1 AS (SELECT CAST(SUM(CAST(trunc(x * x * {S}) AS BIGINT)) AS DOUBLE)
+                / {S} AS nn
+           FROM ex WHERE vec_id = 1),
+    v0 AS (SELECT pos, x / sqrt(nn) AS v FROM ex, n1 WHERE vec_id = 1)"""
+    prev = "v0"
+    for it in range(1, _PI_ITERS + 1):
+        sql += f""",
+    d{it} AS (
+        SELECT ex.vec_id,
+               CAST(SUM(CAST(trunc(ex.x * {prev}.v * {S}) AS BIGINT))
+                    AS DOUBLE) / {S} AS d
+        FROM ex JOIN {prev} USING (pos)
+        GROUP BY ex.vec_id
+    ),
+    w{it} AS (
+        SELECT ex.pos,
+               CAST(SUM(CAST(trunc(ex.x * d{it}.d * {S}) AS BIGINT))
+                    AS DOUBLE) / {S} AS w
+        FROM ex JOIN d{it} USING (vec_id)
+        GROUP BY ex.pos
+    ),
+    wn{it} AS (SELECT CAST(SUM(CAST(trunc(w * w * {S}) AS BIGINT))
+                           AS DOUBLE) / {S} AS nn
+               FROM w{it}),
+    v{it} AS (SELECT pos, w / sqrt(nn) AS v FROM w{it}, wn{it})"""
+        prev = f"v{it}"
+    return sql + f"""
+    SELECT v{_PI_ITERS}.pos, v{_PI_ITERS}.v AS component,
+           sqrt(wn{_PI_ITERS}.nn) AS eigval_estimate
+    FROM v{_PI_ITERS}, wn{_PI_ITERS}
+    """
+
+
+def _fx(p):
+    """Fixed-point term: trunc(p·1e12) as int64 (Spark's double→long cast
+    truncates toward zero — DuckDB side uses trunc() explicitly)."""
+    return (p * F.lit(1e12)).cast("bigint")
+
+
+def _fx_fold(arr) -> F.Column:
+    """Exact int64 fold of fixed-point terms -> double at scale 12."""
+    return (
+        F.aggregate(arr, F.lit(0).cast("bigint"), lambda a, x: a + x)
+        .cast("double")
+        / F.lit(1e12)
+    )
+
+
+@register(
+    "sim_power_iteration",
+    oracle=_pi_oracle(),
+    tags=("similarity", "pca", "iterative"),
+)
+def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration: 3 steps of v ← normalize(Xᵀ(Xv)) from
+    a deterministic start (vector 1 normalized), emitting the dominant
+    direction of the un-centered second-moment matrix XᵀX per coordinate
+    plus the Rayleigh-style eigenvalue estimate ‖Xᵀ(Xv)‖ — the PCA
+    front-end a curation pipeline runs before whitening or spectral
+    blocking of embeddings, and with CC/PageRank/k-means/MMR the fifth
+    canonical iterative algorithm expressed as ONE Catalyst plan (no
+    driver loop state; a convergence-driven form would localCheckpoint
+    rounds like dedup_connected_components).
+
+    Scale shape per step: v is dim doubles — it broadcasts as one packed
+    row; the score pass is a per-row fold (no explode, no shuffle); the
+    update is the only exchange, a (pos)-keyed partial/final aggregate
+    whose output is dim rows (the _centroids shape); the renorm is a
+    1-row aggregate folded back by broadcast. Never does an O(N) row set
+    cross the wire — each iteration ships exactly 2·dim + 1 numbers.
+    Exactness: every fold uses the fixed-point int64 kernel (see
+    _PI_SCALE) — truncation has no rounding ties, unlike the decimal
+    casts the cosine family uses, which this corpus defeats with a
+    product landing exactly on a scale-12 half-way point."""
+    c = _corpus(spark, sf_dir, fan_out=True)
+    n1 = (
+        c.filter(F.col("vec_id") == 1)
+        .select(
+            F.col("v").alias("x0"),
+            _fx_fold(
+                F.transform("v", lambda e: _fx(e * e))
+            ).alias("nn"),
+        )
+        .select(
+            F.transform("x0", lambda e: e / F.sqrt(F.col("nn"))).alias("pv")
+        )
+    )
+    pv = F.broadcast(n1)
+    final = None
+    for _ in range(_PI_ITERS):
+        scored = c.crossJoin(pv).select(
+            "vec_id",
+            "v",
+            _fx_fold(
+                F.zip_with("v", "pv", lambda x, y: _fx(x * y))
+            ).alias("d"),
+        )
+        w = (
+            scored.select(F.posexplode("v").alias("pos0", "x"), "d")
+            .select((F.col("pos0") + 1).alias("pos"), "x", "d")
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum(_fx(F.col("x") * F.col("d"))).cast("double")
+                    / F.lit(1e12)
+                ).alias("w")
+            )
+        )
+        wn = w.agg(
+            (
+                F.sum(_fx(F.col("w") * F.col("w"))).cast("double")
+                / F.lit(1e12)
+            ).alias("nn")
+        )
+        wv = w.crossJoin(F.broadcast(wn)).select(
+            "pos", (F.col("w") / F.sqrt("nn")).alias("vv"), "nn"
+        )
+        pv = F.broadcast(
+            wv.groupBy().agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "vv"))),
+                    lambda s: s["vv"],
+                ).alias("pv"),
+                F.max("nn").alias("nn"),
+            )
+        )
+        final = pv
+    return (
+        final.select(
+            F.posexplode("pv").alias("pos0", "component"), F.col("nn")
+        )
+        .select(
+            (F.col("pos0") + 1).alias("pos"),
+            "component",
+            F.sqrt("nn").alias("eigval_estimate"),
+        )
+    )

@@ -123,3 +123,31 @@ def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
     assert [r.vec_id for r in out] == [1, 3, 2], out
     assert out[0].mmr_score == out[0].relevance  # pick 1 is pure relevance
     assert out[1].mmr_score > 0.4 and out[2].mmr_score < 0.3
+
+
+def test_power_iteration_finds_planted_dominant_axis(spark, tmp_path):
+    """Corpus with 10× the energy on axis 3: after 3 power steps the
+    dominant component must overwhelmingly point along that axis and the
+    eigenvalue estimate must dwarf the noise floor."""
+    import random
+
+    rng = random.Random(5)
+    dim = 8
+    rows = []
+    for i in range(1, 41):
+        v = [rng.uniform(-0.1, 0.1) for _ in range(dim)]
+        v[3] += rng.choice([-1.0, 1.0]) * rng.uniform(0.9, 1.1)
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {r.pos: r for r in
+           REGISTRY["sim_power_iteration"].fn(spark, str(tmp_path)).collect()}
+    assert len(out) == dim
+    comp = {p: abs(r.component) for p, r in out.items()}
+    assert comp[4] > 0.99, comp  # pos is 1-based; axis 3 -> pos 4
+    assert all(c < 0.1 for p, c in comp.items() if p != 4), comp
+    assert out[4].eigval_estimate > 20  # ~40 vectors x ~1.0 energy
