@@ -13,6 +13,15 @@ test scales and is sized for 100 TB with DECIMAL(38,…)).
 Averages / ratios are emitted as ``CAST(decimal_sum AS DOUBLE) / count`` —
 one IEEE double division of bit-identical operands on both sides, hence
 bit-identical results with no rounding epsilon at all.
+
+Tie hazard: a double→DECIMAL(38,s) cast ROUNDS, and Spark (HALF_UP) and
+DuckDB (half-even) break exact half-way values differently — real data can
+hit this (a product in sim_power_iteration lands exactly on a scale-12
+half-way point). Derived quantities multiplied through several steps are
+the risk class; raw column values effectively never tie. Where an operator
+chains derived products, use the fixed-point int64 kernel instead
+(trunc(p·10^s) as bigint: truncation has no ties — see
+similarity.py::_fx/_fx_fold and _PI_SCALE).
 """
 
 from __future__ import annotations
