@@ -47,7 +47,8 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         text_vocab_coverage, sim_mmr_diverse_topk, text_bm25_retrieval,
 #         curation_temperature_mixture, agg_countmin_heavy_hitters,
 #         agg_bloom_filter_membership, stream_countmin_sketch,
-#         events_ewma_value, dedup_containment, sim_power_iteration
+#         events_ewma_value, dedup_containment, sim_power_iteration,
+#         curation_reservoir_sample
 #   28-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): events funnel,
@@ -65,9 +66,9 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # events_session_windows, events_hourly_tumbling, events_sliding_window
 # — their streaming twins stay in — entity_get_state (family keeps 7
 # other rows in), multimodal_frame_sample (family keeps 2 rows in) and
-# entity_find_class (family keeps 6 rows in) and dedup_simhash_pairs
-# (dedup_simhash stays in) stay r04-stamped and are the round-7
-# rotation front.
+# entity_find_class (family keeps 6 rows in), dedup_simhash_pairs
+# (dedup_simhash stays in) and text_rolling_fingerprint (text keeps 5
+# rows in) stay r04-stamped and are the round-7 rotation front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -100,6 +101,7 @@ _R06_PREFIX = [
     "events_ewma_value",
     "dedup_containment",
     "sim_power_iteration",
+    "curation_reservoir_sample",
     # events head (r04)
     "events_funnel",
     # streaming COMPLETE four (r04)
@@ -111,7 +113,6 @@ _R06_PREFIX = [
     "text_token_stats",
     "text_quality_score",
     "text_bpe_token_count",
-    "text_rolling_fingerprint",
     # udtf + multimodal (r04)
     "udtf_bigram_top20",
     "multimodal_binary_metadata",

@@ -757,3 +757,49 @@ def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_target").cast("bigint").alias("n_target"),
         F.count(F.lit(1)).alias("n_emitted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-rank reservoir sample — uniform k without replacement, no rand()
+# --------------------------------------------------------------------------
+
+_RESERVOIR_K = 64
+
+
+@register(
+    "curation_reservoir_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           md5(CAST(doc_id AS VARCHAR)) AS sample_rank
+    FROM documents
+    ORDER BY sample_rank, doc_id
+    LIMIT {_RESERVOIR_K}
+    """,
+    tags=("curation", "sampling", "reservoir"),
+)
+def curation_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-sample without replacement via hash order statistics:
+    rank every doc by md5(doc_id) and keep the k smallest — distribution-
+    identical to classic reservoir sampling (each doc's rank is an
+    independent uniform draw) but DETERMINISTIC, partitioning-independent
+    and re-runnable, which rand()-based reservoirs are not. The fixed-RATE
+    samplers (curation_stratified_sample and friends) keep a hash
+    THRESHOLD; this keeps a fixed COUNT — the two sampling contracts a
+    curation pipeline needs.
+
+    Scale shape: a TakeOrderedAndProject — each partition retains its own
+    top-k candidates and only k rows per partition reach the driver-side
+    merge, exactly the distributed-reservoir merge step; no sort, no
+    shuffle of the corpus. At 100 TB this is the textbook way to draw a
+    fixed-size audit sample in one pass."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("sample_rank"),
+        )
+        .orderBy("sample_rank", "doc_id")
+        .limit(_RESERVOIR_K)
+    )

@@ -396,3 +396,14 @@ def test_countmin_shuffle_is_sketch_sized(spark):
     assert re.search(r"hashpartitioning\(j#\d+, bucket#", plan), plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_reservoir_sample_is_takeordered_single_pass(spark):
+    """curation_reservoir_sample must plan as TakeOrderedAndProject (per-
+    partition top-k + k-row merge) — a global Sort here would shuffle the
+    corpus to sample 64 rows."""
+    import re
+
+    plan = explain_str(REGISTRY["curation_reservoir_sample"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 1
+    assert "Exchange" not in plan
