@@ -48,7 +48,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         curation_temperature_mixture, agg_countmin_heavy_hitters,
 #         agg_bloom_filter_membership, stream_countmin_sketch,
 #         events_ewma_value, dedup_containment, sim_power_iteration,
-#         curation_reservoir_sample
+#         curation_reservoir_sample, sim_rank_fusion
 #   28-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): events funnel,
@@ -67,8 +67,9 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # — their streaming twins stay in — entity_get_state (family keeps 7
 # other rows in), multimodal_frame_sample (family keeps 2 rows in) and
 # entity_find_class (family keeps 6 rows in), dedup_simhash_pairs
-# (dedup_simhash stays in) and text_rolling_fingerprint (text keeps 5
-# rows in) stay r04-stamped and are the round-7 rotation front.
+# (dedup_simhash stays in), text_rolling_fingerprint (text keeps 5
+# rows in) and entity_update_state (entity keeps 5 rows in) stay
+# r04-stamped and are the round-7 rotation front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -102,6 +103,7 @@ _R06_PREFIX = [
     "dedup_containment",
     "sim_power_iteration",
     "curation_reservoir_sample",
+    "sim_rank_fusion",
     # events head (r04)
     "events_funnel",
     # streaming COMPLETE four (r04)
@@ -120,7 +122,6 @@ _R06_PREFIX = [
     # joins (r04)
     "join_asof_click_view",
     # entity family (r04)
-    "entity_update_state",
     "entity_init_class",
     "entity_invoke_fold",
     "entity_stateful_replay",

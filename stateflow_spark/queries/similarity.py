@@ -1277,3 +1277,153 @@ def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt("nn").alias("eigval_estimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal Rank Fusion — hybrid lexical+vector retrieval
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # Cormack et al. 2009 damping constant
+_RRF_LEG_N = 50  # candidates taken from each retrieval leg
+_RRF_TOPN = 10
+
+
+def _rrf_oracle() -> str:
+    from stateflow_spark.queries.text import _BM25_TERMS, _BM25_K1, _BM25_B
+
+    bm25_score = " + ".join(
+        f"((n_docs - df_{w} + 0.5) / (df_{w} + 0.5))"
+        f" * (CAST(tf_{w} AS DOUBLE) * ({_BM25_K1} + 1.0))"
+        f" / (CAST(tf_{w} AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}"
+        f" + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl)))"
+        for w in _BM25_TERMS
+    )
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{w}')) AS tf_{w}" for w in _BM25_TERMS
+    )
+    stats_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df_{w}"
+        for w in _BM25_TERMS
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, dl, {tf_cols} FROM d),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(CAST(dl AS DECIMAL(38,4))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+               {stats_cols}
+        FROM tf
+    ),
+    bm_leg AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM (SELECT doc_id, {bm25_score} AS score FROM tf, stats
+              ORDER BY score DESC, doc_id LIMIT {_RRF_LEG_N})
+    ),
+    ex AS ({_EX_SQL}),
+    qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
+    dots AS (
+        SELECT ex.vec_id,
+               CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS DOUBLE)
+                 AS dot,
+               CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS DOUBLE)
+                 AS norm2
+        FROM ex JOIN qx USING (pos)
+        GROUP BY ex.vec_id
+    ),
+    qn AS (SELECT CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS DOUBLE)
+               AS qnorm2 FROM qx),
+    cos_leg AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+        FROM (SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
+              FROM dots, qn WHERE vec_id <> 0
+              ORDER BY cosine DESC, vec_id LIMIT {_RRF_LEG_N})
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           CAST(b.r AS BIGINT) AS bm25_rank,
+           CAST(c.r AS BIGINT) AS cos_rank,
+           COALESCE(1.0 / ({_RRF_K} + b.r), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + c.r), 0.0) AS rrf_score
+    FROM bm_leg b FULL OUTER JOIN cos_leg c ON b.doc_id = c.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_RRF_TOPN}
+    """
+
+
+@register(
+    "sim_rank_fusion",
+    oracle=_rrf_oracle(),
+    tags=("similarity", "retrieval", "fusion"),
+)
+def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009): fuse the lexical leg
+    (text_bm25_retrieval's scorer over `documents`) with the vector leg
+    (cosine-to-query over `embeddings`, vec_id ≡ doc_id) by summing
+    1/(60+rank) across legs — the standard hybrid-search combiner, and
+    the engine's demonstration that the text and embedding families
+    compose into one retrieval pipeline.
+
+    Scale shape: each leg is its own shuffle-free ranking (both are
+    TakeOrdered top-{_RRF_LEG_N}; BM25's stats reduce to one broadcast
+    row, cosine is a per-row broadcast fold), the rank window then runs
+    over {_RRF_LEG_N}-row leg tables — never the corpus — and the fuse is
+    a {_RRF_LEG_N}-row full outer join. Exactness: ranks are integers
+    with deterministic doc_id tie-breaks; each RRF term is one double
+    division of identical operands; the two terms add in literal order."""
+    from pyspark.sql.window import Window as W
+
+    from stateflow_spark.queries.text import bm25_scores
+
+    # leg = top-50 of the shared scorer (TakeOrdered), then ranked by a
+    # window over that 50-row table only
+    bm_leg = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_LEG_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("r"),
+        )
+    )
+    c = _corpus(spark, sf_dir, fan_out=True)
+    q = _query_vec(spark, sf_dir)
+    cos = dot_dec("v", "qv") / (F.sqrt(norm2_dec("v")) * F.sqrt(F.col("qnorm2")))
+    cos_leg = (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_LEG_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cosine").desc(), "doc_id"))
+            .alias("r"),
+        )
+    )
+    b = bm_leg.select("doc_id", F.col("r").alias("br"))
+    cl = cos_leg.select("doc_id", F.col("r").alias("cr"))
+    fused = (
+        b.join(cl, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("br").cast("bigint").alias("bm25_rank"),
+            F.col("cr").cast("bigint").alias("cos_rank"),
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("br")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("cr")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    return fused

@@ -650,7 +650,9 @@ _BM25_TOPN = 20
 )
 def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-core retrieval: score every document against a fixed query
-    term set and return the top-20. Uses the saturating tf normalization
+    term set and return the top-20. The full score table lives in
+    bm25_scores() below — sim_rank_fusion reuses it with a wider leg.
+    Uses the saturating tf normalization
     and length penalty of BM25 exactly (k1=1.2, b=0.75) with the idf's
     log dropped — (N−df+.5)/(df+.5) is a strictly monotone transform of
     Robertson idf per term, kept log-free so every arithmetic step is an
@@ -667,6 +669,17 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless per-row expression and the top-20 is a TakeOrdered — the
     whole retrieval is two corpus scans and zero pre-TakeOrdered
     shuffles. Adding query terms widens the stats row, never the plan."""
+    return (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPN)
+    )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 score table (doc_id, tf_*, score) over the corpus —
+    shared by text_bm25_retrieval (top-20) and sim_rank_fusion (top-50
+    lexical leg)."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     ).withColumn("dl", F.size("t"))
@@ -707,13 +720,8 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = term_score(_BM25_TERMS[0])
     for w in _BM25_TERMS[1:]:
         score = score + term_score(w)
-    return (
-        tf.crossJoin(stats)
-        .select(
-            "doc_id",
-            *[f"tf_{w}" for w in _BM25_TERMS],
-            score.alias("score"),
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(_BM25_TOPN)
+    return tf.crossJoin(stats).select(
+        "doc_id",
+        *[f"tf_{w}" for w in _BM25_TERMS],
+        score.alias("score"),
     )
