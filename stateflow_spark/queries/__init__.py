@@ -39,7 +39,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         carries a deterministic bound-check oracle), entity_stream_replay
 #         (bursts rebuilt cluster-side), curation_full_pipeline (benchmark
 #         eval docs excluded from survivors)
-#   10-27 NEW this round (registered after the initial pin; swapped in so
+#   10-30 NEW this round (registered after the initial pin; swapped in so
 #         no query debuts unstamped): agg_sketch_rollup, sim_range_search,
 #         join_range_view_clicks, dedup_cluster_keeper, text_token_rarity,
 #         text_repetition_filter, dedup_semantic,
@@ -49,7 +49,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         agg_bloom_filter_membership, stream_countmin_sketch,
 #         events_ewma_value, dedup_containment, sim_power_iteration,
 #         curation_reservoir_sample, sim_rank_fusion
-#   28-50 the r04-stamped families the round-5 VERDICT called out for
+#   31-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): events funnel,
 #         the stream_* COMPLETE four, text, udtf,
