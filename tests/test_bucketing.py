@@ -234,3 +234,77 @@ def test_compaction_recovers_from_crashed_swap(spark, tmp_path):
     compact(spark, path, target_file_bytes=1 << 30)
     assert spark.read.parquet(path).count() == 100
     assert not os.path.isdir(path + ".old")
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering on (user_id, hour) must make parquet footer
+    min/max stats selective on BOTH columns. On a 256×256 grid split
+    into 16 z-range files, each file is a compact curve tile covering
+    ~1/4 of each dimension's range — so a point predicate on user_id
+    admits ~25% of files, where the time-sorted baseline admits 100%
+    (every file spans all users). Footer stats are read directly with
+    pyarrow — exactly the information Spark's parquet reader uses to
+    skip row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from stateflow_spark.storage import write_zordered
+
+    side = 256
+    grid = (
+        spark.range(side * side)
+        .select(
+            (F.col("id") % side).alias("user_id"),
+            (F.col("id") / side).cast("bigint").alias("hour"),
+        )
+        .withColumn("value", (F.col("user_id") * 7 + F.col("hour")).cast("double"))
+    )
+    n_files = 16
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(grid, zpath, "user_id", "hour", n_files, bits=8)
+    tpath = str(tmp_path / "timesorted")
+    (
+        grid.repartitionByRange(n_files, "hour")
+        .sortWithinPartitions("hour")
+        .write.mode("overwrite")
+        .parquet(tpath)
+    )
+
+    def admit_fraction(path, column, values):
+        files = glob.glob(path + "/*.parquet")
+        assert len(files) >= n_files // 2, files
+        total = 0
+        for v in values:
+            hits = 0
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.names.index(column)
+                admits = any(
+                    md.row_group(rg).column(idx).statistics.min
+                    <= v
+                    <= md.row_group(rg).column(idx).statistics.max
+                    for rg in range(md.num_row_groups)
+                )
+                hits += admits
+            total += hits / len(files)
+        return total / len(values)
+
+    users = [3, 64, 130, 200, 255]
+    z_user = admit_fraction(zpath, "user_id", users)
+    t_user = admit_fraction(tpath, "user_id", users)
+    # time-sorted: every file spans the whole user range; z-order: a
+    # point user hits only the curve tiles containing that user's rows
+    assert t_user > 0.9, t_user
+    assert z_user < 0.5, z_user
+
+    # and the z-layout still prunes on hour (both dims clustered), where
+    # pruning on the time-sorted layout is perfect by construction
+    hours = [0, 100, 255]
+    z_hour = admit_fraction(zpath, "hour", hours)
+    assert z_hour < 0.5, z_hour
+
+    # round-trip: the layout reorders, never loses rows
+    assert spark.read.parquet(zpath).count() == side * side
