@@ -9,6 +9,7 @@ and exits non-zero on any DIFF/ERROR.
 
     python tools/validate.py                      # all queries, sf0.01
     python tools/validate.py --prefix             # the driver's first 50
+    python tools/validate.py --rotated            # everything NOT in the prefix
     python tools/validate.py --sf /root/testdata/sf0.001 dedup_exact q1_pricing_summary
 """
 
@@ -32,6 +33,11 @@ def main() -> int:
     ap.add_argument(
         "--prefix", action="store_true", help="only the driver's first 50"
     )
+    ap.add_argument(
+        "--rotated",
+        action="store_true",
+        help="only queries OUTSIDE the driver prefix (the rotation net)",
+    )
     ap.add_argument("names", nargs="*", help="specific query names")
     args = ap.parse_args()
 
@@ -49,7 +55,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
         )
 
-    names = args.names or (list(qs)[:50] if args.prefix else list(qs))
+    if args.names:
+        names = args.names
+    elif args.prefix:
+        names = list(qs)[:50]
+    elif args.rotated:
+        names = list(qs)[50:]
+    else:
+        names = list(qs)
     bad: list[str] = []
     for name in names:
         try:
