@@ -48,7 +48,8 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         curation_temperature_mixture, agg_countmin_heavy_hitters,
 #         agg_bloom_filter_membership, stream_countmin_sketch,
 #         events_ewma_value, dedup_containment, sim_power_iteration,
-#         curation_reservoir_sample, sim_rank_fusion
+#         curation_reservoir_sample, sim_rank_fusion, events_state_runs,
+#         window_equidepth_histogram, dedup_triangle_stats
 #   31-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): events funnel,
@@ -68,7 +69,10 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # other rows in), multimodal_frame_sample (family keeps 2 rows in) and
 # entity_find_class (family keeps 6 rows in), dedup_simhash_pairs
 # (dedup_simhash stays in), text_rolling_fingerprint (text keeps 5
-# rows in) and entity_update_state (entity keeps 5 rows in) stay
+# rows in) and entity_update_state (entity keeps 5 rows in), plus the
+# three evicted for the third new-query batch — multimodal_decode_features
+# (multimodal_binary_metadata stays in), entity_flow_golden (entity keeps
+# 4 rows in), dedup_simhash (minhash/embedding tail stays in) — stay
 # r04-stamped and are the round-7 rotation front.
 _R06_PREFIX = [
     # never driver-stamped
@@ -104,6 +108,9 @@ _R06_PREFIX = [
     "sim_power_iteration",
     "curation_reservoir_sample",
     "sim_rank_fusion",
+    "events_state_runs",
+    "window_equidepth_histogram",
+    "dedup_triangle_stats",
     # events head (r04)
     "events_funnel",
     # streaming COMPLETE four (r04)
@@ -118,7 +125,6 @@ _R06_PREFIX = [
     # udtf + multimodal (r04)
     "udtf_bigram_top20",
     "multimodal_binary_metadata",
-    "multimodal_decode_features",
     # joins (r04)
     "join_asof_click_view",
     # entity family (r04)
@@ -126,9 +132,7 @@ _R06_PREFIX = [
     "entity_invoke_fold",
     "entity_stateful_replay",
     "entity_ycsb_replay",
-    "entity_flow_golden",
     # dedup tail (r04)
-    "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
 ]

@@ -1338,3 +1338,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+@register(
+    "dedup_triangle_stats",
+    oracle=f"""
+    WITH {_JACCARD_PAIR_CTES},
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM dup e1
+        JOIN dup e2 ON e2.doc_a = e1.doc_b
+        JOIN dup e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    tri_nodes AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ),
+    tri_cnt AS (
+        SELECT doc_id, COUNT(*) AS n_triangles FROM tri_nodes GROUP BY doc_id
+    ),
+    deg AS (
+        SELECT doc_id, COUNT(*) AS degree FROM (
+            SELECT doc_a AS doc_id FROM dup
+            UNION ALL SELECT doc_b FROM dup
+        ) GROUP BY doc_id
+    )
+    SELECT deg.doc_id, deg.degree,
+           COALESCE(tri_cnt.n_triangles, 0) AS n_triangles,
+           CASE WHEN deg.degree >= 2 THEN
+                CAST(2 * COALESCE(tri_cnt.n_triangles, 0) AS DOUBLE)
+                  / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS clustering
+    FROM deg LEFT JOIN tri_cnt USING (doc_id)
+    """,
+    tags=("dedup", "graph", "triangles"),
+)
+def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    exact-Jaccard dup-pair graph (completes the graph family beside
+    connected components / PageRank / power iteration). Triangles are
+    enumerated on the ID-ORIENTED edge list (doc_a < doc_b always, so
+    each triangle a<b<c matches exactly one (e1,e2,e3) pattern — the
+    standard dedup that avoids counting each triangle 6×). Two
+    self-equi-joins on node keys, no explode; at 100 TB the orientation
+    is by degree rank instead of raw id (compact-forward: orienting
+    low→high degree bounds each wedge fan-out by the max LOW-degree,
+    Latapy 2008) — id-orientation is the fixed, oracle-replayable proxy
+    and the stop-shingle cap upstream already bounds edge skew.
+    Clustering = 2·tri / deg·(deg−1): one IEEE division of exact integer
+    operands on both engines, hence bit-identical."""
+    dup = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = dup.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = dup.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = dup.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    tri_cnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        dup.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(dup.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(tri_cnt, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double"))
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

@@ -690,3 +690,57 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num / den).alias("ewma"),
         )
     )
+
+
+@register(
+    "events_state_runs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM events
+    )
+    SELECT user_id, event_type,
+           MIN(ts) AS run_start, MAX(ts) AS run_end,
+           COUNT(*) AS run_len,
+           MIN(event_id) AS first_event_id
+    FROM seq
+    GROUP BY user_id, event_type, grp
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("events", "window", "islands"),
+)
+def events_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length encoding: collapse each user's
+    consecutive same-type event runs into [run_start, run_end] intervals
+    (the SCD-2 interval-construction shape: a state change closes the
+    previous validity interval and opens the next). The group key is the
+    classic two-row_number difference — both windows share the single
+    shuffle on user_id (the second adds event_type to the PARTITION BY,
+    a sub-partition of the first, so Catalyst reuses the sort), and the
+    run collapse is an ordinary partial/final hash aggregate. At 100 TB
+    this is one shuffle on the user key and per-user sorts; no
+    self-join, no explode. Ordering ties break on event_id so the run
+    boundaries are deterministic. Reference analogue: stateful
+    per-key sequence tracking (stateflow/dataflow/stateful_operator.py)
+    — here expressed as a set-oriented window plan instead of per-event
+    state."""
+    e = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    grp = (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp")
+    return (
+        e.select("user_id", "event_type", "ts", "event_id", grp)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .filter(F.col("run_len") >= 2)
+        .drop("grp")
+    )

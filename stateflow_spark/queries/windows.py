@@ -194,3 +194,84 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
         F.first("c_custkey").over(wf).alias("richest_key"),
         F.nth_value("c_custkey", 2).over(wf).alias("second_key"),
     )
+
+
+@register(
+    "window_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT o_totalprice,
+               NTILE(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS bucket_revenue
+    FROM b
+    GROUP BY bucket
+    """,
+    tags=("window", "histogram"),
+)
+def window_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order value with exact
+    NTILE(16) semantics, computed WITHOUT a global sort.
+
+    A naive ``NTILE OVER (ORDER BY ...)`` plans Exchange SinglePartition
+    — one task sorts the whole table, the 100 TB anti-pattern. This is
+    the distributed two-level rank instead (same shape as
+    curation_pack_sequences' prefix sum): (1) coarse-bucket rows by a
+    VALUE range (``price div 16384`` — monotone in price, so coarse
+    order == value order), (2) per-coarse-bucket counts — a tiny table —
+    and one window over THAT for exclusive rank offsets, (3) broadcast
+    offsets back; global_rank = offset + row_number within the coarse
+    bucket (fully parallel), (4) NTILE's distribution rule applied as
+    arithmetic on the rank: with q = N div 16, rem = N % 16, the first
+    ``rem`` buckets take q+1 rows — all integer math, so bucket
+    assignment is bit-identical to the oracle's NTILE. Ordering ties
+    break on o_orderkey (unique), making the total order strict. At
+    100 TB the only serial window touches the per-coarse-bucket table
+    (~price_range/16384 rows) and every corpus-wide step is an ordinary
+    shuffle-once aggregate/window."""
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        "o_totalprice",
+        "o_orderkey",
+        F.expr("CAST(o_totalprice AS BIGINT) div 16384").alias("cb"),
+    )
+    csz = t.groupBy("cb").agg(F.count(F.lit(1)).alias("n"))
+    woff = Window.orderBy("cb").rowsBetween(Window.unboundedPreceding, -1)
+    boff = csz.select(
+        "cb", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("offset")
+    )
+    nrow = F.broadcast(csz.agg(F.sum("n").alias("n_total")))
+    wloc = Window.partitionBy("cb").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        t.join(F.broadcast(boff), "cb")
+        .withColumn("grank", F.col("offset") + F.row_number().over(wloc))
+        .crossJoin(nrow)
+    )
+    q = F.expr("n_total div 16")
+    rem = F.col("n_total") % 16
+    cutoff = rem * (q + 1)
+    bucket = F.when(
+        F.col("grank") <= cutoff,
+        F.expr("(grank - 1) div (n_total div 16 + 1)") + 1,
+    ).otherwise(
+        rem + F.expr(
+            "(grank - (n_total % 16) * (n_total div 16 + 1) - 1)"
+            " div (n_total div 16)"
+        ) + 1
+    )
+    return (
+        ranked.select("o_totalprice", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(dec("o_totalprice", 4)).cast("double").alias("bucket_revenue"),
+        )
+    )

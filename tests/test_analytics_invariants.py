@@ -60,3 +60,52 @@ def test_cohort_week_zero_equals_cohort_size(spark):
     for r in rows:
         assert 0 <= r.week_n
         assert r.n_active_users <= cohorts[r.cohort_week]
+
+
+def test_equidepth_histogram_is_balanced_and_ordered(spark):
+    rows = sorted(
+        REGISTRY["window_equidepth_histogram"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(1, 17))
+    n_total = load(spark, SF_DIR, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_total
+    depths = {r.n_orders for r in rows}
+    assert max(depths) - min(depths) <= 1  # equi-depth up to NTILE remainder
+    for a, b in zip(rows, rows[1:]):  # buckets are value-ordered
+        assert a.hi <= b.lo
+        assert a.lo <= a.hi
+
+
+def test_state_runs_collapse_planted_islands(spark, tmp_path):
+    """u1: A A A B A A → runs A×3, A×2 (B run of 1 is filtered);
+    u2: B B → one run. Boundaries and lengths must be exact."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        (i + 1, t0 + dt.timedelta(minutes=i), uid, et, 1.0, "{}")
+        for i, (uid, et) in enumerate(
+            [(1, "A"), (1, "A"), (1, "A"), (1, "B"), (1, "A"), (1, "A"),
+             (2, "B"), (2, "B")]
+        )
+    ]
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    rows = REGISTRY["events_state_runs"].fn(spark, str(tmp_path)).collect()
+    got = {
+        (r.user_id, r.event_type, r.first_event_id): (
+            r.run_len, r.run_start.minute, r.run_end.minute
+        )
+        for r in rows
+    }
+    assert got == {
+        (1, "A", 1): (3, 0, 2),
+        (1, "A", 5): (2, 4, 5),
+        (2, "B", 7): (2, 6, 7),
+    }

@@ -253,3 +253,17 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark, tmp_path):
     r = cont[(1, 2)]
     assert r.cont_a == 1.0 and r.direction == "a_in_b"
     assert r.cont_b < 0.1
+
+
+def test_triangle_stats_on_planted_clique(spark, planted):
+    """d1-d2-d3 are pairwise duplicates (one triangle); nobody else has
+    an edge — so each gets degree 2, one triangle, clustering 1.0."""
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_triangle_stats"].fn(spark, planted).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2, 3):
+        assert rows[d].degree == 2
+        assert rows[d].n_triangles == 1
+        assert rows[d].clustering == 1.0

@@ -407,3 +407,36 @@ def test_reservoir_sample_is_takeordered_single_pass(spark):
     plan = explain_str(REGISTRY["curation_reservoir_sample"].fn(spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 1
     assert "Exchange" not in plan
+
+
+def test_state_runs_single_corpus_shuffle(spark):
+    """events_state_runs: both row_number windows and the run-collapse
+    aggregate must ride ONE exchange on user_id — the second window's
+    partition key (user_id, event_type) and the groupBy key are
+    sub-partitions of the first, so Catalyst must not re-shuffle."""
+    import re
+
+    plan = explain_str(REGISTRY["events_state_runs"].fn(spark, SF_DIR))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+
+
+def test_equidepth_histogram_no_corpus_wide_single_partition(spark):
+    """The distributed NTILE must never single-partition the orders
+    table: SinglePartition exchanges may only sit ABOVE the per-coarse-
+    bucket aggregate (tiny table). The corpus path is hash on the coarse
+    bucket, then a partitioned window."""
+    plan = explain_str(
+        REGISTRY["window_equidepth_histogram"].fn(spark, SF_DIR), "extended"
+    )
+    phys = plan.split("== Physical Plan ==")[1]
+    # every SinglePartition exchange must be downstream of a HashAggregate
+    # (i.e. its subtree contains the coarse-bucket aggregate, not the scan)
+    lines = phys.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        subtree = "\n".join(lines[i:])
+        assert "HashAggregate" in subtree, plan
+    # the partitioned corpus window exists
+    assert "row_number()" in phys
