@@ -49,7 +49,8 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         agg_bloom_filter_membership, stream_countmin_sketch,
 #         events_ewma_value, dedup_containment, sim_power_iteration,
 #         curation_reservoir_sample, sim_rank_fusion, events_state_runs,
-#         window_equidepth_histogram, dedup_triangle_stats
+#         window_equidepth_histogram, dedup_triangle_stats,
+#         stream_state_runs
 #   31-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): events funnel,
@@ -70,10 +71,12 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # entity_find_class (family keeps 6 rows in), dedup_simhash_pairs
 # (dedup_simhash stays in), text_rolling_fingerprint (text keeps 5
 # rows in) and entity_update_state (entity keeps 5 rows in), plus the
-# three evicted for the third new-query batch — multimodal_decode_features
+# four evicted for the third new-query batch — multimodal_decode_features
 # (multimodal_binary_metadata stays in), entity_flow_golden (entity keeps
-# 4 rows in), dedup_simhash (minhash/embedding tail stays in) — stay
-# r04-stamped and are the round-7 rotation front.
+# 4 rows in), dedup_simhash (minhash/embedding tail stays in),
+# stream_sliding_window (streaming keeps hourly/session/join plus the new
+# stateful runs row) — stay r04-stamped and are the round-7 rotation
+# front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -111,11 +114,11 @@ _R06_PREFIX = [
     "events_state_runs",
     "window_equidepth_histogram",
     "dedup_triangle_stats",
+    "stream_state_runs",
     # events head (r04)
     "events_funnel",
     # streaming COMPLETE four (r04)
     "stream_hourly_tumbling",
-    "stream_sliding_window",
     "stream_session_windows",
     "stream_stream_join",
     # text (r04; chunking already above)

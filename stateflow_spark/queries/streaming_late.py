@@ -295,3 +295,144 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         _ROLLUP_CACHE[sf_dir] = table
     return spark.read.parquet(table)
+
+
+_PHASE_CACHE: dict[str, str] = {}
+
+
+def _phase_src(spark: SparkSession, sf_dir: str) -> str:
+    """Serve the events table as 3 ts-range phase files (span terciles)
+    with ascending mtimes: maxFilesPerTrigger=1 then replays event time
+    in coarse order across ≥3 micro-batches, so per-key state seams span
+    real batch boundaries."""
+    src = _PHASE_CACHE.get(sf_dir)
+    if src is not None and os.path.isdir(src):
+        return src
+    src = tempfile.mkdtemp(prefix="stream-phase-src-")
+    e = load(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    b1 = lo + (hi - lo) / 3
+    b2 = lo + 2 * (hi - lo) / 3
+    phases = [
+        e.filter(F.col("ts") < F.lit(b1)),
+        e.filter((F.col("ts") >= F.lit(b1)) & (F.col("ts") < F.lit(b2))),
+        e.filter(F.col("ts") >= F.lit(b2)),
+    ]
+    for i, p in enumerate(phases):
+        tmp = tempfile.mkdtemp(prefix="stream-phase-one-")
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:02d}-phase.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+        shutil.rmtree(tmp, ignore_errors=True)
+    _PHASE_CACHE[sf_dir] = src
+    return src
+
+
+_RUNS_STATE = (
+    "etype STRING, start_us LONG, first_eid LONG, last_us LONG, cnt LONG"
+)
+_RUNS_OUT = (
+    "user_id LONG, event_type STRING, run_start TIMESTAMP, "
+    "run_end TIMESTAMP, run_len LONG, first_event_id LONG"
+)
+
+
+def _runs_fn(key, pdfs, state):
+    """Per-user run collapse: state = the one OPEN run (5 scalars); a
+    different-type event closes it (emit if len ≥ 2) and opens the next.
+    Batch rows are sorted by (ts, event_id); cross-batch order is the
+    phase files' ts ranges."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    cur = list(state.get) if state.exists else None
+    out = []
+    uid = int(key[0])
+    for ts, eid, et in zip(rows["ts"], rows["event_id"], rows["event_type"]):
+        us = int(pd.Timestamp(ts).value // 1000)
+        if cur is None:
+            cur = [et, us, int(eid), us, 1]
+        elif et == cur[0]:
+            cur[3] = us
+            cur[4] += 1
+        else:
+            if cur[4] >= 2:
+                out.append((uid, cur[0], cur[1], cur[3], cur[4], cur[2]))
+            cur = [et, us, int(eid), us, 1]
+    state.update(tuple(cur))
+    if out:
+        df = pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_type", "run_start", "run_end",
+                "run_len", "first_event_id",
+            ],
+        )
+        df["run_start"] = pd.to_datetime(df["run_start"], unit="us")
+        df["run_end"] = pd.to_datetime(df["run_end"], unit="us")
+        yield df
+
+
+@register(
+    "stream_state_runs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type,
+               MIN(ts) AS run_start, MAX(ts) AS run_end,
+               COUNT(*) AS run_len, MIN(event_id) AS first_event_id
+        FROM seq GROUP BY user_id, event_type, grp
+    ),
+    lastrun AS (SELECT user_id, MAX(run_start) AS m FROM runs GROUP BY user_id)
+    SELECT r.user_id, r.event_type, r.run_start, r.run_end,
+           r.run_len, r.first_event_id
+    FROM runs r JOIN lastrun l
+      ON r.user_id = l.user_id AND r.run_start < l.m
+    WHERE r.run_len >= 2
+    """,
+    tags=("streaming", "events", "stateful", "islands"),
+)
+def stream_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gaps-and-islands: the custom stateful twin of
+    events_state_runs, run through ``applyInPandasWithState`` over ≥3
+    ts-ordered micro-batches. Per-user state is the single OPEN run
+    (5 scalars — state tracks key cardinality, never event volume); a
+    run that straddles a micro-batch boundary is continued from state,
+    which is exactly the seam the batch islands window cannot witness.
+    A run closes only when the next different-type event arrives, so
+    each user's final run stays open in state forever — the oracle
+    therefore excludes each user's last run (the streaming-correct
+    emission set), and run_len ≥ 2 filters as in the batch twin.
+    Scale: one groupBy(user_id) shuffle per micro-batch into the state
+    store; the per-batch Python fold is Arrow-batched per key group.
+    Reference analogue: the per-key stateful operator loop
+    (stateflow/dataflow/stateful_operator.py) — here as a first-class
+    analytics operator rather than an entity method."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from stateflow_spark.queries.streaming_events import _run_stream
+
+    src = _phase_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    runs = stream.groupBy("user_id").applyInPandasWithState(
+        _runs_fn,
+        outputStructType=_RUNS_OUT,
+        stateStructType=_RUNS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_stream(spark, runs, "append")

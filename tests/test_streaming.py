@@ -433,3 +433,39 @@ def test_stream_session_windows_run(spark, tmp_path):
     assert rows
     for r in rows:
         assert batch[(r.user_id, r.session_start)] == (r.n_events, r.total_value)
+
+
+def test_stream_state_runs_seams_across_micro_batches(spark, tmp_path):
+    """A same-type run whose events land in DIFFERENT phase files (ts
+    terciles → separate micro-batches) must come back as ONE run — the
+    open-run state carrying across the batch boundary is the whole point
+    of the stateful form."""
+    import datetime as dt
+
+    from stateflow_spark.queries import REGISTRY
+    from stateflow_spark.queries import streaming_late
+
+    t0 = dt.datetime(2024, 1, 1)
+    mins = [(0, "A"), (10, "A"), (40, "A"), (50, "A"),
+            (55, "B"), (58, "B"), (89, "C"), (90, "C")]
+    df = spark.createDataFrame(
+        [(i + 1, t0 + dt.timedelta(minutes=m), 1, et, 1.0, "{}")
+         for i, (m, et) in enumerate(mins)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    # span 0..90 min → terciles split at 30 and 60: the A-run straddles
+    # phase 0→1 and the B-run is closed by an event in phase 2
+    rows = REGISTRY["stream_state_runs"].fn(spark, str(tmp_path)).collect()
+    got = {
+        (r.event_type): (r.run_len, r.run_start.minute, r.run_end.minute)
+        for r in rows
+    }
+    assert got == {"A": (4, 0, 50), "B": (2, 55, 58)}  # C stays open
+    # and the harness really produced 3 separate micro-batch files
+    src = streaming_late._PHASE_CACHE[str(tmp_path)]
+    import os
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 3
