@@ -50,7 +50,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         events_ewma_value, dedup_containment, sim_power_iteration,
 #         curation_reservoir_sample, sim_rank_fusion, events_state_runs,
 #         window_equidepth_histogram, dedup_triangle_stats,
-#         stream_state_runs
+#         stream_state_runs, window_pareto_frontier
 #   31-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): events funnel,
@@ -71,11 +71,12 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # entity_find_class (family keeps 6 rows in), dedup_simhash_pairs
 # (dedup_simhash stays in), text_rolling_fingerprint (text keeps 5
 # rows in) and entity_update_state (entity keeps 5 rows in), plus the
-# four evicted for the third new-query batch — multimodal_decode_features
+# five evicted for the third new-query batch — multimodal_decode_features
 # (multimodal_binary_metadata stays in), entity_flow_golden (entity keeps
 # 4 rows in), dedup_simhash (minhash/embedding tail stays in),
 # stream_sliding_window (streaming keeps hourly/session/join plus the new
-# stateful runs row) — stay r04-stamped and are the round-7 rotation
+# stateful runs row), text_bpe_token_count (text keeps token_stats/
+# quality/chunking in) — stay r04-stamped and are the round-7 rotation
 # front.
 _R06_PREFIX = [
     # never driver-stamped
@@ -115,6 +116,7 @@ _R06_PREFIX = [
     "window_equidepth_histogram",
     "dedup_triangle_stats",
     "stream_state_runs",
+    "window_pareto_frontier",
     # events head (r04)
     "events_funnel",
     # streaming COMPLETE four (r04)
@@ -124,7 +126,6 @@ _R06_PREFIX = [
     # text (r04; chunking already above)
     "text_token_stats",
     "text_quality_score",
-    "text_bpe_token_count",
     # udtf + multimodal (r04)
     "udtf_bigram_top20",
     "multimodal_binary_metadata",

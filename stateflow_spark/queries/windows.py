@@ -275,3 +275,72 @@ def window_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice", 4)).cast("double").alias("bucket_revenue"),
         )
     )
+
+
+@register(
+    "window_pareto_frontier",
+    oracle="""
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice >= a.p_retailprice
+          AND b.p_size <= a.p_size
+          AND (b.p_retailprice > a.p_retailprice OR b.p_size < a.p_size)
+    )
+    """,
+    tags=("window", "skyline"),
+)
+def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts not dominated on
+    (maximize retailprice, minimize size). The oracle is the declarative
+    NOT EXISTS dominance test — quadratic, fine for DuckDB at oracle
+    scale; the Spark plan is the sort-based linear form made
+    DISTRIBUTED: for 2 dimensions a row survives iff its size is
+    strictly below the minimum size of every strictly-higher-priced row
+    (and is its own price group's minimum). That strict prefix-min over
+    descending price is the same two-level pattern as
+    window_equidepth_histogram / curation_pack_sequences: (1) collapse
+    to per-price groups (ordinary hash aggregate — the price-group
+    table can still be huge at 100 TB, so it stays distributed),
+    (2) coarse-bucket by floor(price); per-bucket mins are a TINY table
+    whose strict-prefix window is the only serial step, (3) broadcast
+    the higher-bucket mins back; within-bucket strictness comes from a
+    per-bucket window over distinct prices (parallel). Equal (price,
+    size) pairs never dominate each other (no strict inequality), and
+    both survive — the grouped form preserves that. No self-join, no
+    single-partition pass over the corpus."""
+    t = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    pr = (
+        t.groupBy("p_retailprice")
+        .agg(F.min("p_size").alias("gmin"))
+        .withColumn("cb", F.floor("p_retailprice"))
+    )
+    bm = pr.groupBy("cb").agg(F.min("gmin").alias("bmin"))
+    wb = Window.orderBy(F.col("cb").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = bm.select("cb", F.min("bmin").over(wb).alias("hmin"))
+    wp = (
+        Window.partitionBy("cb")
+        .orderBy(F.col("p_retailprice").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    surv = (
+        pr.join(F.broadcast(boff), "cb")
+        .withColumn(
+            "shmin", F.least(F.min("gmin").over(wp), F.col("hmin"))
+        )
+        .filter(F.col("shmin").isNull() | (F.col("gmin") < F.col("shmin")))
+        .select(
+            F.col("p_retailprice").alias("f_price"),
+            F.col("gmin").alias("f_size"),
+        )
+    )
+    return t.join(
+        F.broadcast(surv),
+        (F.col("p_retailprice") == F.col("f_price"))
+        & (F.col("p_size") == F.col("f_size")),
+    ).select("p_partkey", "p_retailprice", "p_size")

@@ -109,3 +109,36 @@ def test_state_runs_collapse_planted_islands(spark, tmp_path):
         (1, "A", 5): (2, 4, 5),
         (2, "B", 7): (2, 6, 7),
     }
+
+
+def test_pareto_frontier_planted_dominance(spark, tmp_path):
+    """Planted 2-D skyline: (price, size) with known dominance structure,
+    including an equal-(price,size) pair that must BOTH survive (no
+    strict inequality → no dominance) and an equal-price larger-size row
+    that must not."""
+    rows = [
+        # key, price, size
+        (1, 100.0, 5),   # frontier
+        (2, 100.0, 5),   # identical twin of 1 → also frontier
+        (3, 100.0, 9),   # same price as 1 but bigger → dominated
+        (4, 90.0, 3),    # frontier (cheaper but smaller)
+        (5, 90.0, 6),    # dominated by 1 (higher price, smaller size)
+        (6, 80.0, 3),    # dominated by 4 (higher price, same size)
+        (7, 70.0, 1),    # frontier (smallest size)
+        (8, 110.0, 50),  # frontier (highest price)
+    ]
+    df = spark.createDataFrame(
+        [(k, f"part{k}", "b", "t", s, p) for k, p, s in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    got = {
+        r.p_partkey
+        for r in REGISTRY["window_pareto_frontier"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1, 2, 4, 7, 8}
