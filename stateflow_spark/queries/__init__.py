@@ -50,7 +50,8 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         events_ewma_value, dedup_containment, sim_power_iteration,
 #         curation_reservoir_sample, sim_rank_fusion, events_state_runs,
 #         window_equidepth_histogram, dedup_triangle_stats,
-#         stream_state_runs, window_pareto_frontier
+#         stream_state_runs, window_pareto_frontier, dedup_edit_distance,
+#         join_market_basket_pairs
 #   31-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): events funnel,
@@ -71,13 +72,14 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # entity_find_class (family keeps 6 rows in), dedup_simhash_pairs
 # (dedup_simhash stays in), text_rolling_fingerprint (text keeps 5
 # rows in) and entity_update_state (entity keeps 5 rows in), plus the
-# five evicted for the third new-query batch — multimodal_decode_features
-# (multimodal_binary_metadata stays in), entity_flow_golden (entity keeps
-# 4 rows in), dedup_simhash (minhash/embedding tail stays in),
-# stream_sliding_window (streaming keeps hourly/session/join plus the new
-# stateful runs row), text_bpe_token_count (text keeps token_stats/
-# quality/chunking in) — stay r04-stamped and are the round-7 rotation
-# front.
+# seven evicted for the third new-query batch — multimodal_decode_features
+# (multimodal_binary_metadata stays in), entity_flow_golden and
+# entity_init_class (entity keeps invoke/stateful/ycsb in), dedup_simhash
+# (minhash/embedding tail stays in), stream_sliding_window (streaming
+# keeps hourly/session/join plus the new stateful runs row),
+# text_bpe_token_count (text keeps token_stats/quality/chunking in),
+# join_asof_click_view (joins keep range + the new basket row in) — stay
+# r04-stamped and are the round-7 rotation front.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
@@ -117,6 +119,8 @@ _R06_PREFIX = [
     "dedup_triangle_stats",
     "stream_state_runs",
     "window_pareto_frontier",
+    "dedup_edit_distance",
+    "join_market_basket_pairs",
     # events head (r04)
     "events_funnel",
     # streaming COMPLETE four (r04)
@@ -129,10 +133,7 @@ _R06_PREFIX = [
     # udtf + multimodal (r04)
     "udtf_bigram_top20",
     "multimodal_binary_metadata",
-    # joins (r04)
-    "join_asof_click_view",
     # entity family (r04)
-    "entity_init_class",
     "entity_invoke_fold",
     "entity_stateful_replay",
     "entity_ycsb_replay",

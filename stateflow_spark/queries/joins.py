@@ -163,3 +163,59 @@ def join_range_view_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_us") - F.col("v_us")).alias("micros_between"),
         )
     )
+
+
+@register(
+    "join_market_basket_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("join", "basket", "cooccurrence"),
+)
+def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 20 most-co-ordered part pairs
+    (support = number of orders containing both). The oracle is the
+    textbook self-join; the Spark plan is ARRAY-NATIVE instead — one
+    groupBy(orderkey) shuffle collects each basket (collect_set dedups
+    repeated parts within an order, matching the oracle's DISTINCT),
+    a higher-order lambda expands the ordered within-basket pairs
+    (bounded by basket_size² — TPC-H baskets are ≤7 items, and any
+    retail-shaped corpus keeps baskets small; a pathological mega-basket
+    would be capped exactly like hot shingle postings), then one hash
+    aggregate on the pair key and a TakeOrdered top-20 (deterministic
+    tiebreak on the pair itself — no global sort). Two shuffles total;
+    the self-join form would shuffle the fact table twice AND re-read
+    it. At 100 TB the (part_a, part_b) key space is wide and uniform —
+    no skew handling needed past the basket cap."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("xs")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(xs, (x, i) ->"
+                " transform(slice(xs, i + 2, size(xs)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(20)
+    )

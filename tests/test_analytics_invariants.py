@@ -142,3 +142,27 @@ def test_pareto_frontier_planted_dominance(spark, tmp_path):
         .collect()
     }
     assert got == {1, 2, 4, 7, 8}
+
+
+def test_market_basket_planted_supports(spark, tmp_path):
+    """Orders {1,2,3}, {1,2}, {1,2,4,4} → support(1,2)=3 top pair;
+    repeated part within an order counts once."""
+    li = [
+        (100, 1), (100, 2), (100, 3),
+        (200, 1), (200, 2),
+        (300, 1), (300, 2), (300, 4), (300, 4),
+    ]
+    df = spark.createDataFrame(li, "l_orderkey long, l_partkey long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = [
+        ((r.part_a, r.part_b), r.support)
+        for r in REGISTRY["join_market_basket_pairs"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    ]
+    assert rows[0] == ((1, 2), 3)
+    assert dict(rows) == {
+        (1, 2): 3, (1, 3): 1, (2, 3): 1, (1, 4): 1, (2, 4): 1,
+    }

@@ -267,3 +267,34 @@ def test_triangle_stats_on_planted_clique(spark, planted):
         assert rows[d].degree == 2
         assert rows[d].n_triangles == 1
         assert rows[d].clustering == 1.0
+
+
+@pytest.fixture(scope="module")
+def planted_typos(spark, tmp_path_factory):
+    """Character-level mutations the shingle family cannot see: d21/d22
+    differ by 3 mid-word typos (every 3-gram containing a typo'd word
+    changes), d23 shares d21's prefix but is long-different, d24 starts
+    with a different first token (blocking miss, by design)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    typo = "alpha beta gamme delte epsilon zeta eta thete iota kappa"
+    other = "alpha " + " ".join(f"x{i}" for i in range(40))
+    moved = "beta alpha gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(21, base), (22, typo), (23, other), (24, moved)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path_factory.mktemp("planted-typos")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_edit_distance_catches_typos_blocking_bounds_recall(spark, planted_typos):
+    rows = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in REGISTRY["dedup_edit_distance"].fn(spark, planted_typos).collect()
+    }
+    assert (21, 22) in rows and rows[(21, 22)] == 3  # 3 single-char edits
+    # d23 shares tok0+band with d21/22 but its prefix is far away
+    # d24's different first token is a blocking miss — documented recall bound
+    assert set(rows) == {(21, 22)}
