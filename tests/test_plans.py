@@ -440,3 +440,25 @@ def test_equidepth_histogram_no_corpus_wide_single_partition(spark):
         assert "HashAggregate" in subtree, plan
     # the partitioned corpus window exists
     assert "row_number()" in phys
+
+
+def test_market_basket_two_exchanges_takeordered(spark):
+    """Basket mining must be the array-native two-shuffle form (orderkey
+    agg, pair agg) ending in TakeOrderedAndProject — a SortMergeJoin of
+    lineitem with itself or a global Sort means the self-join form
+    sneaked back in."""
+    import re
+
+    plan = explain_str(REGISTRY["join_market_basket_pairs"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_edit_distance_no_cartesian_equality_block_join(spark):
+    """The candidate join must be a hash/merge EQUALITY join on
+    (tok0, band) — an inequality-only join (BroadcastNestedLoop /
+    Cartesian) would be the quadratic all-pairs scan."""
+    plan = explain_str(REGISTRY["dedup_edit_distance"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
