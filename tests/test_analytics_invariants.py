@@ -3,6 +3,7 @@ by the definitions, pinned independently of the value-hash oracles."""
 
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
 
 from stateflow_spark.catalog import load
@@ -166,3 +167,39 @@ def test_market_basket_planted_supports(spark, tmp_path):
     assert dict(rows) == {
         (1, 2): 3, (1, 3): 1, (2, 3): 1, (1, 4): 1, (2, 4): 1,
     }
+
+
+@pytest.mark.parametrize("n", [15, 16, 17, 33, 100])
+def test_equidepth_rank_arithmetic_equals_native_ntile(spark, tmp_path, n):
+    """The distributed rank→bucket arithmetic must reproduce Spark's own
+    NTILE(16) for awkward N (remainder 15, 0, 1, ...) — the remainder
+    rule is the easy thing to get off by one."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, float(900 + 7 * i % 1000))
+         for i in range(1, n + 1)],
+        "o_orderkey long, o_totalprice double",
+    )
+    d = tmp_path / f"n{n}"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    mine = {
+        r.bucket: r.n_orders
+        for r in REGISTRY["window_equidepth_histogram"]
+        .fn(spark, str(d))
+        .collect()
+    }
+    native = {
+        r.bucket: r.n
+        for r in df.select(
+            F.ntile(16)
+            .over(Window.orderBy("o_totalprice", "o_orderkey"))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert mine == native
