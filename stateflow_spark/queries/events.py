@@ -711,7 +711,7 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, event_type, grp
     HAVING COUNT(*) >= 2
     """,
-    tags=("events", "window", "islands"),
+    tags=("events", "window", "islands", "bench"),
 )
 def events_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands run-length encoding: collapse each user's

@@ -183,7 +183,7 @@ def join_range_view_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY support DESC, part_a, part_b
     LIMIT 20
     """,
-    tags=("join", "basket", "cooccurrence"),
+    tags=("join", "basket", "cooccurrence", "bench"),
 )
 def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the 20 most-co-ordered part pairs

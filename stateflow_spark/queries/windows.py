@@ -213,7 +213,7 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM b
     GROUP BY bucket
     """,
-    tags=("window", "histogram"),
+    tags=("window", "histogram", "bench"),
 )
 def window_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-frequency) histogram of order value with exact
