@@ -51,7 +51,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         curation_reservoir_sample, sim_rank_fusion, events_state_runs,
 #         window_equidepth_histogram, dedup_triangle_stats,
 #         stream_state_runs, window_pareto_frontier, dedup_edit_distance,
-#         join_market_basket_pairs
+#         join_market_basket_pairs, agg_group_ols_trend
 #   31-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): events funnel,
@@ -72,7 +72,9 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 # entity_find_class (family keeps 6 rows in), dedup_simhash_pairs
 # (dedup_simhash stays in), text_rolling_fingerprint (text keeps 5
 # rows in) and entity_update_state (entity keeps 5 rows in), plus the
-# seven evicted for the third new-query batch — multimodal_decode_features
+# eight evicted for the third new-query batch — events_funnel (the events
+# family keeps retention/resample/rolling/anomaly/ewma/state_runs in),
+# multimodal_decode_features
 # (multimodal_binary_metadata stays in), entity_flow_golden and
 # entity_init_class (entity keeps invoke/stateful/ycsb in), dedup_simhash
 # (minhash/embedding tail stays in), stream_sliding_window (streaming
@@ -121,8 +123,7 @@ _R06_PREFIX = [
     "window_pareto_frontier",
     "dedup_edit_distance",
     "join_market_basket_pairs",
-    # events head (r04)
-    "events_funnel",
+    "agg_group_ols_trend",
     # streaming COMPLETE four (r04)
     "stream_hourly_tumbling",
     "stream_session_windows",

@@ -612,3 +612,94 @@ def agg_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_group_ols_trend",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, ts, CAST(value AS DECIMAL(38,2)) AS yq
+        FROM events
+    ),
+    g0 AS (SELECT event_type, MIN(ts) AS t0 FROM base GROUP BY event_type),
+    xy AS (
+        SELECT b.event_type,
+               (epoch_us(b.ts) - epoch_us(g0.t0)) // 3600000000 AS x,
+               CAST(b.yq * 100 AS BIGINT) AS y
+        FROM base b JOIN g0 USING (event_type)
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy, sxy, sxx,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / 100.0 AS slope_per_hour,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) / 100.0 AS intercept
+    FROM s
+    """,
+    tags=("agg", "regression"),
+)
+def agg_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend (slope/intercept of value over time) from
+    EXACT sufficient statistics — the canonical 100 TB regression
+    pattern: the only corpus pass is one partial/final hash aggregate of
+    five integer sums per group (n, Σx, Σy, Σxy, Σx²); the closed-form
+    solve happens on the 5-rows-per-group result. Exactness layering:
+    x = whole hours since the group's first event (small exact ints),
+    y = value quantized at scale 2 (a double→decimal cast can never tie
+    at any scale — a tie would need a non-dyadic fraction to be exactly
+    representable — so HALF_UP/half-even divergence is impossible); the
+    per-row products and their sums stay < 2^53 (sized in SCALING.md),
+    so every statistic is integer-exact in both engines. The final
+    slope/intercept are computed by the SAME scalar expression tree on
+    identical double operands — IEEE ops are deterministic, so the gate
+    hashes bit-identical floats without needing the solve itself to be
+    exact. Group t0 comes from a 5-row broadcast self-aggregate, not a
+    window over the corpus."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", dec("value", 2).alias("yq")
+    )
+    g0 = e.groupBy("event_type").agg(F.min("ts").alias("t0"))
+    xy = e.join(F.broadcast(g0), "event_type").select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(t0)) div 3600000000"
+        ).alias("x"),
+        (F.col("yq") * 100).cast("bigint").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        (slope / 100.0).alias("slope_per_hour"),
+        ((syd - slope * sxd) / nd / 100.0).alias("intercept"),
+    )

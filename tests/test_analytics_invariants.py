@@ -203,3 +203,28 @@ def test_equidepth_rank_arithmetic_equals_native_ntile(spark, tmp_path, n):
         .collect()
     }
     assert mine == native
+
+
+def test_ols_trend_recovers_planted_line(spark, tmp_path):
+    """Events lying exactly on y = 3.0 + 2.0·x_hours must come back with
+    slope 2.0 and intercept 3.0 bit-exactly (zero residual → the
+    closed-form solve is exact even in doubles)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        (i + 1, t0 + dt.timedelta(hours=h), 1, "lin", 3.0 + 2.0 * h, "{}")
+        for i, h in enumerate([0, 1, 2, 5, 9, 17])
+    ]
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = REGISTRY["agg_group_ols_trend"].fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0].slope_per_hour == 2.0
+    assert r[0].intercept == 3.0
+    assert r[0].n == 6 and r[0].sx == 34
