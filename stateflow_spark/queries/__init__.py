@@ -39,7 +39,7 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         carries a deterministic bound-check oracle), entity_stream_replay
 #         (bursts rebuilt cluster-side), curation_full_pipeline (benchmark
 #         eval docs excluded from survivors)
-#   10-30 NEW this round (registered after the initial pin; swapped in so
+#   10-38 NEW this round (registered after the initial pin; swapped in so
 #         no query debuts unstamped): agg_sketch_rollup, sim_range_search,
 #         join_range_view_clicks, dedup_cluster_keeper, text_token_rarity,
 #         text_repetition_filter, dedup_semantic,
@@ -52,12 +52,11 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         window_equidepth_histogram, dedup_triangle_stats,
 #         stream_state_runs, window_pareto_frontier, dedup_edit_distance,
 #         join_market_basket_pairs, agg_group_ols_trend
-#   31-50 the r04-stamped families the round-5 VERDICT called out for
+#   39-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
-#         listed below as the round-7 rotation front): events funnel,
-#         the stream_* COMPLETE four, text, udtf,
-#         multimodal, asof join, the entity core, the dedup simhash/
-#         minhash/embedding tail
+#         listed below as the round-7 rotation front): stream hourly/
+#         session/join, text token_stats/quality, udtf, multimodal,
+#         entity invoke/stateful/ycsb, dedup minhash/embedding
 # Rotated out (all r05-green, CORRECTNESS_r05.json): similarity (8),
 # streaming_late (3), the dedup jaccard head + connected components,
 # the rest of curation, all 22 TPC-H, window_topk, setops_union_distinct,
