@@ -51,7 +51,10 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         curation_reservoir_sample, sim_rank_fusion, events_state_runs,
 #         window_equidepth_histogram, dedup_triangle_stats,
 #         stream_state_runs, window_pareto_frontier, dedup_edit_distance,
-#         join_market_basket_pairs, agg_group_ols_trend
+#         join_market_basket_pairs, agg_group_ols_trend,
+#         dedup_winnowing_pairs (pinned in the dedup tail slot, swapped
+#         in over dedup_embedding_cosine — r04-green, family keeps
+#         minhash in; embedding_cosine joins the round-7 rotation front)
 #   39-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): stream hourly/
@@ -139,7 +142,10 @@ _R06_PREFIX = [
     "entity_ycsb_replay",
     # dedup tail (r04)
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
+    # new this round (late batch): winnowing substring detector — swapped
+    # in over dedup_embedding_cosine (r04-green; family keeps minhash in;
+    # embedding_cosine joins the round-7 rotation front)
+    "dedup_winnowing_pairs",
 ]
 assert len(_R06_PREFIX) == 50, len(_R06_PREFIX)
 assert set(_R06_PREFIX) <= set(REGISTRY), set(_R06_PREFIX) - set(REGISTRY)

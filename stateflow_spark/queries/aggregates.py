@@ -635,7 +635,9 @@ def agg_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(x * y) AS sxy, SUM(x * x) AS sxx
         FROM xy GROUP BY event_type
     )
-    SELECT event_type, n, sx, sy, sxy, sxx,
+    SELECT event_type, n,
+           CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+           CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)

@@ -1546,3 +1546,135 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "edit_distance", "len_a", "len_b")
     )
+
+
+_WINNOW_K = 8  # tokens per k-gram hash (reuses text_rolling_fingerprint math)
+_WINNOW_W = 4  # winnowing window over consecutive k-gram hashes
+_WINNOW_MIN_SHARED = 2  # pair threshold on shared selected fingerprints
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                   t -> CAST(list_reduce(list_transform(range(1, 5),
+                            j -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(t), j, 1)) - 1 AS BIGINT)),
+                            (a, b) -> a * 16 + b) AS BIGINT)) AS vs
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 11
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(range(1, len(vs) - 6),
+                   i -> list_reduce(list_transform(range(0, 8),
+                                        j -> vs[i + j]),
+                                    (acc, v) -> acc * 31 + v)) AS hs
+        FROM toks
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hs) - 2),
+                   i -> list_min(list_slice(hs, i, i + 3)))) AS fps
+        FROM hs
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+    """,
+    tags=("dedup", "winnowing", "fingerprint"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing substring detector (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): per token a 16-bit md5 hash, per 8-token window an exact
+    base-31 polynomial hash (65535·31⁷·8 < 2⁶³, so int64 arithmetic is
+    exact on both engines), then the winnowing selection — the MIN of each
+    run of W=4 consecutive window hashes — as the document's fingerprint
+    set. Pairs sharing ≥ 2 selected fingerprints are flagged with their
+    shared count.
+
+    Why this beats shingle Jaccard for its job: winnowing guarantees any
+    shared token run of length ≥ K+W-1 = 11 selects at least one common
+    fingerprint (≥ 2, hence flagged, for runs ≥ 18: L tokens give L-10
+    shared windows and ⌈(L-10)/W⌉ distinct selections at minimum) — so a
+    quoted passage inside two otherwise-unrelated documents is found even
+    though their global Jaccard is far below any near-dup threshold.
+    Jaccard/MinHash measure whole-document overlap; this finds local
+    overlap with a fingerprint set ~|hashes|/W per doc, a 4× index
+    reduction over indexing every window.
+
+    Scale shape: identical to the inverted-index Jaccard family — one
+    corpus scan, fingerprints built entirely in array lambdas
+    (whole-stage codegen, no Python), a keyed-aggregate barrier before the
+    explode (same InferFiltersFromGenerate O(len²) trap `_shingles_df`
+    documents), then posting-list pair expansion WITHOUT a join and a pair
+    count. Three shuffles total (doc_id spread, fingerprint postings, pair
+    counts); never all-pairs. Hot fingerprints (boilerplate passages) are
+    the skew risk, same knob as dedup_jaccard_stop_shingle — a posting cap
+    bounds the worst task at cap²/2 pairs per fingerprint."""
+    n_part = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    vs_df = (
+        d.filter(F.size(F.split("text", " ")) >= 11)
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                transform(split(text, ' '),
+                    t -> cast(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT))
+                """
+            ).alias("vs"),
+        )
+    )
+    hs_df = vs_df.select(
+        "doc_id",
+        F.expr(
+            """
+            transform(sequence(1, size(vs) - 7),
+                i -> aggregate(sequence(0, 7), 0L,
+                     (acc, j) -> acc * 31L + element_at(vs, i + j)))
+            """
+        ).alias("hs"),
+    )
+    fps_df = hs_df.select(
+        "doc_id",
+        F.expr(
+            """
+            array_distinct(transform(sequence(1, size(hs) - 3),
+                i -> array_min(slice(hs, i, 4))))
+            """
+        ).alias("fps"),
+    )
+    # keyed-aggregate barrier (reuses the doc_id partitioning, so it is
+    # exchange-free): the explode below otherwise gets a size(fps) > 0
+    # filter inferred and pushed beneath these projections, substituting
+    # the vs/hs arrays INTO higher-order lambdas — per-element recompute,
+    # O(len²) per doc (see _shingles_df)
+    fps_b = fps_df.groupBy("doc_id").agg(F.first("fps").alias("fps"))
+    ex = fps_b.select("doc_id", F.explode("fps").alias("fp"))
+    return (
+        ex.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ds, (x, i) ->
+                        transform(slice(ds, i + 2, size(ds) - i - 1),
+                                  y -> struct(x AS doc_a, y AS doc_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )

@@ -298,3 +298,48 @@ def test_edit_distance_catches_typos_blocking_bounds_recall(spark, planted_typos
     # d23 shares tok0+band with d21/22 but its prefix is far away
     # d24's different first token is a blocking miss — documented recall bound
     assert set(rows) == {(21, 22)}
+
+
+@pytest.fixture(scope="module")
+def planted_quote(spark, tmp_path_factory):
+    """Corpus for the winnowing substring detector: d1 and d2 are
+    UNRELATED 100-word texts that both embed the same 18-token quote
+    (global Jaccard ≈ 16/212 ≈ 0.075, below the 0.10 near-dup
+    threshold); d3-d10 are unrelated random texts. Winnowing's
+    guarantee: an 18-token shared run yields 8 shared winnow windows
+    and ≥ 2 shared selected fingerprints, so (1, 2) MUST be flagged."""
+    rng = random.Random(11)
+    vocab = [f"q{i}" for i in range(500)]
+    quote = [f"quote{i}" for i in range(18)]
+
+    def doc(insert_at=None):
+        words = [rng.choice(vocab) for _ in range(100)]
+        if insert_at is not None:
+            words[insert_at:insert_at] = quote
+        return " ".join(words)
+
+    rows = [(1, doc(10)), (2, doc(40))] + [
+        (i, doc()) for i in range(3, 11)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path_factory.mktemp("planted_quote")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_winnowing_finds_planted_quote_pair(spark, planted_quote):
+    pairs = _pairs(REGISTRY["dedup_winnowing_pairs"].fn(spark, planted_quote))
+    assert (1, 2) in pairs, pairs  # shared 18-token passage → guaranteed
+    assert pairs == {(1, 2)}, pairs  # and nothing else co-fingerprints
+
+
+def test_winnowing_is_local_not_global_overlap(spark, planted_quote):
+    """The same corpus is INVISIBLE to whole-document Jaccard: the quote
+    pair's global shingle overlap (~16 of ~212 union shingles ≈ 0.075)
+    is below the family threshold — pinning that the winnowing row adds
+    detection power the Jaccard row does not have."""
+    jac = _pairs(REGISTRY["dedup_ngram_jaccard"].fn(spark, planted_quote))
+    assert (1, 2) not in jac, jac

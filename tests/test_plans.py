@@ -462,3 +462,26 @@ def test_edit_distance_no_cartesian_equality_block_join(spark):
     plan = explain_str(REGISTRY["dedup_edit_distance"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_three_shuffles_no_join_no_inlined_lambdas(spark):
+    """The winnowing detector must keep the inverted-index shape: three
+    Exchanges (doc_id spread, fingerprint postings, pair counts), pair
+    expansion WITHOUT any join operator, and — the `_shingles_df` trap —
+    no higher-order lambda inside a Filter condition over split(text)
+    (the keyed-aggregate barrier before the explode is what prevents
+    InferFiltersFromGenerate from inlining the vs/hs arrays, which would
+    re-evaluate them per lambda element, O(len²) per doc)."""
+    import re
+
+    plan = explain_str(REGISTRY["dedup_winnowing_pairs"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 3, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Condition")
+        and "lambdafunction" in ln
+        and "split(text" in ln
+    ]
+    assert not bad, bad
