@@ -54,7 +54,9 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         join_market_basket_pairs, agg_group_ols_trend,
 #         dedup_winnowing_pairs (pinned in the dedup tail slot, swapped
 #         in over dedup_embedding_cosine — r04-green, family keeps
-#         minhash in; embedding_cosine joins the round-7 rotation front)
+#         minhash in; embedding_cosine joins the round-7 rotation front),
+#         text_pii_scrub (pinned in the text slot, swapped in over
+#         text_quality_score — r04-green, same rotation treatment)
 #   39-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): stream hourly/
@@ -132,7 +134,10 @@ _R06_PREFIX = [
     "stream_stream_join",
     # text (r04; chunking already above)
     "text_token_stats",
-    "text_quality_score",
+    # new this round (late batch): PII scrub — swapped in over
+    # text_quality_score (r04-green; family keeps token_stats/chunking
+    # in; quality_score joins the round-7 rotation front)
+    "text_pii_scrub",
     # udtf + multimodal (r04)
     "udtf_bigram_top20",
     "multimodal_binary_metadata",

@@ -725,3 +725,89 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"tf_{w}" for w in _BM25_TERMS],
         score.alias("score"),
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' host 10.0.'
+                                 || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN ' call +31 555 0199' ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t,
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '\\+\\d{2} \\d{3} \\d{4}'))
+                AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g'),
+               '\\+\\d{2} \\d{3} \\d{4}', '<PHONE>', 'g')) AS redacted_hash
+    FROM aug
+    """,
+    tags=("text", "pii", "scrub", "bench"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact — the scrub pass every LLM training-data
+    pipeline runs first (emails / IPv4 / phone numbers; kernels in
+    functions/pii.py with the Java-regex ∩ RE2 dialect constraint
+    documented there). The synthetic corpus carries no digits at all, so
+    the query demonstrates the scrub on DETERMINISTICALLY AUGMENTED text
+    (an email per doc, an IP on every 3rd, a phone on every 5th, built
+    from doc_id in-plan) — counts vary per doc and the redacted-text md5
+    pins exact match spans cross-engine; realistic free-form PII recall
+    is pinned by tests/test_pii.py on planted strings.
+
+    Scale shape: one projection over the corpus scan — no shuffle, no
+    explode, no Python; regexp matching rides whole-stage codegen, so
+    the pass is embarrassingly parallel and I/O-bound at 100 TB (the
+    ideal scrub-operator profile)."""
+    from stateflow_spark.functions.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        pii_count,
+        pii_redact,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call +31 555 0199"))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        pii_count("t", EMAIL_RE).alias("n_emails"),
+        pii_count("t", IPV4_RE).alias("n_ips"),
+        pii_count("t", PHONE_RE).alias("n_phones"),
+        F.md5(pii_redact("t")).alias("redacted_hash"),
+    )
