@@ -56,7 +56,9 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         in over dedup_embedding_cosine — r04-green, family keeps
 #         minhash in; embedding_cosine joins the round-7 rotation front),
 #         text_pii_scrub (pinned in the text slot, swapped in over
-#         text_quality_score — r04-green, same rotation treatment)
+#         text_quality_score — r04-green, same rotation treatment),
+#         agg_series_correlation (pinned in the entity slot, swapped in
+#         over entity_invoke_fold — r04-green, same rotation treatment)
 #   39-50 the r04-stamped families the round-5 VERDICT called out for
 #         re-stamp, minus the rows evicted (one per extra new query —
 #         listed below as the round-7 rotation front): stream hourly/
@@ -142,7 +144,10 @@ _R06_PREFIX = [
     "udtf_bigram_top20",
     "multimodal_binary_metadata",
     # entity family (r04)
-    "entity_invoke_fold",
+    # new this round (late batch): pairwise series correlation — swapped
+    # in over entity_invoke_fold (r04-green; family keeps stateful/ycsb
+    # plus entity_stream_replay above; invoke_fold joins the r7 front)
+    "agg_series_correlation",
     "entity_stateful_replay",
     "entity_ycsb_replay",
     # dedup tail (r04)

@@ -705,3 +705,112 @@ def agg_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (slope / 100.0).alias("slope_per_hour"),
         ((syd - slope * sxd) / nd / 100.0).alias("intercept"),
     )
+
+
+@register(
+    "agg_series_correlation",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.s AS x, b.s AS y
+        FROM hourly a JOIN hourly b
+          ON a.h = b.h AND a.event_type < b.event_type
+    ),
+    st AS (
+        SELECT type_a, type_b, COUNT(*) AS n_hours,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM p GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_hours,
+           (CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS pearson_r
+    FROM st
+    """,
+    tags=("agg", "correlation", "timeseries"),
+)
+def agg_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event-type time series at
+    hourly grain, from EXACT sufficient statistics — OLS-trend's sibling
+    (agg_group_ols_trend) for the cross-series question "which signals
+    move together". Correlation is over pairwise-complete hours (hours
+    where both series have events; absent hours are missing data, not
+    zeros — documented semantic choice).
+
+    Exactness: hourly sums are scale-2-quantized bigints (exact in both
+    engines regardless of partitioning); the six statistics per pair are
+    integer sums; the closed-form r is one identical double expression
+    tree on identical operands — and IEEE-754 REQUIRES sqrt to be
+    correctly rounded, so unlike ln/exp it is bit-identical across
+    JVM and DuckDB and safe to hash-gate.
+
+    Scale shape: the only corpus pass is one partial/final hash aggregate
+    onto the (event_type × hour) grid. Pairs are expanded by the house
+    posting-list pattern (collect the hour's ≤|types| series values, pair
+    them in an array lambda) rather than a hourly⋈hourly self-join — a
+    self-join re-states the aggregate subtree per branch and the static
+    plan scans the corpus TWICE (ReuseExchange is not guaranteed to fire
+    across the rename, and did not here); the posting form is one scan by
+    construction. Everything after the corpus aggregate is grid-sized
+    (hours × types, independent of event volume). The 2^53 budget:
+    hourly scale-2 sums ~10^4 on this data; x·y ~10^8 per hour, ~10^13
+    per decade-year of hours — escalate the six sums to DECIMAL(38,0)
+    accumulators past ~10^5-row hourly cells; the plan is unchanged."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            (dec("value", 2) * 100).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("v").alias("s"))
+    )
+    byhour = (
+        hourly.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("event_type", "s"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    p = byhour.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(ds, (a, i) ->
+                    transform(slice(ds, i + 2, size(ds) - i - 1),
+                              b -> struct(a.event_type AS type_a,
+                                          b.event_type AS type_b,
+                                          a.s AS x, b.s AS y))))
+                """
+            )
+        ).alias("p")
+    ).select("p.*")
+    st = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_hours").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    r = (nd * sxyd - sxd * syd) / F.sqrt(
+        (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
+    )
+    return st.select("type_a", "type_b", "n_hours", r.alias("pearson_r"))

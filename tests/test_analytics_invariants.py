@@ -228,3 +228,37 @@ def test_ols_trend_recovers_planted_line(spark, tmp_path):
     assert r[0].slope_per_hour == 2.0
     assert r[0].intercept == 3.0
     assert r[0].n == 6 and r[0].sx == 34
+
+
+def test_series_correlation_recovers_planted_relationships(spark, tmp_path):
+    """Three planted hourly series: b = 2a (r = +1 exactly), c = -a + 100
+    (r = -1 exactly); the (a,b)/(a,c)/(b,c) pairs must come back ±1.0
+    bit-exactly (perfectly linear data → the closed-form r is exact in
+    doubles: numerator and the sqrt'd product are the same integers)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    a_vals = [3.0, 7.0, 4.0, 9.0, 1.0, 6.0]
+    ev = []
+    eid = 0
+    for h, a in enumerate(a_vals):
+        for etype, v in (("a", a), ("b", 2 * a), ("c", 100 - a)):
+            eid += 1
+            ev.append((eid, t0 + dt.timedelta(hours=h), 1, etype, v, "{}"))
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = {
+        (x.type_a, x.type_b): x
+        for x in REGISTRY["agg_series_correlation"].fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(r) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(x.n_hours == 6 for x in r.values())
+    assert r[("a", "b")].pearson_r == 1.0
+    assert r[("a", "c")].pearson_r == -1.0
+    assert r[("b", "c")].pearson_r == -1.0

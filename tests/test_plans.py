@@ -485,3 +485,23 @@ def test_winnowing_three_shuffles_no_join_no_inlined_lambdas(spark):
         and "split(text" in ln
     ]
     assert not bad, bad
+
+
+def test_series_correlation_single_corpus_pass_no_join(spark):
+    """The correlation plan's 100 TB shape: ONE scan of events and one
+    corpus-volume Exchange (the partial/final hourly aggregate); pair
+    expansion is the posting-list lambda, not a hourly⋈hourly self-join
+    (which re-states the aggregate subtree per branch — the static plan
+    scanned the corpus twice when this query was first written that
+    way). Remaining exchanges are grid-sized (by-hour collect, pair
+    stats)."""
+    import re
+
+    plan = explain_str(REGISTRY["agg_series_correlation"].fn(spark, SF_DIR))
+    # count detail-section ids, not raw substrings (each node name prints
+    # in both the tree and the details)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) <= 3, plan
+    assert "partial_sum" in plan, plan
