@@ -133,7 +133,11 @@ _R06_PREFIX = [
     # streaming COMPLETE four (r04)
     "stream_hourly_tumbling",
     "stream_session_windows",
-    "stream_stream_join",
+    # new this round (late batch): LEFT OUTER stream-stream join — the
+    # state-eviction row; swapped in over the r04-green inner join
+    # (stream_stream_join, whose matched output is a subset of this
+    # row's; it joins the round-7 rotation front)
+    "stream_stream_join_outer",
     # text (r04; chunking already above)
     "text_token_stats",
     # new this round (late batch): PII scrub — swapped in over

@@ -181,3 +181,56 @@ def _cm_counters_oracle() -> str:
 
 
 REGISTRY["stream_countmin_sketch"].oracle = _cm_counters_oracle()
+
+
+@register(
+    "stream_stream_join_outer",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    v AS (
+        SELECT user_id, ts AS view_ts, event_id AS view_id
+        FROM events WHERE event_type = 'view'
+    ),
+    wm AS (
+        SELECT least((SELECT MAX(click_ts) FROM c),
+                     (SELECT MAX(view_ts) FROM v))
+               - INTERVAL 1 HOUR AS w
+    ),
+    m AS (
+        SELECT c.user_id, c.click_id, v.view_id, c.click_ts, v.view_ts
+        FROM c JOIN v ON c.user_id = v.user_id
+         AND v.view_ts <= c.click_ts
+         AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
+    ),
+    um AS (
+        SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS view_id,
+               c.click_ts, CAST(NULL AS TIMESTAMP) AS view_ts
+        FROM c, wm
+        WHERE c.click_ts < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM v
+              WHERE v.user_id = c.user_id
+                AND v.view_ts <= c.click_ts
+                AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR)
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM um
+    """,
+    tags=("streaming", "events", "join", "outer"),
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join run as a real stream —
+    the state-eviction row: unmatched clicks must surface as null-padded
+    rows exactly when the watermark proves no future view can match, and
+    the oracle REPLAYS that eviction rule in SQL (null rows only for
+    clicks strictly below min(max click ts, max view ts) - 1h; the
+    per-type maxima arise because Catalyst pushes the type filters below
+    the EventTimeWatermark nodes — see
+    streaming/windows.py:stream_stream_join_outer). The held-back tail
+    is therefore hash-gated, not hand-waved: a Spark that stopped
+    evicting (state leak) or evicted early (wrong nulls) both fail."""
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    return _run_stream(spark, sw.stream_stream_join_outer(s1, s2), "append")

@@ -113,3 +113,53 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def stream_stream_join_outer(
+    left: DataFrame, right: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream–stream LEFT OUTER join: like stream_stream_join, but clicks
+    with no qualifying view emit a null-padded row once the watermark
+    proves no future view can match — the state-EVICTION semantics the
+    inner join never exercises (an inner join could hold state forever
+    and still be output-correct; outer null emission is observable proof
+    rows leave the buffer).
+
+    When null rows appear (derived, and pinned by the registered oracle):
+    a left row is unmatchable once no future view can satisfy
+    view_ts <= click_ts, i.e. once the global watermark passes click_ts
+    (strictly). The global watermark is the MIN over both sides' event-
+    time watermarks — and because Catalyst pushes each side's type filter
+    BELOW the EventTimeWatermark node, each side tracks the max ts of its
+    OWN event type: wm = min(max(click ts), max(view ts)) - delay. Spark
+    emits the eviction batch after the final data batch (the "no-data
+    batch"), so with availableNow the held-back tail is exactly the
+    clicks in the last <delay> of the click stream (plus any after the
+    last view - delay)."""
+    l = (
+        left.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        F.col("l_user").alias("user_id"), "click_id", "view_id", "click_ts", "view_ts"
+    )

@@ -469,3 +469,38 @@ def test_stream_state_runs_seams_across_micro_batches(spark, tmp_path):
     src = streaming_late._PHASE_CACHE[str(tmp_path)]
     import os
     assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 3
+
+
+def test_stream_stream_left_outer_eviction_semantics(spark, tmp_path):
+    """Left-outer stream-stream join: matched pairs equal the batch inner
+    join; null rows appear EXACTLY for unmatched clicks strictly below
+    the final global watermark = min(max click ts, max view ts) - 1h
+    (per-type maxima because the type filters push below the watermark
+    nodes), and the held-back tail is non-empty on this corpus — proving
+    state eviction is observable, not that the stream just emitted the
+    batch left join."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    stream = _stream_events(spark, tmp_path)
+    _run_to_memory(sw.stream_stream_join_outer(stream, stream), "t_ssjo")
+    got = spark.sql("SELECT * FROM t_ssjo").collect()
+    got_matched = {(r.user_id, r.click_id, r.view_id) for r in got if r.view_id is not None}
+    got_nulls = {r.click_id for r in got if r.view_id is None}
+
+    e = load(spark, SF_DIR, "events")
+    batch = sw.stream_stream_join_outer(e, e).collect()
+    b_matched = {(r.user_id, r.click_id, r.view_id) for r in batch if r.view_id is not None}
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "ts").collect()
+    views_max = e.filter(F.col("event_type") == "view").agg(F.max("ts")).collect()[0][0]
+    clicks_max = max(r.ts for r in clicks)
+    wm = min(clicks_max, views_max) - dt.timedelta(hours=1)
+    unmatched = {r.click_id for r in batch if r.view_id is None}
+    expect_nulls = {
+        r.event_id for r in clicks if r.event_id in unmatched and r.ts < wm
+    }
+    held_back = unmatched - expect_nulls
+    assert got_matched == b_matched
+    assert got_nulls == expect_nulls
+    assert held_back, "corpus has no tail clicks — eviction untested"
