@@ -130,8 +130,12 @@ _R06_PREFIX = [
     "dedup_edit_distance",
     "join_market_basket_pairs",
     "agg_group_ols_trend",
-    # streaming COMPLETE four (r04)
-    "stream_hourly_tumbling",
+    # streaming family (r04 re-stamps + round-6 additions)
+    # new this round (late batch): stream-static broadcast enrichment —
+    # swapped in over stream_hourly_tumbling (r04-green; its oracle IS
+    # the batch twin's, so the aggregate arithmetic stays hash-gated via
+    # events_hourly's r04 stamp and the local net; joins the r7 front)
+    "stream_static_enrich",
     "stream_session_windows",
     # new this round (late batch): LEFT OUTER stream-stream join — the
     # state-eviction row; swapped in over the r04-green inner join

@@ -234,3 +234,27 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = _events_stream(spark, sf_dir)
     s2 = _events_stream(spark, sf_dir)
     return _run_stream(spark, sw.stream_stream_join_outer(s1, s2), "append")
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "events", "join", "enrich"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the third cell of the streaming join matrix,
+    beside the inner and left-outer stream-stream rows): the event
+    stream enriched per micro-batch against the STATIC customer
+    dimension, then windowlessly aggregated in COMPLETE mode so the
+    final sink equals the batch join+aggregate (the oracle). At scale
+    the dimension broadcasts and the unbounded side never shuffles for
+    the join — the standard enrichment posture for a 100 TB/day
+    stream."""
+    stream = _events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer")
+    return _run_stream(spark, sw.stream_static_enrich(stream, dim), "complete")

@@ -163,3 +163,22 @@ def stream_stream_join_outer(
     ).select(
         F.col("l_user").alias("user_id"), "click_id", "view_id", "click_ts", "view_ts"
     )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against a
+    STATIC dimension table (no watermark needed on the static side — it
+    is re-read per batch, and Spark plans it as a broadcast when small).
+    The canonical 100 TB shape: the unbounded fact stream never shuffles
+    for the join; the dimension ships once per executor. Here: events
+    enriched with the customer row whose key shares the user id space,
+    aggregated per (mktsegment, event_type)."""
+    joined = stream.join(
+        F.broadcast(dim),
+        stream["user_id"] == dim["c_custkey"],
+        "inner",
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value", 4),
+    )

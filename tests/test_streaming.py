@@ -504,3 +504,22 @@ def test_stream_stream_left_outer_eviction_semantics(spark, tmp_path):
     assert got_matched == b_matched
     assert got_nulls == expect_nulls
     assert held_back, "corpus has no tail clicks — eviction untested"
+
+
+def test_stream_static_enrich_broadcasts_dimension(spark):
+    """The stream-static enrichment must broadcast the dimension — the
+    same builder in batch mode (identical plan shape) must show a
+    BroadcastHashJoin with no shuffle join; on a stream the unbounded
+    side then never exchanges for the join."""
+    import contextlib
+    import io
+
+    e = load(spark, SF_DIR, "events")
+    c = load(spark, SF_DIR, "customer")
+    df = sw.stream_static_enrich(e, c)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
