@@ -30,6 +30,7 @@ from stateflow_spark.queries import multimodal  # noqa: F401, E402
 from stateflow_spark.queries import joins  # noqa: F401, E402
 from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402
+from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 
 # Round-6 prefix (the driver stamps the first ~50 registered queries):
 #   1-6   the six queries that have NEVER had a driver row (round-5
@@ -59,11 +60,15 @@ from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 #         text_quality_score — r04-green, same rotation treatment),
 #         agg_series_correlation (pinned in the entity slot, swapped in
 #         over entity_invoke_fold — r04-green, same rotation treatment)
-#   39-50 the r04-stamped families the round-5 VERDICT called out for
-#         re-stamp, minus the rows evicted (one per extra new query —
-#         listed below as the round-7 rotation front): stream hourly/
-#         session/join, text token_stats/quality, udtf, multimodal,
-#         entity invoke/stateful/ycsb, dedup minhash/embedding
+#   39-50 a mix of (a) r04 re-stamps the round-5 VERDICT called out —
+#         udtf, multimodal, entity stateful/ycsb, dedup minhash — and
+#         (b) the LATE round-6 batch, each swapped 1:1 over an r04 row
+#         whose family keeps other stamped representatives (the evicted
+#         row joins the round-7 rotation front; per-slot comments below):
+#         stream_static_enrich, source_corrupt_json,
+#         stream_stream_join_outer, text_chunking's siblings
+#         source_schema_evolution + text_pii_scrub,
+#         agg_series_correlation, dedup_winnowing_pairs
 # Rotated out (all r05-green, CORRECTNESS_r05.json): similarity (8),
 # streaming_late (3), the dedup jaccard head + connected components,
 # the rest of curation, all 22 TPC-H, window_topk, setops_union_distinct,
@@ -136,14 +141,20 @@ _R06_PREFIX = [
     # the batch twin's, so the aggregate arithmetic stays hash-gated via
     # events_hourly's r04 stamp and the local net; joins the r7 front)
     "stream_static_enrich",
-    "stream_session_windows",
+    # new this round (late batch): corrupt-JSON quarantine — swapped in
+    # over stream_session_windows (r04-green; streaming family keeps
+    # static_enrich/outer-join/countmin/state_runs in; joins the r7 front)
+    "source_corrupt_json",
     # new this round (late batch): LEFT OUTER stream-stream join — the
     # state-eviction row; swapped in over the r04-green inner join
     # (stream_stream_join, whose matched output is a subset of this
     # row's; it joins the round-7 rotation front)
     "stream_stream_join_outer",
     # text (r04; chunking already above)
-    "text_token_stats",
+    # new this round (late batch): schema-evolution merged read — swapped
+    # in over text_token_stats (r04-green; text family keeps chunking +
+    # pii_scrub in; joins the r7 front)
+    "source_schema_evolution",
     # new this round (late batch): PII scrub — swapped in over
     # text_quality_score (r04-green; family keeps token_stats/chunking
     # in; quality_score joins the round-7 rotation front)
