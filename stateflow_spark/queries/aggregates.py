@@ -814,3 +814,103 @@ def agg_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
     )
     return st.select("type_a", "type_b", "n_hours", r.alias("pearson_r"))
+
+
+@register(
+    "agg_ab_test_zscore",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END)
+                         > SUM(CASE WHEN event_type = 'error'
+                                    THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant, COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM u GROUP BY variant
+    ),
+    w AS (
+        SELECT
+            (SELECT n_users FROM v WHERE variant = 0) AS n_a,
+            (SELECT n_converted FROM v WHERE variant = 0) AS conv_a,
+            (SELECT n_users FROM v WHERE variant = 1) AS n_b,
+            (SELECT n_converted FROM v WHERE variant = 1) AS conv_b
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           AS z_score
+    FROM w
+    """,
+    tags=("agg", "experiment", "stats"),
+)
+def agg_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment readout — the
+    third member of the exact-statistics family (with agg_group_ols_trend
+    and agg_series_correlation): variant = user_id % 2, conversion =
+    the user fired more 'purchase' than 'error' events (a per-user
+    comparison that stays non-degenerate at every scale — "ever
+    purchased" saturates to p=1 on dense replay data and zeroes the
+    pooled-variance denominator); the z statistic for p_a - p_b under
+    the pooled null is computed from FOUR integers (n_a, conv_a, n_b,
+    conv_b) by one identical double expression tree — division and
+    IEEE-correctly-rounded sqrt only, so the gate hashes bit-identical
+    floats cross-engine.
+
+    Scale shape: one partial/final aggregate to per-user conversion flags
+    (the corpus pass; max() combines map-side), one 2-row variant
+    aggregate, then a scalar solve. At 100 TB the per-user aggregate is
+    the only shuffle and its key space is users — uniform, salting-free."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    v = (
+        u.select((F.col("user_id") % 2).alias("variant"), "converted")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+    )
+    w = v.groupBy().pivot("variant", [0, 1]).agg(
+        F.first("n_users").alias("n"), F.first("n_converted").alias("conv")
+    ).select(
+        F.col("0_n").alias("n_a"),
+        F.col("0_conv").alias("conv_a"),
+        F.col("1_n").alias("n_b"),
+        F.col("1_conv").alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (pa - pb) / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        z.alias("z_score"),
+    )

@@ -262,3 +262,42 @@ def test_series_correlation_recovers_planted_relationships(spark, tmp_path):
     assert r[("a", "b")].pearson_r == 1.0
     assert r[("a", "c")].pearson_r == -1.0
     assert r[("b", "c")].pearson_r == -1.0
+
+
+def test_ab_test_zscore_recovers_planted_effect(spark, tmp_path):
+    """Planted experiment: 6 even users (variant A) of whom 4 convert
+    (more purchases than errors), 6 odd users (B) of whom 1 converts.
+    The z statistic must equal the hand-computed two-proportion value
+    from the same four integers — and its sign must favor A."""
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = []
+    eid = 0
+
+    def add(uid, etype, n):
+        nonlocal eid
+        for i in range(n):
+            eid += 1
+            ev.append((eid, t0 + dt.timedelta(minutes=eid), uid, etype, 1.0, "{}"))
+
+    for uid in (0, 2, 4, 6):  # variant A converters
+        add(uid, "purchase", 3), add(uid, "error", 1)
+    for uid in (8, 10):  # variant A non-converters
+        add(uid, "purchase", 1), add(uid, "error", 2)
+    add(1, "purchase", 5)  # variant B converter
+    for uid in (3, 5, 7, 9, 11):  # variant B non-converters
+        add(uid, "error", 3)
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = REGISTRY["agg_ab_test_zscore"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (6, 4, 6, 1)
+    pa, pb, pp = 4 / 6, 1 / 6, 5 / 12
+    want = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 6 + 1 / 6))
+    assert r.z_score == want and r.z_score > 0
