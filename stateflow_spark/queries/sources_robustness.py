@@ -64,11 +64,13 @@ def _two_epoch_dir(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_legacy,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_legacy,
            CAST(SUM(CASE WHEN event_id % 2 = 1
                          THEN CAST(value AS DECIMAL(38,4)) END)
                 AS DOUBLE) AS total_value_new,
-           SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_tagged
+           CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tagged
     FROM events
     GROUP BY event_type
     """,
@@ -108,8 +110,10 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_corrupt_json",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
-           SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS n_parsed,
+           CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parsed,
            CAST(SUM(CASE WHEN event_id % 7 <> 0
                          THEN CAST(json_extract_string(props, '$.k')
                                    AS BIGINT) END)
