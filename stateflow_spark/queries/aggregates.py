@@ -914,3 +914,82 @@ def agg_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pb.alias("p_b"),
         z.alias("z_score"),
     )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, CAST(value AS DECIMAL(38,2)) AS v, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM q
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT)
+                         THEN v END) AS DOUBLE) AS p50,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.90 * n) AS BIGINT)
+                         THEN v END) AS DOUBLE) AS p90,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT)
+                         THEN v END) AS DOUBLE) AS p99
+    FROM cum GROUP BY event_type
+    """,
+    tags=("agg", "percentile", "stats"),
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (p50/p90/p99 per event_type, lower
+    discrete quantile: the smallest value whose cumulative count reaches
+    ceil(q·n) — verified identical to DuckDB's quantile_disc) in the
+    SCALABLE form: the corpus pass is one (type, distinct-value) count
+    aggregate — map-side combinable, one shuffle — and the cumulative
+    window runs over the distinct-value histogram, whose size is bounded
+    by the value domain (scale-2 quantization ⇒ ~10⁴ rows/type), not by
+    event volume. The naive form — a window sort over raw events
+    partitioned by a 5-value key — is exactly the hot-key anti-pattern
+    SCALING.md warns about and is what percentile_approx exists to
+    avoid; this row shows exactness does NOT require it. Complements
+    agg_approx_sketches (percentile_approx twin, error-bounded) and
+    window_equidepth_histogram (rank-based buckets).
+
+    Exactness: values ride a scale-2 decimal (never ties across
+    engines), counts/targets are integers, and ceil(q·n) is the same
+    IEEE double op both sides."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    q = (
+        e.groupBy("event_type", dec("value", 2).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = q.select(
+        "event_type",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def pick(frac: float, name: str):
+        target = F.ceil(F.lit(frac) * F.col("n")).cast("bigint")
+        return (
+            F.min(F.when(F.col("cum") >= target, F.col("v")))
+            .cast("double")
+            .alias(name)
+        )
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(0.50, "p50"),
+        pick(0.90, "p90"),
+        pick(0.99, "p99"),
+    )

@@ -505,3 +505,28 @@ def test_series_correlation_single_corpus_pass_no_join(spark):
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) <= 3, plan
     assert "partial_sum" in plan, plan
+
+
+def test_exact_percentiles_window_on_histogram_not_corpus(spark):
+    """The exact-percentile plan must aggregate the corpus to the
+    (type, distinct-value) histogram BEFORE any window — the cumulative
+    Sort/Window nodes may only see the post-aggregate table. A Window
+    whose child subtree contains no intermediate HashAggregate means the
+    per-type sort-the-corpus anti-pattern came back."""
+    import re
+
+    plan = explain_str(REGISTRY["agg_exact_percentiles"].fn(spark, SF_DIR))
+    # tree section: the first Window (bottom-up) must sit above the
+    # histogram aggregate; cheap structural proxy — partial_count of the
+    # histogram happens below the first Exchange, and only grid-sized
+    # exchanges follow
+    assert "Window" in plan
+    tree = plan.split("(1) Scan", 1)[0]
+    # in the bottom-up tree, everything from the DEEPEST HashAggregate
+    # (the histogram build, nearest the scan) onward must be window-free:
+    # a Window below it would be sorting raw events
+    below_histogram = tree[tree.rfind("HashAggregate"):]
+    assert "Window" not in below_histogram, tree
+    # corpus shuffle budget: histogram exchange + one grid-sized window
+    # exchange (+ nothing else)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, plan
