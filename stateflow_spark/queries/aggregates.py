@@ -993,3 +993,71 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.90, "p90"),
         pick(0.99, "p99"),
     )
+
+
+@register(
+    "agg_table_checksum",
+    oracle="""
+    WITH h AS (
+        SELECT l_returnflag,
+               list_reduce(list_transform(range(1, 16),
+                   j -> CAST(strpos('0123456789abcdef',
+                             substr(md5(
+                                 CAST(l_orderkey AS VARCHAR) || '|' ||
+                                 CAST(l_linenumber AS VARCHAR) || '|' ||
+                                 CAST(CAST(CAST(l_quantity AS DECIMAL(38,2))
+                                           * 100 AS BIGINT) AS VARCHAR)
+                                 || '|' ||
+                                 CAST(epoch_us(l_shipdate) AS VARCHAR)
+                                 || '|' || l_returnflag
+                             ), j, 1)) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) AS hv
+        FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*) AS n,
+           BIT_XOR(hv) AS xor_checksum,
+           CAST(SUM(hv) % 1000000000000000000 AS BIGINT) AS modsum_checksum
+    FROM h GROUP BY l_returnflag
+    """,
+    tags=("agg", "checksum", "audit"),
+)
+def agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the audit primitive for 100 TB
+    migrations/replications: verify two copies hold identical content
+    WITHOUT sorting or shipping either (compare one small grouped-
+    checksum table per side). Each row serializes to a canonical string
+    of exactly-representable pieces ONLY (integers, epoch micros,
+    scale-2-quantized quantity, raw strings — never engine-formatted
+    floats), hashes to a 60-bit md5-prefix int, and the per-group digest
+    is the pair (BIT_XOR, SUM mod 10^18): both commutative/associative —
+    any partitioning gives the same answer — and complementary (XOR is
+    blind to duplicated row PAIRS, the modular sum is not; the count
+    closes cardinality). The whole thing is one map-side-combinable
+    aggregate: the shuffle carries |groups| rows.
+
+    This is also the engine's own cross-engine proof pattern turned into
+    an operator: the DuckDB oracle computes the identical digests, so
+    the hash gate certifies Spark's md5/serialization/fold bit-for-bit."""
+    l = load(spark, sf_dir, "lineitem")
+    s = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        (dec("l_quantity", 2) * 100).cast("bigint").cast("string"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).cast("string"),
+        F.col("l_returnflag"),
+    )
+    h = l.select(
+        "l_returnflag",
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint").alias("hv"),
+    )
+    return h.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(hv)").alias("xor_checksum"),
+        (
+            F.sum(F.col("hv").cast("decimal(38,0)"))
+            % F.lit(10**18)
+        )
+        .cast("bigint")
+        .alias("modsum_checksum"),
+    )

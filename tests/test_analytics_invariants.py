@@ -301,3 +301,51 @@ def test_ab_test_zscore_recovers_planted_effect(spark, tmp_path):
     pa, pb, pp = 4 / 6, 1 / 6, 5 / 12
     want = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 6 + 1 / 6))
     assert r.z_score == want and r.z_score > 0
+
+
+def test_table_checksum_detects_single_row_mutation(spark, tmp_path):
+    """The audit digest must (a) be invariant to partitioning/order and
+    (b) change when exactly ONE row's quantity moves by one cent — the
+    migration-verification property the operator exists for."""
+    src = load(spark, SF_DIR, "lineitem")
+    base = {
+        r.l_returnflag: (r.n, r.xor_checksum, r.modsum_checksum)
+        for r in REGISTRY["agg_table_checksum"].fn(spark, SF_DIR).collect()
+    }
+
+    # (a) rewrite the same rows into 7 shuffled partitions → same digests
+    src.repartition(7).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    re_read = {
+        r.l_returnflag: (r.n, r.xor_checksum, r.modsum_checksum)
+        for r in REGISTRY["agg_table_checksum"].fn(spark, str(tmp_path)).collect()
+    }
+    assert re_read == base
+
+    # (b) mutate the probe rows by one cent → exactly the flag groups
+    # containing them change, all others stay bit-identical. (synthetic
+    # lineitem does not keep (orderkey, linenumber) unique, so derive the
+    # expected changed groups from the data)
+    probe = src.select("l_orderkey", "l_linenumber").first()
+    cond = (F.col("l_orderkey") == probe[0]) & (
+        F.col("l_linenumber") == probe[1]
+    )
+    expect_changed = {
+        r.l_returnflag for r in src.filter(cond).select("l_returnflag").collect()
+    }
+    mutated = src.withColumn(
+        "l_quantity",
+        F.when(cond, F.col("l_quantity") + 0.01).otherwise(F.col("l_quantity")),
+    )
+    d2 = str(tmp_path / "mut")
+    mutated.write.mode("overwrite").parquet(d2 + "/lineitem.parquet")
+    mut = {
+        r.l_returnflag: (r.n, r.xor_checksum, r.modsum_checksum)
+        for r in REGISTRY["agg_table_checksum"].fn(spark, d2).collect()
+    }
+    changed = {f for f in base if mut[f] != base[f]}
+    assert changed == expect_changed and changed, (base, mut)
+    for f in changed:
+        assert mut[f][0] == base[f][0]  # same count — content diff, not loss
+        assert mut[f][1] != base[f][1] and mut[f][2] != base[f][2]
