@@ -92,14 +92,14 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # keeps hourly/session/join plus the new stateful runs row),
 # text_bpe_token_count (text keeps token_stats/quality/chunking in),
 # join_asof_click_view (joins keep range + the new basket row in) — stay
-# r04-stamped and are the round-7 rotation front, JOINED by the three
+# r04-stamped and are the round-7 rotation front, JOINED by the four
 # deliberate exceptions to "nothing debuts unstamped":
-# agg_ab_test_zscore, agg_exact_percentiles and agg_table_checksum
-# (registered after the
+# agg_ab_test_zscore, agg_exact_percentiles, agg_table_checksum and
+# dedup_incremental_index (registered after the
 # last 1:1 swap; the remaining r04 prefix rows are each their family's
 # ONLY stamp — udtf, multimodal, entity stateful/ycsb, dedup minhash —
 # and evicting any of them would leave a whole family 3 rounds stale, a
-# worse trade. All three are local-oracle green at sf0.001/0.01/1 and
+# worse trade. All four are local-oracle green at sf0.001/0.01/1 and
 # MUST lead the r7 prefix.)
 _R06_PREFIX = [
     # never driver-stamped

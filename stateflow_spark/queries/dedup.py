@@ -1678,3 +1678,113 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+@register(
+    "dedup_incremental_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                   t -> CAST(list_reduce(list_transform(range(1, 5),
+                            j -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(t), j, 1)) - 1 AS BIGINT)),
+                            (a, b) -> a * 16 + b) AS BIGINT)) AS vs
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_min(list_transform(range(1, len(vs) - 6),
+                   i -> list_reduce(list_transform(range(0, 8),
+                                        j -> vs[i + j]),
+                                    (acc, v) -> acc * 31 + v))) AS fp
+        FROM toks
+    ),
+    newb AS (SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 0),
+    oldix AS (
+        SELECT fp, MIN(doc_id) AS canonical
+        FROM fps WHERE doc_id % 5 <> 0 GROUP BY fp
+    ),
+    batchix AS (
+        SELECT fp, MIN(doc_id) AS batch_min FROM newb GROUP BY fp
+    )
+    SELECT n.doc_id,
+           CASE WHEN o.canonical IS NOT NULL THEN 'corpus'
+                WHEN b.batch_min < n.doc_id THEN 'batch'
+                ELSE 'unique' END AS dup_kind,
+           CASE WHEN o.canonical IS NOT NULL THEN o.canonical
+                WHEN b.batch_min < n.doc_id THEN b.batch_min
+                ELSE n.doc_id END AS canonical_id
+    FROM newb n
+    LEFT JOIN oldix o ON n.fp = o.fp
+    JOIN batchix b ON n.fp = b.fp
+    """,
+    tags=("dedup", "incremental", "delta"),
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup — the daily-ingest posture: a NEW batch
+    (doc_id % 5 = 0 stands in for today's arrivals) is deduplicated
+    against the EXISTING corpus's fingerprint index AND within itself,
+    without ever re-pairing the old corpus. The fingerprint is the
+    winnowing MIN (text_rolling_fingerprint math: 16-bit token hashes →
+    exact int64 8-gram polynomial hashes → document minimum), which is
+    near-dup-sensitive — raw-md5 exact fingerprints classify this whole
+    corpus 'unique', gating nothing. Each new doc classifies as
+    'corpus' (fingerprint already indexed → canonical old id), 'batch'
+    (first seen earlier in this batch → batch-min id), or 'unique'
+    (becomes a new index entry).
+
+    Scale story: the old side reduces to (fingerprint, canonical) — in
+    production a STORED index bucketed by fingerprint
+    (storage.py/test_bucketing.py show the zero-exchange layout), so a
+    daily run shuffles only the delta; the corpus is touched once at
+    index build, never per ingest. The joins are equi-joins on hash
+    keys — no pair explosion; within-batch detection is one aggregate
+    on the same key. The same shape lifts to MinHash band buckets or
+    the full winnowing fingerprint SET (dedup_winnowing_pairs) stored
+    as postings."""
+    d = load(spark, sf_dir, "documents")
+    fps = (
+        d.filter(F.size(F.split("text", " ")) >= 8)
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                transform(split(text, ' '),
+                    t -> cast(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT))
+                """
+            ).alias("vs"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                array_min(transform(sequence(1, size(vs) - 7),
+                    i -> aggregate(sequence(0, 7), 0L,
+                         (acc, j) -> acc * 31L + element_at(vs, i + j))))
+                """
+            ).alias("fp"),
+        )
+    )
+    newb = fps.filter(F.col("doc_id") % 5 == 0)
+    oldix = (
+        fps.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical"))
+    )
+    batchix = newb.groupBy("fp").agg(F.min("doc_id").alias("batch_min"))
+    j = newb.join(oldix, "fp", "left").join(batchix, "fp")
+    is_corpus = F.col("canonical").isNotNull()
+    is_batch = F.col("batch_min") < F.col("doc_id")
+    return j.select(
+        "doc_id",
+        F.when(is_corpus, F.lit("corpus"))
+        .when(is_batch, F.lit("batch"))
+        .otherwise(F.lit("unique"))
+        .alias("dup_kind"),
+        F.when(is_corpus, F.col("canonical"))
+        .when(is_batch, F.col("batch_min"))
+        .otherwise(F.col("doc_id"))
+        .alias("canonical_id"),
+    )
