@@ -1739,12 +1739,18 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     production a STORED index bucketed by fingerprint
     (storage.py/test_bucketing.py show the zero-exchange layout), so a
     daily run shuffles only the delta; the corpus is touched once at
-    index build, never per ingest. The joins are equi-joins on hash
-    keys — no pair explosion; within-batch detection is one aggregate
-    on the same key. The same shape lifts to MinHash band buckets or
-    the full winnowing fingerprint SET (dedup_winnowing_pairs) stored
-    as postings."""
-    d = load(spark, sf_dir, "documents")
+    index build, never per ingest. Here both sides derive from one
+    table, and the classification is ONE aggregate on fp — the first
+    cut joined newb⋈oldix⋈batchix and re-stated the fingerprint subtree
+    per branch, with the joins' inferred isnotnull(fp) filters inlining
+    the array fold per element (the `_shingles_df` O(len²) trap): 27 s
+    at sf0.1, 261 s at sf1. The single-aggregate form with the keyed
+    barrier computes fingerprints once and no join exists to infer
+    filters from. Within-fp classification rides the posting struct.
+    The same shape lifts to MinHash band buckets or the full winnowing
+    fingerprint SET (dedup_winnowing_pairs) stored as postings."""
+    n_part = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     fps = (
         d.filter(F.size(F.split("text", " ")) >= 8)
         .select(
@@ -1766,18 +1772,28 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 """
             ).alias("fp"),
         )
+        # keyed barrier (exchange-free atop the repartition): the fp
+        # expression must never be inlined into a downstream filter
+        .groupBy("doc_id")
+        .agg(F.first("fp").alias("fp"))
     )
-    newb = fps.filter(F.col("doc_id") % 5 == 0)
-    oldix = (
-        fps.filter(F.col("doc_id") % 5 != 0)
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("canonical"))
+    g = fps.groupBy("fp").agg(
+        F.min(F.when(F.col("doc_id") % 5 != 0, F.col("doc_id"))).alias(
+            "canonical"
+        ),
+        F.min(F.when(F.col("doc_id") % 5 == 0, F.col("doc_id"))).alias(
+            "batch_min"
+        ),
+        F.sort_array(
+            F.collect_list(F.when(F.col("doc_id") % 5 == 0, F.col("doc_id")))
+        ).alias("new_docs"),
     )
-    batchix = newb.groupBy("fp").agg(F.min("doc_id").alias("batch_min"))
-    j = newb.join(oldix, "fp", "left").join(batchix, "fp")
+    per_doc = g.filter(F.size("new_docs") > 0).select(
+        "canonical", "batch_min", F.explode("new_docs").alias("doc_id")
+    )
     is_corpus = F.col("canonical").isNotNull()
     is_batch = F.col("batch_min") < F.col("doc_id")
-    return j.select(
+    return per_doc.select(
         "doc_id",
         F.when(is_corpus, F.lit("corpus"))
         .when(is_batch, F.lit("batch"))

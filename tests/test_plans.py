@@ -530,3 +530,26 @@ def test_exact_percentiles_window_on_histogram_not_corpus(spark):
     # corpus shuffle budget: histogram exchange + one grid-sized window
     # exchange (+ nothing else)
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, plan
+
+
+def test_incremental_dedup_single_pass_no_join(spark):
+    """The delta-dedup classification must be ONE aggregate on fp over a
+    barrier-protected fingerprint table: no Join operator anywhere (the
+    first cut's newb⋈oldix⋈batchix re-stated the fingerprint subtree per
+    branch and its inferred isnotnull(fp) filters inlined the array fold
+    per element — 261 s at sf1; the aggregate form is 1.2 s), one Scan,
+    and no lambda-bearing Filter over split(text)."""
+    import re
+
+    plan = explain_str(REGISTRY["dedup_incremental_index"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, plan
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Condition")
+        and "lambdafunction" in ln
+        and "split(text" in ln
+    ]
+    assert not bad, bad
