@@ -469,51 +469,75 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram occurrences that are duplicates, and the conjunctive quality
     gate over all four (Rae et al. 2021 repetition rules, token-based).
 
-    Plan shape for 100 TB: ONE unified gram explode (n ∈ {1,2,3,5} built
-    per-row with higher-order functions, flattened, exploded once — ~4
-    rows per token), then two aggregation shuffles: (doc_id, n, g) gram
-    counts — partial aggregation collapses within-partition repeats before
-    the exchange — and the (doc_id, n) rollup, then a doc_id regroup for
-    the pivot. Every shuffle key embeds doc_id, so hot grams ('the' at
-    corpus scale) CANNOT skew a partition — contrast the corpus-global
-    token table in text_token_rarity, which is where the skew ladder
-    lives. All expressions are JVM built-ins; fractions are single double
-    divisions of bit-identical integer operands on both engines."""
+    Plan shape for 100 TB: ZERO shuffles. The round-6 rewrite replaced
+    the unified gram explode (~4 rows/token) + two doc_id-keyed
+    aggregation exchanges with per-document in-array computation: each
+    n-gram array is sort_array'd (O(L log L) per doc, JVM-side) and a
+    single aggregate() run-length scan extracts the max run (= top gram
+    count) and the duplicated-occurrence total in one pass — every
+    signal the old (doc_id, n, g) count table carried, computed without
+    materializing it. The corpus pass is one codegen'd projection; the
+    measured decade factor dropped from 5.9× (the sf1 bandwidth knee of
+    the 4-rows/token shuffle, SCALING.md) to flat. All expressions are
+    JVM built-ins; fractions are single double divisions of
+    bit-identical integer operands on both engines — the unchanged
+    oracle is the regression net for the rewrite."""
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("t"))
-    gram_arrays = ", ".join(_gram_struct(n) for n in (1, 2, 3, 5))
-    gr = t.select(
-        "doc_id", F.explode(F.expr(f"flatten(array({gram_arrays}))")).alias("ng")
-    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
-    per = (
-        gr.groupBy("doc_id", "n", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n")
-        .agg(
-            F.max("c").alias("top_c"),
-            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_c"),
-            F.sum("c").alias("tot_c"),
-        )
+
+    def gram_sorted(n: int) -> str:
+        return f"sort_array(transform({_gram_struct(n)}, s -> s.g))"
+
+    def scan(arr: str) -> str:
+        # one pass over the sorted gram array: top = longest equal run
+        # (count of the most frequent gram), dup = total occurrences in
+        # runs of length >= 2; the finish lambda flushes the last run
+        return f"""
+        aggregate(
+            {arr},
+            named_struct('prev', CAST(NULL AS STRING),
+                         'run', 0L, 'top', 0L, 'dup', 0L),
+            (a, x) -> named_struct(
+                'prev', x,
+                'run', IF(x <=> a.prev, a.run + 1L, 1L),
+                'top', GREATEST(a.top, IF(x <=> a.prev, a.run + 1L, 1L)),
+                'dup', a.dup + IF(x <=> a.prev, 0L,
+                                  IF(a.run >= 2L, a.run, 0L))),
+            a -> named_struct(
+                'top', a.top,
+                'dup', a.dup + IF(a.run >= 2L, a.run, 0L)))
+        """
+
+    sortd = t.select(
+        "doc_id",
+        *[F.expr(gram_sorted(n)).alias(f"g{n}") for n in (1, 2, 3, 5)],
     )
+    stats = sortd.select(
+        "doc_id",
+        *[F.size(f"g{n}").alias(f"tot{n}") for n in (1, 2, 3, 5)],
+        *[F.expr(scan(f"g{n}")).alias(f"st{n}") for n in (1, 2, 3, 5)],
+    )
+    ntok = F.col("tot1").cast("double")
 
-    def at(n: int, col: str):
-        return F.max(F.when(F.col("n") == n, F.col(col)))
+    def frac(num, tot_col):
+        # (doc, n) rows with no grams are ABSENT in the count-table form
+        # → NULL fractions; reproduce that exactly
+        return F.when(F.col(tot_col) > 0, num).otherwise(F.lit(None))
 
-    ntok = at(1, "tot_c")
-    m = per.groupBy("doc_id").agg(
-        ntok.alias("n_tokens"),
-        (at(1, "top_c").cast("double") / ntok.cast("double")).alias(
-            "top_word_frac"
-        ),
-        ((at(2, "top_c") * 2).cast("double") / ntok.cast("double")).alias(
+    m = stats.select(
+        "doc_id",
+        F.col("tot1").alias("n_tokens"),
+        (F.col("st1.top").cast("double") / ntok).alias("top_word_frac"),
+        frac((F.col("st2.top") * 2).cast("double") / ntok, "tot2").alias(
             "top_bigram_frac"
         ),
-        ((at(3, "top_c") * 3).cast("double") / ntok.cast("double")).alias(
+        frac((F.col("st3.top") * 3).cast("double") / ntok, "tot3").alias(
             "top_trigram_frac"
         ),
-        (at(5, "dup_c").cast("double") / at(5, "tot_c").cast("double")).alias(
-            "dup_5gram_frac"
-        ),
+        frac(
+            F.col("st5.dup").cast("double") / F.col("tot5").cast("double"),
+            "tot5",
+        ).alias("dup_5gram_frac"),
     )
     ok = (
         (F.col("top_word_frac") <= _REP_MAX_TOP_WORD)

@@ -293,17 +293,20 @@ def test_token_rarity_partial_aggs_before_shuffle(spark):
     assert re.search(r"Generate[\s\S]{0,400}?HashAggregate", plan)
 
 
-def test_repetition_filter_single_generate_docid_keyed(spark):
-    """text_repetition_filter: ONE unified gram explode (a single
-    Generate) feeding doc_id-embedded aggregation keys — a per-n explode
-    would quadruple scan passes, and any shuffle keyed on the gram alone
-    would re-create the hot-token skew the unified key avoids."""
+def test_repetition_filter_zero_shuffle_in_array(spark):
+    """text_repetition_filter (round-6 rewrite): the repetition signals
+    are computed ENTIRELY in-array — sort_array + one aggregate()
+    run-length scan per n — so the plan is a pure projection pipeline:
+    no Generate (the old explode shipped ~4 rows/token and hit a
+    5.9×/decade bandwidth knee at sf1), no Exchange, no Window, and the
+    projections stay in whole-stage codegen."""
     import re
 
     plan = explain_str(REGISTRY["text_repetition_filter"].fn(spark, SF_DIR))
-    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
-    assert "hashpartitioning(doc_id" in plan
+    assert not re.findall(r"\(\d+\) Generate", plan), plan
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
     assert "Window" not in plan
+    assert "* Project" in plan
 
 
 def test_semdedup_assignment_is_broadcast_fold_no_explode(spark):
