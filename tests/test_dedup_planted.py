@@ -343,3 +343,47 @@ def test_winnowing_is_local_not_global_overlap(spark, planted_quote):
     detection power the Jaccard row does not have."""
     jac = _pairs(REGISTRY["dedup_ngram_jaccard"].fn(spark, planted_quote))
     assert (1, 2) not in jac, jac
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    run_len=st.integers(min_value=18, max_value=30),
+)
+def test_winnowing_guarantee_property(spark, tmp_path_factory, data, run_len):
+    """The winnowing THEOREM as a property: for random surrounding text
+    and a random shared token run of length L ≥ 18 planted at random
+    positions in two otherwise-unrelated documents, the pair MUST be
+    flagged (L tokens → L-10 shared winnow windows → ≥ ⌈(L-10)/4⌉ ≥ 2
+    shared selected fingerprints ≥ the registered threshold). Hypothesis
+    walks run lengths and insert positions the hand-planted test fixes."""
+    rng = data.draw(st.randoms(use_true_random=False))
+    vocab = [f"h{i}" for i in range(300)]
+    quote = [f"hq{i}" for i in range(run_len)]
+
+    def doc():
+        words = [rng.choice(vocab) for _ in range(120)]
+        at = rng.randrange(0, len(words))
+        words[at:at] = quote
+        return " ".join(words)
+
+    rows = [(1, doc()), (2, doc())] + [
+        (i, " ".join(rng.choice(vocab) for _ in range(120)))
+        for i in range(3, 7)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path_factory.mktemp("winnow_prop")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    pairs = _pairs(REGISTRY["dedup_winnowing_pairs"].fn(spark, str(d)))
+    assert (1, 2) in pairs, (run_len, pairs)
