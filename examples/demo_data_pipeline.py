@@ -31,6 +31,23 @@ def main(sf_dir: str) -> None:
     n_docs = docs.count()
     print(f"corpus: {n_docs} documents ({sf_dir})")
 
+    # 0. PII scrub — the pipeline's first pass (zero-shuffle codegen
+    #    projection; kernels in functions/pii.py)
+    pii = REGISTRY["text_pii_scrub"].fn(spark, sf_dir)
+    pii_stats = pii.agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_ips").alias("i"),
+        F.sum("n_phones").alias("p"),
+    ).collect()[0]
+    print(f"0. PII scrub: redacted {pii_stats.e} emails, "
+          f"{pii_stats.i} IPs, {pii_stats.p} phones")
+
+    # 0b. repetition gate (Gopher rules, computed entirely in-array)
+    rep = REGISTRY["text_repetition_filter"].fn(spark, sf_dir)
+    rep_fail = rep.filter(~F.coalesce(F.col("repetition_ok"), F.lit(True)))
+    print(f"0b. repetition gate: {rep_fail.count()} docs fail the "
+          f"top-gram/dup-5-gram rules")
+
     # 1. exact dedup: canonical doc per content fingerprint
     exact = REGISTRY["dedup_exact"].fn(spark, sf_dir)
     n_unique = exact.count()
@@ -124,6 +141,16 @@ def main(sf_dir: str) -> None:
     for r in pipe.orderBy("lang").collect():
         print(f"   {r.lang}: kept {r.n_kept}/{r.n_total} "
               f"({r.tokens_kept} tokens)")
+
+    # 11. tomorrow's ingest: the delta classified against the corpus's
+    #     stored fingerprint index — never re-pairing the old corpus
+    inc = REGISTRY["dedup_incremental_index"].fn(spark, sf_dir)
+    kinds = {r.dup_kind: r.n for r in
+             inc.groupBy("dup_kind").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    print(f"11. incremental ingest: {kinds.get('unique', 0)} new, "
+          f"{kinds.get('corpus', 0)} corpus dups, "
+          f"{kinds.get('batch', 0)} within-batch dups")
 
 
 if __name__ == "__main__":
