@@ -1617,7 +1617,23 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Three shuffles total (doc_id spread, fingerprint postings, pair
     counts); never all-pairs. Hot fingerprints (boilerplate passages) are
     the skew risk, same knob as dedup_jaccard_stop_shingle — a posting cap
-    bounds the worst task at cap²/2 pairs per fingerprint."""
+    bounds the worst task at cap²/2 pairs per fingerprint —
+    exposed on `_winnowing_pairs(posting_cap=...)` and demonstrated on a
+    hot-boilerplate corpus in tests/test_skew.py."""
+    return _winnowing_pairs(spark, sf_dir)
+
+
+def _winnowing_pairs(
+    spark: SparkSession, sf_dir: str, posting_cap: int | None = None
+) -> DataFrame:
+    """Winnowing pair expansion (see dedup_winnowing_pairs). With
+    posting_cap set, fingerprint postings longer than the cap are dropped
+    BEFORE pair expansion — the hot-fingerprint skew knob, identical in
+    trade-off to `_shingle_pairs`' stop-shingle cap: the worst task
+    expands ≤ cap²/2 pairs per fingerprint, at the cost of recall on
+    pairs whose overlap lives ONLY in boilerplate shared by > cap docs
+    (n_shared undercounts, so the ≥ 2 threshold is a LOWER bound —
+    precision is preserved)."""
     n_part = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     vs_df = (
@@ -1658,10 +1674,13 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(len²) per doc (see _shingles_df)
     fps_b = fps_df.groupBy("doc_id").agg(F.first("fps").alias("fps"))
     ex = fps_b.select("doc_id", F.explode("fps").alias("fp"))
+    keep = F.size("ds") > 1
+    if posting_cap is not None:
+        keep = keep & (F.size("ds") <= posting_cap)
     return (
         ex.groupBy("fp")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(keep)
         .select(
             F.explode(
                 F.expr(

@@ -182,3 +182,55 @@ def test_aqe_splits_skewed_relational_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+HOT_RUN = 30  # boilerplate token run shared by the hot docs
+
+
+@pytest.fixture(scope="module")
+def hot_passage_dir(spark, tmp_path_factory):
+    """documents.parquet where docs 0..HOT_N-1 all contain the same
+    30-token boilerplate passage (every winnow fingerprint selected
+    inside it is shared by all HOT_N docs → postings of length HOT_N)
+    plus unique 20-token tails; controls are fully unique."""
+    d = tmp_path_factory.mktemp("skew_winnow") / "sf-hotrun"
+    os.makedirs(d, exist_ok=True)
+    passage = " ".join(f"boiler{j}" for j in range(HOT_RUN))
+    rows = []
+    for i in range(HOT_N):
+        tail = " ".join(f"wu{i}t{j}" for j in range(20))
+        rows.append((i, f"{passage} {tail}", "en", "synth", 60))
+    for i in range(1000, 1020):
+        rows.append(
+            (i, " ".join(f"wc{i}t{j}" for j in range(25)), "en", "synth", 60)
+        )
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    return str(d)
+
+
+def test_winnowing_uncapped_flags_all_hot_pairs(spark, hot_passage_dir):
+    """Uncapped: the shared 30-token passage guarantees >= 2 shared
+    fingerprints for EVERY hot pair → C(HOT_N, 2) pairs, the quadratic
+    expansion a boilerplate passage inflicts."""
+    from stateflow_spark.queries.dedup import _winnowing_pairs
+
+    pairs = _winnowing_pairs(spark, hot_passage_dir).collect()
+    hot = [p for p in pairs if p.doc_a < 1000 and p.doc_b < 1000]
+    assert len(hot) == HOT_N * (HOT_N - 1) // 2
+    assert not [p for p in pairs if p.doc_a >= 1000 or p.doc_b >= 1000]
+
+
+def test_winnowing_posting_cap_bounds_expansion(spark, hot_passage_dir):
+    """posting_cap < HOT_N drops the hot-passage postings before pair
+    expansion: zero pairs survive (the docs share ONLY boilerplate), and
+    the worst task is bounded at cap²/2 pairs per fingerprint."""
+    from stateflow_spark.queries.dedup import _winnowing_pairs
+
+    capped = _winnowing_pairs(
+        spark, hot_passage_dir, posting_cap=HOT_N - 1
+    ).collect()
+    assert capped == []
