@@ -349,3 +349,43 @@ def test_table_checksum_detects_single_row_mutation(spark, tmp_path):
     for f in changed:
         assert mut[f][0] == base[f][0]  # same count — content diff, not loss
         assert mut[f][1] != base[f][1] and mut[f][2] != base[f][2]
+
+
+def test_exact_percentiles_match_direct_computation(spark, tmp_path):
+    """The lower-discrete-quantile definition against an independent
+    ground truth: for a hand-built events table spanning awkward sizes
+    (n = 1, 2, 7, 100 per type), each reported percentile must equal
+    sorted(values)[ceil(q*n) - 1] computed directly in Python."""
+    import datetime as dt
+    import math
+    import random
+
+    rng = random.Random(13)
+    t0 = dt.datetime(2024, 1, 1)
+    sizes = {"one": 1, "two": 2, "seven": 7, "hundred": 100}
+    ev, eid = [], 0
+    vals = {}
+    for etype, n in sizes.items():
+        vals[etype] = [round(rng.uniform(0, 500), 2) for _ in range(n)]
+        for v in vals[etype]:
+            eid += 1
+            ev.append((eid, t0 + dt.timedelta(minutes=eid), 1, etype, v, "{}"))
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.event_type: r
+        for r in REGISTRY["agg_exact_percentiles"].fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(got) == set(sizes)
+    for etype, n in sizes.items():
+        s = sorted(vals[etype])
+        r = got[etype]
+        assert r.n == n
+        for q, col in ((0.50, "p50"), (0.90, "p90"), (0.99, "p99")):
+            want = s[math.ceil(q * n) - 1]
+            assert getattr(r, col) == want, (etype, col, getattr(r, col), want)
