@@ -143,15 +143,18 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same scale shape as dedup_exact (one shuffle on a uniform md5 key);
     the normalization itself is three JVM-side regex passes in the scan
-    projection, no Python. Both engines apply byte-identical regex
-    semantics for these patterns, so the oracle pins the normalization,
-    not just the grouping."""
+    projection, no Python — materialized ONCE per row in its own
+    projection (as a raw expression inside the aggregate it was
+    evaluated separately by the md5 key and the length aggregate: two
+    regex chains per row, measured 18% of the sf1 wall). Both engines
+    apply byte-identical regex semantics for these patterns, so the
+    oracle pins the normalization, not just the grouping."""
     d = load(spark, sf_dir, "documents")
-    norm = F.expr(_NORM_SPARK)
-    return d.groupBy(F.md5(norm).alias("fp")).agg(
+    nd = d.select("doc_id", F.expr(_NORM_SPARK).alias("norm"))
+    return nd.groupBy(F.md5("norm").alias("fp")).agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
-        F.min(F.length(norm)).cast("bigint").alias("norm_len"),
+        F.min(F.length("norm")).cast("bigint").alias("norm_len"),
     )
 
 
