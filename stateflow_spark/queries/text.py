@@ -461,6 +461,10 @@ def _gram_struct(n: int) -> str:
             AND dup_5gram_frac <= {_REP_MAX_DUP_5GRAM}) AS repetition_ok
     FROM m
     """,
+    # deliberately NOT bench-tagged: isolated it is flat 0.56 s (SCALING
+    # decade row), but in the shared bench session its sort-heavy
+    # projections run ~4× slower from cross-query contention — the line
+    # would add noise, not signal (same call as sim_kmeans_iterations)
     tags=("text", "quality", "repetition"),
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
