@@ -803,3 +803,161 @@ def curation_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_rank", "doc_id")
         .limit(_RESERVOIR_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Train/val/test split leakage audit (near-dup contamination across splits)
+# --------------------------------------------------------------------------
+
+# Deterministic 3-way split on the same md5 bucket the samplers use:
+# [0,90) train / [90,95) val / [95,100) test.
+_SPLIT_CASE_DUCK = f"""CASE WHEN {_BUCKET_SQL} < 90 THEN 'train'
+         WHEN {_BUCKET_SQL} < 95 THEN 'val' ELSE 'test' END"""
+
+
+def _split_col() -> F.Column:
+    b = _bucket100()
+    return (
+        F.when(b < 90, F.lit("train"))
+        .when(b < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@register(
+    "curation_split_leakage",
+    oracle=f"""
+    WITH {_JACCARD_PAIR_CTES},
+    sp AS (SELECT doc_id, {_SPLIT_CASE_DUCK} AS split FROM documents)
+    SELECT d.doc_a, d.doc_b,
+           sa.split AS split_a, sb.split AS split_b,
+           d.jaccard,
+           CASE WHEN sb.split <> 'train' THEN d.doc_b ELSE d.doc_a END
+             AS purge_doc_id
+    FROM dup d JOIN sp sa ON sa.doc_id = d.doc_a
+               JOIN sp sb ON sb.doc_id = d.doc_b
+    WHERE sa.split <> sb.split
+    """,
+    tags=("curation", "dedup", "audit"),
+)
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage audit: assign every document a
+    deterministic train/val/test split (md5-bucket 90/5/5 — the same
+    engine-independent hash arithmetic the samplers use, so the split is
+    reproducible under any partitioning), then surface every near-dup
+    pair (exact n-gram Jaccard >= 0.10 via the shared inverted-index
+    pipeline) that STRADDLES a split boundary. Each row names the doc to
+    purge (the non-train side — standard practice removes contamination
+    from the held-out sets, keeping training mass intact). This is the
+    audit that catches eval contamination that exact dedup misses: a
+    lightly-edited copy of a training document landing in the test split
+    silently inflates eval scores.
+
+    Scale shape: the expensive part is the shared _jaccard_pairs pass
+    (single inverted-index shuffle, stop-shingle skew cap); on top sit
+    two doc_id-keyed equi-joins that shuffle only the post-threshold pair
+    set against a 1-column projection plus a hash CASE — the split label
+    is computed, never stored, so the audit needs no split table at
+    100 TB. No driver-side state; output is the leaked-pair set itself.
+
+    Reference parity: the reference has no dedup/curation surface; this
+    extends SURVEY.md §2 extension families (dedup + curation audits).
+    """
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    sp = load(spark, sf_dir, "documents").select(
+        "doc_id", _split_col().alias("split")
+    )
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "split_a",
+            "split_b",
+            "jaccard",
+            F.when(F.col("split_b") != "train", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("purge_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle → shard manifest (training-order assembly)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+# shard = first-8-hex-of-md5(doc_id) % 16; intra-shard order = full md5
+# string (unique per doc_id for practical purposes; doc_id breaks the
+# theoretical tie). DuckDB replays the identical hex arithmetic.
+_SHARD_SQL = _BUCKET_SQL.replace("% 100", f"% {_N_SHARDS}")
+
+
+@register(
+    "curation_shuffle_shards",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               {_SHARD_SQL} AS shard_id,
+               md5(CAST(doc_id AS VARCHAR)) AS rank
+        FROM documents
+    ), p AS (
+        SELECT doc_id, n_chars, shard_id,
+               ROW_NUMBER() OVER (PARTITION BY shard_id
+                                  ORDER BY rank, doc_id) AS pos
+        FROM t
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ARG_MIN(doc_id, pos) AS first_doc,
+           CAST(SUM(doc_id * pos) AS BIGINT) AS order_digest
+    FROM p GROUP BY 1
+    """,
+    tags=("curation", "shuffle"),
+)
+def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle, materialized as a shard
+    manifest. Every document gets a pseudo-random but REPRODUCIBLE
+    position: shard = md5-hash % 16, intra-shard order = full md5 string.
+    The manifest emits per shard the doc count, exact byte mass, the
+    first document in shuffle order, and an order digest
+    (SUM(doc_id * position)) that pins the entire permutation — two runs
+    (or two engines) that disagree on any document's shuffled position
+    disagree on the digest. hash-ordering beats rand(): restartable,
+    partitioning-independent, and a re-run after adding documents moves
+    only the new docs' neighbors.
+
+    Scale shape: ONE shuffle. The window (row_number per shard) and the
+    manifest groupBy share the same shard key, so Catalyst reuses the
+    exchange; the production write path is the same single exchange —
+    .repartition(N, shard).sortWithinPartitions(rank) + write, with this
+    manifest emitted as a by-product of the identical partitioning. At
+    100 TB: N_SHARDS scales to ~count(files); hash keys are uniform so no
+    shard skew, and no driver-side state of any kind.
+    """
+    d = load(spark, sf_dir, "documents")
+    rank = F.md5(F.col("doc_id").cast("string"))
+    t = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % _N_SHARDS
+        ).alias("shard_id"),
+        rank.alias("rank"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("rank", "doc_id")
+    p = t.withColumn("pos", F.row_number().over(w))
+    return p.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min_by("doc_id", "pos").alias("first_doc"),
+        F.sum(F.col("doc_id") * F.col("pos")).cast("bigint").alias("order_digest"),
+    )

@@ -66,3 +66,47 @@ def test_sampling_quotas_and_bounds(spark):
     # < min·100 always holds when total == min, buckets being < 100)
     smallest = [r for r in mix if r.n_total == n_min][0]
     assert smallest.n_kept == smallest.n_total
+
+
+def test_split_leakage_straddles_and_purges_nontrain(spark):
+    rows = REGISTRY["curation_split_leakage"].fn(spark, SF_DIR).collect()
+    assert rows  # the sf0.01 corpus has planted near-dups across splits
+    from stateflow_spark.queries.curation import _split_col
+
+    split_of = {
+        r.doc_id: r.split
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", _split_col().alias("split"))
+        .collect()
+    }
+    for r in rows:
+        # every reported pair genuinely straddles a boundary
+        assert r.split_a == split_of[r.doc_a]
+        assert r.split_b == split_of[r.doc_b]
+        assert r.split_a != r.split_b
+        # the purged doc is never on the train side when an eval side exists
+        assert split_of[r.purge_doc_id] != "train"
+        assert r.purge_doc_id in (r.doc_a, r.doc_b)
+        assert r.jaccard >= 0.10
+
+
+def test_shuffle_shards_manifest_is_a_permutation(spark):
+    rows = REGISTRY["curation_shuffle_shards"].fn(spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    total_chars = docs.agg(F.sum("n_chars").alias("c")).first().c
+    # conservation: every doc and byte lands in exactly one shard
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.total_chars for r in rows) == total_chars
+    assert len(rows) == 16 and {r.shard_id for r in rows} == set(range(16))
+    for r in rows:
+        # order digest of a permutation of positions 1..n with positive
+        # doc ids is bounded by n * max_doc_id; zero only if shard empty
+        assert r.n_docs > 0 and r.order_digest > 0
+        assert r.first_doc is not None
+    # determinism: a second run reproduces the digests exactly
+    again = {
+        r.shard_id: r.order_digest
+        for r in REGISTRY["curation_shuffle_shards"].fn(spark, SF_DIR).collect()
+    }
+    assert {r.shard_id: r.order_digest for r in rows} == again

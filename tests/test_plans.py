@@ -556,3 +556,29 @@ def test_incremental_dedup_single_pass_no_join(spark):
         and "split(text" in ln
     ]
     assert not bad, bad
+
+
+def test_shuffle_shards_single_exchange_pruned_scan(spark):
+    """The shuffle-manifest plan's 100 TB shape: ONE corpus Exchange on
+    the shard key — the window (intra-shard positions) and the manifest
+    aggregate both consume the same hashpartitioning(shard_id), so
+    Catalyst plans no second shuffle. The scan must prune to the two
+    columns the manifest needs; a partial aggregate above the window
+    keeps the final exchange-free."""
+    import re
+
+    plan = explain_str(REGISTRY["curation_shuffle_shards"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_split_leakage_joins_only_post_threshold_pairs(spark):
+    """The leakage audit may join split labels only onto the
+    POST-THRESHOLD near-dup pair set (orders smaller than the corpus) —
+    both split joins must be on doc keys with no CartesianProduct, and
+    the corpus-side projection feeding them carries just (doc_id) plus
+    the computed split CASE (column pruning reaches the scan)."""
+    plan = explain_str(REGISTRY["curation_split_leakage"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
