@@ -95,7 +95,8 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # r04-stamped and are the round-7 rotation front, JOINED by the four
 # deliberate exceptions to "nothing debuts unstamped":
 # agg_ab_test_zscore, agg_exact_percentiles, agg_table_checksum and
-# dedup_incremental_index (registered after the
+# dedup_incremental_index, curation_split_leakage,
+# curation_shuffle_shards and text_source_drift (registered after the
 # last 1:1 swap; the remaining r04 prefix rows are each their family's
 # ONLY stamp — udtf, multimodal, entity stateful/ycsb, dedup minhash —
 # and evicting any of them would leave a whole family 3 rounds stale, a

@@ -839,3 +839,107 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count("t", PHONE_RE).alias("n_phones"),
         F.md5(pii_redact("t")).alias("redacted_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source distribution drift vs the corpus (total-variation distance)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_source_drift",
+    oracle="""
+    WITH tc AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+        SELECT source, tok, COUNT(*) AS c FROM tc GROUP BY 1, 2
+    ), tt AS (
+        SELECT tok, SUM(c) AS ct FROM c GROUP BY 1
+    ), st AS (
+        SELECT source, SUM(c) AS ns FROM c GROUP BY 1
+    ), n AS (
+        SELECT SUM(c) AS n FROM c
+    ), terms AS (
+        SELECT c.source,
+               ABS(c.c * n.n - tt.ct * st.ns) AS term,
+               tt.ct AS cov_term
+        FROM c JOIN tt USING (tok) JOIN st USING (source) CROSS JOIN n
+    )
+    SELECT t.source,
+           CAST(st.ns AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_seen,
+           CAST(SUM(t.term) + st.ns * (n.n - SUM(t.cov_term)) AS BIGINT)
+             AS tv_num,
+           CAST(SUM(t.term) + st.ns * (n.n - SUM(t.cov_term)) AS DOUBLE)
+             / (2.0 * CAST(st.ns AS DOUBLE) * CAST(n.n AS DOUBLE))
+             AS tv_distance
+    FROM terms t JOIN st USING (source) CROSS JOIN n
+    GROUP BY t.source, st.ns, n.n
+    """,
+    tags=("text", "drift", "audit"),
+)
+def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-feed drift monitor: for every corpus source, the exact
+    total-variation distance between its token distribution and the
+    whole corpus's — TV(s, corpus) = ½ Σ_t |p_s(t) − p(t)|. The number a
+    pipeline tracks per feed per snapshot; a spike means a source changed
+    its content mix and the mixture weights need re-balancing before the
+    next training run. Computed in EXACT integer arithmetic: the
+    numerator Σ_t |c_s(t)·N − c(t)·N_s| (+ the mass of tokens the source
+    never emits, folded in closed form as N_s·(N − Σ_{t∈s} c(t))) is an
+    int64 sum; the single double division at the end has bit-identical
+    operands on both engines. Magnitudes stay < 2^53 through sf1; at
+    100 TB emit the decimal numerator instead of the double ratio.
+
+    Scale shape: ONE corpus scan and ONE corpus-sized shuffle (the
+    (source, tok) count, whose composite key splits each Zipf-hot token
+    across sources and map-side combine absorbs the heat). The windowed
+    vocab table is localCheckpoint'd — the per-source totals and corpus
+    scalar branches read the materialized vocab-sized table instead of
+    re-stating the explode subtree (Catalyst restates shared subtrees
+    per branch; without the checkpoint the static plan scanned the
+    corpus three times). Everything downstream is vocab-sized: the
+    per-token total rides a window (≤ |sources| rows per token — no
+    skew), totals are broadcast (the only crossJoin is a 1-row
+    aggregate), and the final fold is a 20-group aggregate with
+    map-side partials.
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    c = d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    c = c.withColumn("ct", F.sum("c").over(Window.partitionBy("tok")))
+    c = c.localCheckpoint()  # one corpus pass; branches below are vocab-sized
+    st = c.groupBy("source").agg(F.sum("c").alias("ns"))
+    n = c.agg(F.sum("c").alias("n"))
+    terms = c.join(F.broadcast(st), "source").crossJoin(F.broadcast(n))
+    return (
+        terms.groupBy("source", "ns", "n")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_seen"),
+            F.sum(F.abs(F.col("c") * F.col("n") - F.col("ct") * F.col("ns"))).alias(
+                "term_sum"
+            ),
+            F.sum("ct").alias("cov"),
+        )
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            F.col("vocab_seen").cast("bigint").alias("vocab_seen"),
+            (F.col("term_sum") + F.col("ns") * (F.col("n") - F.col("cov")))
+            .cast("bigint")
+            .alias("tv_num"),
+            (
+                (F.col("term_sum") + F.col("ns") * (F.col("n") - F.col("cov"))).cast(
+                    "double"
+                )
+                / (
+                    F.lit(2.0)
+                    * F.col("ns").cast("double")
+                    * F.col("n").cast("double")
+                )
+            ).alias("tv_distance"),
+        )
+    )

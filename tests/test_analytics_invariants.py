@@ -389,3 +389,20 @@ def test_exact_percentiles_match_direct_computation(spark, tmp_path):
         for q, col in ((0.50, "p50"), (0.90, "p90"), (0.99, "p99")):
             want = s[math.ceil(q * n) - 1]
             assert getattr(r, col) == want, (etype, col, getattr(r, col), want)
+
+
+def test_source_drift_is_a_distance(spark):
+    rows = REGISTRY["text_source_drift"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    docs = load(spark, SF_DIR, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first().t
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    for r in rows:
+        # TV distance is a probability-mass difference: bounded [0, 1),
+        # and the exact integer numerator reproduces the double ratio
+        assert 0.0 <= r.tv_distance < 1.0
+        assert r.tv_num >= 0
+        denom = 2.0 * float(r.n_tokens) * float(total_tokens)
+        assert abs(r.tv_distance - r.tv_num / denom) < 1e-15

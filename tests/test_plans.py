@@ -582,3 +582,14 @@ def test_split_leakage_joins_only_post_threshold_pairs(spark):
     plan = explain_str(REGISTRY["curation_split_leakage"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_source_drift_single_corpus_scan(spark):
+    """The drift monitor must not re-state the explode subtree per
+    branch: after the localCheckpoint the executed plan contains ZERO
+    parquet scans (the one corpus pass happened when the vocab table
+    materialized) — the per-source totals and corpus-scalar branches
+    read the checkpointed vocab-sized RDD."""
+    plan = explain_str(REGISTRY["text_source_drift"].fn(spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan
