@@ -961,3 +961,88 @@ def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "pos").alias("first_doc"),
         F.sum(F.col("doc_id") * F.col("pos")).cast("bigint").alias("order_digest"),
     )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching audit (padding waste per pow-2 bucket)
+# --------------------------------------------------------------------------
+
+_LB_CAPS = (16, 32, 64, 128, 256, 512, 1024)
+_LB_OVERFLOW = 1048576
+_LB_BATCH = 32  # sequences per training batch
+
+_LB_CASE_DUCK = (
+    "CASE "
+    + " ".join(f"WHEN n <= {c} THEN {c}" for c in _LB_CAPS)
+    + f" ELSE {_LB_OVERFLOW} END"
+)
+
+
+@register(
+    "curation_length_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    ), b AS (
+        SELECT CAST({_LB_CASE_DUCK} AS BIGINT) AS bucket_cap, n FROM t
+    )
+    SELECT bucket_cap,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * bucket_cap AS BIGINT) AS padded_tokens,
+           CAST((COUNT(*) + {_LB_BATCH - 1}) // {_LB_BATCH} AS BIGINT)
+             AS n_batches,
+           1.0 - CAST(SUM(n) AS DOUBLE)
+                   / CAST(COUNT(*) * bucket_cap AS DOUBLE) AS waste_ratio
+    FROM b GROUP BY 1
+    """,
+    tags=("curation", "batching"),
+)
+def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to the
+    smallest power-of-two token-length bucket that holds it, then emit
+    per bucket the doc count, real token mass, padded token mass
+    (n_docs x bucket cap — what the accelerator actually processes when
+    sequences are padded to the bucket), the number of training batches
+    at batch size 32, and the padding-waste ratio. The report that
+    decides bucket boundaries before a training run: waste_ratio is the
+    fraction of FLOPs burned on pad tokens per bucket, and moving a
+    boundary reshapes it. Buckets are a fixed CASE ladder (no log2 —
+    float-free, identical in both engines); all masses are exact int64,
+    the waste ratio is one double division of exact operands.
+
+    Scale shape: ONE aggregate over a projected scan — token counts are
+    a per-row size(split()) (JVM codegen, no explode), the bucket key
+    has ~8 values so map-side combine reduces each partition to 8 rows
+    before the exchange. Flat at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    cap = F.lit(_LB_OVERFLOW)
+    for c in reversed(_LB_CAPS):
+        cap = F.when(n <= c, F.lit(c)).otherwise(cap)
+    b = d.select(cap.cast("bigint").alias("bucket_cap"), n.alias("n"))
+    return (
+        b.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket_cap"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.expr(f"(n_docs + {_LB_BATCH - 1}) div {_LB_BATCH}")
+            .cast("bigint")
+            .alias("n_batches"),
+            (
+                F.lit(1.0)
+                - F.col("sum_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_cap")).cast("double")
+            ).alias("waste_ratio"),
+        )
+    )

@@ -110,3 +110,22 @@ def test_shuffle_shards_manifest_is_a_permutation(spark):
         for r in REGISTRY["curation_shuffle_shards"].fn(spark, SF_DIR).collect()
     }
     assert {r.shard_id: r.order_digest for r in rows} == again
+
+
+def test_length_buckets_conserve_and_bound(spark):
+    rows = REGISTRY["curation_length_buckets"].fn(spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first().t
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.sum_tokens for r in rows) == total_tokens
+    caps = sorted(r.bucket_cap for r in rows)
+    assert caps == sorted(set(caps))  # one row per bucket
+    for r in rows:
+        # every doc fits its cap, and caps are never slack by more than 2x
+        # (pow-2 ladder: the bucket below would not have held the longest doc)
+        assert r.sum_tokens <= r.padded_tokens == r.n_docs * r.bucket_cap
+        assert 0.0 <= r.waste_ratio < 1.0
+        assert r.n_batches == (r.n_docs + 31) // 32
