@@ -97,11 +97,11 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # agg_ab_test_zscore, agg_exact_percentiles, agg_table_checksum and
 # dedup_incremental_index, curation_split_leakage,
 # curation_shuffle_shards, text_source_drift and
-# curation_length_buckets (registered after the
+# curation_length_buckets and sim_pq_adc_topk (registered after the
 # last 1:1 swap; the remaining r04 prefix rows are each their family's
 # ONLY stamp — udtf, multimodal, entity stateful/ycsb, dedup minhash —
 # and evicting any of them would leave a whole family 3 rounds stale, a
-# worse trade. All eight are local-oracle green at sf0.001/0.01/1 and
+# worse trade. All nine are local-oracle green at sf0.001/0.01/1 and
 # MUST lead the r7 prefix.)
 _R06_PREFIX = [
     # never driver-stamped

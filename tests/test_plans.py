@@ -593,3 +593,14 @@ def test_source_drift_single_corpus_scan(spark):
     plan = explain_str(REGISTRY["text_source_drift"].fn(spark, SF_DIR))
     assert "Scan parquet" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_zero_preagg_shuffles(spark):
+    """PQ's hot path is scan → (deliberate fan_out exchange) → per-row
+    encode/ADC projections → TakeOrderedAndProject: no CartesianProduct,
+    no join except the 1-row broadcasts (codebook + LUT), no aggregate
+    exchange — the candidate gather is the TakeOrdered merge."""
+    plan = explain_str(REGISTRY["sim_pq_adc_topk"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

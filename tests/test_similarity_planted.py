@@ -151,3 +151,46 @@ def test_power_iteration_finds_planted_dominant_axis(spark, tmp_path):
     assert comp[4] > 0.99, comp  # pos is 1-based; axis 3 -> pos 4
     assert all(c < 0.1 for p, c in comp.items() if p != 4), comp
     assert out[4].eigval_estimate > 20  # ~40 vectors x ~1.0 energy
+
+
+def test_planted_neighbor_tops_pq_adc(spark, planted):
+    rows = REGISTRY["sim_pq_adc_topk"].fn(spark, planted).collect()
+    assert rows
+    top = rows[0]
+    # the near-identical plant wins the exact rerank, with ~zero distance
+    assert top.vec_id == 1, [(r.vec_id, r.l2_dist) for r in rows[:3]]
+    assert top.l2_dist < 1e-4
+    assert all(rows[i].l2_dist <= rows[i + 1].l2_dist for i in range(len(rows) - 1))
+    # and its ADC approximation also ranks it far below the random corpus
+    assert top.adc_fx == min(r.adc_fx for r in rows)
+
+
+def test_pq_recall_against_exact_scan(spark):
+    """On the real sf0.001 corpus, PQ@(16x64, rerank 100) must keep the
+    EXACT top-1 in its top-10 and overlap the exact top-10 by >= 6 — the
+    measured recall floor of the parameter sweep (the 4x16 variant
+    scored 0.1-0.2 and was rejected)."""
+    from tests.conftest import SF_DIR
+    import pyspark.sql.functions as F
+    from stateflow_spark.catalog import load
+    from stateflow_spark.functions.similarity import sqdist_dec
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    exact = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.sqrt(sqdist_dec("v", "qv")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    true10 = [r.vec_id for r in exact]
+    got = [
+        r.vec_id
+        for r in REGISTRY["sim_pq_adc_topk"].fn(spark, SF_DIR).collect()
+    ]
+    assert true10[0] in got, (true10, got)
+    assert len(set(true10) & set(got)) >= 6, (true10, got)
