@@ -485,8 +485,20 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4-rows/token shuffle, SCALING.md) to flat. All expressions are
     JVM built-ins; fractions are single double divisions of
     bit-identical integer operands on both engines — the unchanged
-    oracle is the regression net for the rewrite."""
-    d = load(spark, sf_dir, "documents")
+    oracle is the regression net for the rewrite.
+
+    Two round-6 hardening fixes after sf10 profiling: (1) the corpus is
+    explicitly repartitioned to full width (REPARTITION_BY_NUM is exempt
+    from AQE coalescing — a compute-heavy but small-by-bytes corpus
+    otherwise lands on file-count cores: the 14-split sf10 scan ran this
+    projection 4x slower than the 64-split one); (2) each sorted gram
+    array is referenced exactly ONCE (by its run-length scan) — the gram
+    totals are computed arithmetically from the token count instead of
+    size(g_n), because ProjectCollapse inlines the array expression into
+    every consumer and size() was re-building + re-sorting all four gram
+    arrays per row."""
+    n_part = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     t = d.select("doc_id", F.split("text", " ").alias("t"))
 
     def gram_sorted(n: int) -> str:
@@ -512,14 +524,17 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 'dup', a.dup + IF(a.run >= 2L, a.run, 0L)))
         """
 
-    sortd = t.select(
+    # tot_n = max(L - n + 1, 0) arithmetically — NOT size(g_n), which
+    # would re-evaluate the inlined transform+sort per reference
+    stats = t.select(
         "doc_id",
-        *[F.expr(gram_sorted(n)).alias(f"g{n}") for n in (1, 2, 3, 5)],
-    )
-    stats = sortd.select(
-        "doc_id",
-        *[F.size(f"g{n}").alias(f"tot{n}") for n in (1, 2, 3, 5)],
-        *[F.expr(scan(f"g{n}")).alias(f"st{n}") for n in (1, 2, 3, 5)],
+        *[
+            F.greatest(
+                F.size("t") - F.lit(n - 1), F.lit(0)
+            ).alias(f"tot{n}")
+            for n in (1, 2, 3, 5)
+        ],
+        *[F.expr(scan(gram_sorted(n))).alias(f"st{n}") for n in (1, 2, 3, 5)],
     )
     ntok = F.col("tot1").cast("double")
 

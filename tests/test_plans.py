@@ -296,17 +296,24 @@ def test_token_rarity_partial_aggs_before_shuffle(spark):
 def test_repetition_filter_zero_shuffle_in_array(spark):
     """text_repetition_filter (round-6 rewrite): the repetition signals
     are computed ENTIRELY in-array — sort_array + one aggregate()
-    run-length scan per n — so the plan is a pure projection pipeline:
-    no Generate (the old explode shipped ~4 rows/token and hit a
-    5.9×/decade bandwidth knee at sf1), no Exchange, no Window, and the
-    projections stay in whole-stage codegen."""
+    run-length scan per n — so the plan is a projection pipeline above
+    ONE deliberate full-width fan-out repartition (sf10 profiling: the
+    small-by-bytes corpus lands on file-count cores without it): no
+    Generate (the old explode shipped ~4 rows/token and hit a
+    5.9×/decade bandwidth knee at sf1), no Window, projections in
+    whole-stage codegen, and each gram array has exactly ONE consumer
+    (the size() re-evaluation doubled the sort cost — tot_n is now
+    arithmetic on the token count, so sort_array appears once per n)."""
     import re
 
     plan = explain_str(REGISTRY["text_repetition_filter"].fn(spark, SF_DIR))
     assert not re.findall(r"\(\d+\) Generate", plan), plan
-    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
+    exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(exchanges) == 1, plan  # only the fan-out repartition
+    assert "REPARTITION_BY_NUM" in plan, plan
     assert "Window" not in plan
-    assert "* Project" in plan
+    # exactly one sort per n — size(g_n) references would double these
+    assert plan.count("sort_array") == 4, plan[:2000]
 
 
 def test_semdedup_assignment_is_broadcast_fold_no_explode(spark):
