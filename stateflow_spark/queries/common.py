@@ -7,8 +7,11 @@ aggregation will not reproduce DuckDB's summation order. So every aggregate
 over a double column goes through a fixed-scale DECIMAL accumulator —
 decimal addition is exact and associative, so both engines compute the
 *identical* value regardless of partitioning. The final output is CAST back
-to DOUBLE (exact while the scaled integer fits in 2^53, which holds for all
-test scales and is sized for 100 TB with DECIMAL(38,…)).
+to DOUBLE. Below 2^53 (scaled) that cast is exact in both engines; beyond it
+Spark stays correctly rounded while DuckDB's direct cast double-rounds, so
+the oracle emits via a VARCHAR round-trip (see oracle_dsum) — both sides then
+produce the bit-identical correctly-rounded double at any magnitude (verified
+at sf10 where the direct cast diverged by 1 ulp on q1's scale-6 sums).
 
 Averages / ratios are emitted as ``CAST(decimal_sum AS DOUBLE) / count`` —
 one IEEE double division of bit-identical operands on both sides, hence
@@ -86,12 +89,28 @@ def davg(col: Column | str, alias: str, scale: int = 4) -> Column:
     ).alias(alias)
 
 
+# The decimal→double emission routes through VARCHAR on the DuckDB side:
+# DuckDB's direct DECIMAL→DOUBLE cast computes (double)int128 / (double)10^s —
+# two roundings — while Spark's Decimal.toDouble (BigDecimal.doubleValue) is
+# correctly rounded. Once the scaled integer exceeds 2^53 the two can differ
+# by 1 ulp (first observed: q1 sum_disc_price at sf10, scaled sum ≈ 4.4e17).
+# DECIMAL→VARCHAR is exact digits and VARCHAR→DOUBLE parsing is correctly
+# rounded in both engines, so the string round-trip pins the oracle to the
+# same correctly-rounded double Spark emits at ANY magnitude.
+
+
+def _d2d(expr: str) -> str:
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def oracle_dsum(expr: str, alias: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE) AS {alias}"
+    return (
+        _d2d(f"SUM(CAST({expr} AS DECIMAL(38,{scale})))") + f" AS {alias}"
+    )
 
 
 def oracle_davg(expr: str, alias: str, scale: int = 4) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
-        f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
+        _d2d(f"SUM(CAST({expr} AS DECIMAL(38,{scale})))")
+        + f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
     )

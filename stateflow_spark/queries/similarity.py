@@ -1482,7 +1482,7 @@ _PQ_ORACLE = f"""
     ),
     lutd AS (SELECT m, c, dfx FROM dist WHERE vec_id = 0),
     adc AS (
-        SELECT co.vec_id, SUM(l.dfx) AS adc_fx
+        SELECT co.vec_id, CAST(SUM(l.dfx) AS BIGINT) AS adc_fx
         FROM codes co JOIN lutd l ON l.m = co.m AND l.c = co.c
         GROUP BY 1
     ),
