@@ -101,8 +101,9 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # last 1:1 swap; the remaining r04 prefix rows are each their family's
 # ONLY stamp — udtf, multimodal, entity stateful/ycsb, dedup minhash —
 # and evicting any of them would leave a whole family 3 rounds stale, a
-# worse trade. All nine are local-oracle green at sf0.001/0.01/1 and
-# MUST lead the r7 prefix.)
+# worse trade), plus the post-freeze batch events_markov_transitions,
+# text_ngram_lm_score and sim_ivfpq_topk. All twelve are local-oracle
+# green at sf0.001, sf0.01 AND sf1, and MUST lead the r7 prefix.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",

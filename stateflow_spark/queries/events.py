@@ -744,3 +744,65 @@ def events_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= 2)
         .drop("grp")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    trans AS (
+        SELECT from_type, to_type, COUNT(*) AS n_transitions
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE) AS prob
+    FROM trans
+    ORDER BY from_type, to_type
+    """,
+    tags=("events", "markov", "window", "bench"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next_type | type) estimated from consecutive event pairs. The classic
+    user-behavior model (next-action prediction, anomalous-flow detection)
+    and a training-data statistic (action-sequence priors for agent traces).
+
+    Plan: ONE shuffle on user_id for the LEAD window, then a partial/final
+    hash aggregate onto the (from, to) grid — the transition matrix is
+    ntypes² rows, so the normalizing window (SUM over from_type) runs on a
+    broadcast-sized table. At 100 TB the user-key shuffle is the
+    sessionization shape (same key as events_session_windows, reusable
+    exchange); the matrix itself never grows with data volume. Ties in
+    event ordering break on event_id, so consecutive pairs — hence the
+    counts — are deterministic. Probabilities are one double division of
+    bit-identical integer counts: engine-exact. Reference analogue: per-key
+    ordered event replay (stateflow/dataflow/stateful_operator.py) — here a
+    set-oriented window plan, no per-event state loop."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double")
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")

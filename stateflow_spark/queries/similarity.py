@@ -1456,6 +1456,98 @@ def _pq_subdist_fx(vcol: F.Column, acol: F.Column, m: int) -> F.Column:
     )
 
 
+def _pq_packed_anchors(corpus: DataFrame) -> DataFrame:
+    """ONE broadcast row holding the 64-anchor deterministic sampled
+    codebook, packed as array<array<double>> ordered by md5(vec_id)."""
+    anchors = (
+        corpus.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "v",
+            F.md5(F.col("vec_id").cast("string")).alias("rk"),
+        )
+        .orderBy("rk", "vec_id")
+        .limit(_PQ_K)
+    )
+    return F.broadcast(
+        anchors.select(F.struct("rk", "vec_id", "v").alias("s")).agg(
+            F.transform(
+                F.sort_array(F.collect_list("s")), lambda s: s["v"]
+            ).alias("A")
+        )
+    )
+
+
+def _pq_qlut(q: DataFrame, packed: DataFrame) -> DataFrame:
+    """Query-side 16x64 LUT of fixed-point subspace distances — one
+    broadcast row (qv, luts)."""
+    return F.broadcast(
+        q.crossJoin(packed).select(
+            "qv",
+            F.array(
+                *[
+                    F.transform(
+                        F.col("A"),
+                        (lambda m: lambda a: _pq_subdist_fx(F.col("qv"), a, m))(m),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            ).alias("luts"),
+        )
+    )
+
+
+def _pq_encode(vecs: DataFrame, packed: DataFrame) -> DataFrame:
+    """Per-row PQ encoding: adds code0..code15 (1-based anchor index per
+    subspace; argmin via array_position(array_min) — first/lowest-c index
+    wins ties, matching the oracle's ORDER BY (dfx, c))."""
+    enc0 = vecs.crossJoin(packed).select(
+        "vec_id",
+        "v",
+        *[
+            F.transform(
+                F.col("A"),
+                (lambda m: lambda a: _pq_subdist_fx(F.col("v"), a, m))(m),
+            ).alias(f"d{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    return enc0.select(
+        "vec_id",
+        "v",
+        *[
+            F.array_position(
+                F.col(f"d{m}"), F.array_min(F.col(f"d{m}"))
+            ).alias(f"code{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+
+
+def _pq_adc_rerank(enc: DataFrame, qlut: DataFrame) -> DataFrame:
+    """ADC scan (16 int64 LUT lookups per row) → top-100 candidates →
+    exact decimal L2 rerank → top 10."""
+    adc = enc.crossJoin(qlut).select(
+        "vec_id",
+        "v",
+        "qv",
+        sum(
+            F.element_at(F.col("luts").getItem(m), F.col(f"code{m}").cast("int"))
+            for m in range(_PQ_M)
+        ).alias("adc_fx"),
+    )
+    cand = adc.orderBy("adc_fx", "vec_id").limit(_PQ_CAND)
+    return (
+        cand.select(
+            "vec_id",
+            "adc_fx",
+            F.sqrt(sqdist_dec("v", "qv")).alias("l2_dist"),
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )
+
+
 _PQ_ORACLE = f"""
     WITH ex AS ({_EX_SQL}),
     r16 AS (
@@ -1531,83 +1623,127 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook refresh is one embarrassingly-parallel pass.
     """
     corpus = _corpus(spark, sf_dir, fan_out=True)
-    anchors16 = (
-        corpus.filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            "v",
-            F.md5(F.col("vec_id").cast("string")).alias("rk"),
-        )
-        .orderBy("rk", "vec_id")
-        .limit(_PQ_K)
+    packed = _pq_packed_anchors(corpus)
+    q = corpus.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    enc = _pq_encode(corpus.filter(F.col("vec_id") != 0), packed)
+    return _pq_adc_rerank(enc, _pq_qlut(q, packed))
+
+
+# --- IVF+PQ: partition-pruned compressed-domain ANN --------------------------
+_IVFPQ_NPROBE = 3
+
+_IVFPQ_ORACLE = f"""
+    WITH ex AS ({_EX_SQL}),
+    labeled AS (
+        SELECT e.vec_id, emb.label, e.pos, e.x
+        FROM ex e JOIN embeddings emb ON emb.vec_id = e.vec_id
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS c
+        FROM labeled GROUP BY label, pos
+    ),
+    qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
+    probe AS (
+        SELECT label,
+               CAST(SUM(CAST(c * qv AS DECIMAL(38,12))) AS DOUBLE) AS cdot
+        FROM cent JOIN qx USING (pos)
+        GROUP BY label
+        ORDER BY cdot DESC, label
+        LIMIT {_IVFPQ_NPROBE}
+    ),
+    pv AS (
+        SELECT DISTINCT l.vec_id
+        FROM labeled l JOIN probe USING (label)
+        WHERE l.vec_id <> 0
+    ),
+    r16 AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS c
+        FROM embeddings WHERE vec_id <> 0
+        QUALIFY c <= {_PQ_K}
+    ),
+    ax AS (SELECT r.c, e.pos, e.x FROM r16 r JOIN ex e ON e.vec_id = r.vec_id),
+    dist AS (
+        SELECT e.vec_id, CAST((e.pos - 1) // {_PQ_SUB} AS BIGINT) AS m, a.c,
+               SUM(CAST(trunc((e.x - a.x) * (e.x - a.x) * 1e12) AS BIGINT))
+                 AS dfx
+        FROM ex e JOIN ax a USING (pos)
+        WHERE e.vec_id = 0 OR e.vec_id IN (SELECT vec_id FROM pv)
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dfx, c)
+                 AS rn
+        FROM dist WHERE vec_id <> 0
+        QUALIFY rn = 1
+    ),
+    lutd AS (SELECT m, c, dfx FROM dist WHERE vec_id = 0),
+    adc AS (
+        SELECT co.vec_id, CAST(SUM(l.dfx) AS BIGINT) AS adc_fx
+        FROM codes co JOIN lutd l ON l.m = co.m AND l.c = co.c
+        GROUP BY 1
+    ),
+    cand AS (
+        SELECT vec_id, adc_fx FROM adc
+        ORDER BY adc_fx, vec_id LIMIT {_PQ_CAND}
+    ),
+    rr AS (
+        SELECT e.vec_id, cand.adc_fx,
+               sqrt(CAST(SUM(CAST((e.x - qx.qv) * (e.x - qx.qv)
+                                  AS DECIMAL(24,12))) AS DOUBLE)) AS l2_dist
+        FROM ex e JOIN cand USING (vec_id) JOIN qx USING (pos)
+        GROUP BY 1, 2
     )
-    # pack the 16 anchors into one ordered array<array<double>> row
-    packed = F.broadcast(
-        anchors16.select(F.struct("rk", "vec_id", "v").alias("s"))
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list("s")), lambda s: s["v"]
-            ).alias("A")
-        )
+    SELECT vec_id, adc_fx, l2_dist FROM rr
+    ORDER BY l2_dist, vec_id LIMIT 10
+"""
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    tags=("similarity", "ivf", "quantization", "ann"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined ANN — the production index layout (FAISS IVFPQ,
+    Jégou et al. PAMI'11 §V): the inverted file prunes WHICH rows are
+    scanned (probe the 3 label clusters whose centroids are closest to
+    the query — a partition-pruning predicate when the corpus is
+    label-partitioned) and product quantization prunes HOW MANY BYTES
+    each scanned row costs (16 code lookups instead of a 64-double
+    read). This composes the two orthogonal scale levers the family's
+    single-lever queries demonstrate separately (sim_ivf_topk,
+    sim_pq_adc_topk): at 100 TB the scan reads nprobe/nlist of the
+    partitions × 1/32 of the bytes per row, so a 3-of-8-cluster probe
+    on codes touches ~1% of the raw-corpus bytes. The codebook here is
+    the global 64-anchor deterministic sample shared with
+    sim_pq_adc_topk (production trains per-list residual codebooks;
+    the shared-codebook variant keeps the assignment oracle-pinned —
+    same trade as the hash-derived LSH planes).
+
+    Exactness: probe ranking is decimal-exact centroid dots; code
+    assignment and ADC ranking are the tie-free fixed-point kernel;
+    the final rerank is exact decimal L2 on ≤100 rows — every pruning
+    decision, not just the output, is hash-gated against DuckDB."""
+    corpus_l = _corpus(spark, sf_dir, with_label=True, fan_out=True)
+    cent = _centroids(spark, sf_dir)
+    q = _query_vec(spark, sf_dir).select("qv")
+    probed_labels = (
+        cent.crossJoin(q)
+        .select("label", dot_dec("cv", "qv").alias("cdot"))
+        .orderBy(F.col("cdot").desc(), F.col("label"))
+        .limit(_IVFPQ_NPROBE)
+        .select("label")
     )
-    q = corpus.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv")
+    packed = _pq_packed_anchors(corpus_l.select("vec_id", "v"))
+    probed = (
+        corpus_l.join(F.broadcast(probed_labels), "label")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "v")
     )
-    # query-side 4x16 LUT of fixed-point subspace distances
-    qlut = F.broadcast(
-        q.crossJoin(packed).select(
-            "qv",
-            F.array(
-                *[
-                    F.transform(
-                        F.col("A"),
-                        (lambda m: lambda a: _pq_subdist_fx(F.col("qv"), a, m))(m),
-                    )
-                    for m in range(_PQ_M)
-                ]
-            ).alias("luts"),
-        )
-    )
-    # materialize the per-subspace distance arrays once, then argmin via
-    # array_position(array_min) — first (lowest-c) index wins ties, matching
-    # the oracle's ORDER BY (dfx, c)
-    enc0 = corpus.filter(F.col("vec_id") != 0).crossJoin(packed).select(
-        "vec_id",
-        "v",
-        *[
-            F.transform(
-                F.col("A"),
-                (lambda m: lambda a: _pq_subdist_fx(F.col("v"), a, m))(m),
-            ).alias(f"d{m}")
-            for m in range(_PQ_M)
-        ],
-    )
-    enc = enc0.select(
-        "vec_id",
-        "v",
-        *[
-            F.array_position(
-                F.col(f"d{m}"), F.array_min(F.col(f"d{m}"))
-            ).alias(f"code{m}")
-            for m in range(_PQ_M)
-        ],
-    )
-    adc = enc.crossJoin(qlut).select(
-        "vec_id",
-        "v",
-        "qv",
-        sum(
-            F.element_at(F.col("luts").getItem(m), F.col(f"code{m}").cast("int"))
-            for m in range(_PQ_M)
-        ).alias("adc_fx"),
-    )
-    cand = adc.orderBy("adc_fx", "vec_id").limit(_PQ_CAND)
-    return (
-        cand.select(
-            "vec_id",
-            "adc_fx",
-            F.sqrt(sqdist_dec("v", "qv")).alias("l2_dist"),
-        )
-        .orderBy("l2_dist", "vec_id")
-        .limit(10)
-    )
+    enc = _pq_encode(probed, packed)
+    return _pq_adc_rerank(enc, _pq_qlut(q, packed))

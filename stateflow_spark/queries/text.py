@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from stateflow_spark.catalog import load
 from stateflow_spark.queries.common import register
@@ -957,4 +958,108 @@ def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("tv_distance"),
         )
+    )
+
+
+@register(
+    "text_ngram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks CROSS JOIN unnest(range(1, len(t))) AS u(i)
+    ),
+    stats AS (
+        SELECT w1, w2,
+               CAST(floor(1e12 * (CAST(COUNT(*) AS DOUBLE)
+                    / CAST(SUM(COUNT(*)) OVER (PARTITION BY w1) AS DOUBLE)))
+                    AS BIGINT) AS p_fx
+        FROM bg GROUP BY w1, w2
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(s.p_fx) AS BIGINT) AS sum_fx
+        FROM bg JOIN stats s ON s.w1 = bg.w1 AND s.w2 = bg.w2
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           (CAST(sum_fx AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 1e12
+             AS lm_score
+    FROM scored
+    ORDER BY lm_score, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "quality", "lm", "bench"),
+)
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model quality score: estimate
+    P(w2|w1) by MLE over the whole corpus, then score each document by the
+    mean transition probability of its own bigrams and surface the 20
+    LEAST-probable documents — the statistical-LM face of quality filtering
+    (CCNet/Gopher-style perplexity gates, here with the corpus as its own
+    LM so no external model is needed). Low scorers are gibberish,
+    boilerplate-free noise, or wrong-language slices.
+
+    Plan: one explode to bigram occurrences, a (w1,w2) partial/final agg
+    for the LM (the conditional is a window over the per-w1 partition of
+    the ALREADY-aggregated bigram table — vocab², not corpus, rows), then
+    one shuffle join of occurrences back to the broadcast-unfriendly but
+    uniformly-keyed stats table and a per-doc agg. At 100 TB: the bigram
+    vocabulary grows sub-linearly (Heaps), hot bigrams ("of the") skew the
+    join's build side but AQE's skew-join split handles replicated stats
+    rows; everything is codegen'd built-ins. Exactness: the conditional is
+    one double division of exact int64 counts (bit-identical both
+    engines), snapped to fixed-point via floor (no rounding ties), summed
+    as int64 — the per-doc mean is two divisions of bit-identical
+    operands. Extends the text-quality family (SURVEY.md §2 extension:
+    text analysis)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    w_from = Window.partitionBy("w1")
+    stats = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.lit(1e12)
+                * (
+                    F.col("c12").cast("double")
+                    / F.sum("c12").over(w_from).cast("double")
+                )
+            ).alias("p_fx"),
+        )
+    )
+    scored = (
+        bg.join(stats, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_fx").alias("sum_fx"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            (
+                (F.col("sum_fx").cast("double") / F.col("n_bigrams").cast("double"))
+                / F.lit(1e12)
+            ).alias("lm_score"),
+        )
+        .orderBy("lm_score", "doc_id")
+        .limit(20)
     )
