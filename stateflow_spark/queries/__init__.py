@@ -102,8 +102,9 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # ONLY stamp — udtf, multimodal, entity stateful/ycsb, dedup minhash —
 # and evicting any of them would leave a whole family 3 rounds stale, a
 # worse trade), plus the post-freeze batch events_markov_transitions,
-# text_ngram_lm_score and sim_ivfpq_topk. All twelve are local-oracle
-# green at sf0.001, sf0.01 AND sf1, and MUST lead the r7 prefix.
+# text_ngram_lm_score, sim_ivfpq_topk and join_band_price_neighbors.
+# All thirteen are local-oracle green at sf0.001, sf0.01 AND sf1, and
+# MUST lead the r7 prefix.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",

@@ -14,7 +14,7 @@ from stateflow_spark.queries.common import dec, dsum, register
     "agg_rollup_region_nation",
     oracle="""
     SELECT r_name, n_name, COUNT(*) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_bal,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_bal,
            GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -46,7 +46,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_price,
            GROUPING(o_orderstatus) AS g_status,
            GROUPING(o_orderpriority) AS g_priority
     FROM orders
@@ -69,7 +69,7 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -116,11 +116,11 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey,
            COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-           CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s2,
-           (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
-            - CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
-              * CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s1,
+           CAST(CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s2,
+           (CAST(CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
               / CAST(COUNT(*) AS DOUBLE))
            / CAST(COUNT(*) - 1 AS DOUBLE) AS var_bal
     FROM customer
@@ -191,7 +191,7 @@ def agg_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,

@@ -602,7 +602,7 @@ def curation_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE sa.source <> sb.source
     )
     SELECT source_a, source_b, COUNT(*) AS n_pairs,
-           CAST(SUM(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(jaccard AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS mean_jaccard
     FROM xp GROUP BY 1, 2
     """,
@@ -663,8 +663,7 @@ _TEMP_ALPHA_SQL = "sqrt(CAST(n_total AS DOUBLE))"
     WITH counts AS (
         SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
     ), sums AS (
-        SELECT CAST(SUM(CAST({_TEMP_ALPHA_SQL} AS DECIMAL(38,12)))
-                    AS DOUBLE) AS s_alpha,
+        SELECT CAST(CAST(SUM(CAST({_TEMP_ALPHA_SQL} AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s_alpha,
                CAST(SUM(n_total) AS BIGINT) AS n_corpus
         FROM counts
     ), quota AS (

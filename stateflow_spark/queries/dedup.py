@@ -661,12 +661,12 @@ _EMB_EX_SQL = """
         FROM embeddings
     ),
     norms AS (
-        SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+        SELECT vec_id, CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS n2
         FROM ex GROUP BY vec_id
     ),
     dots AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+               CAST(CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot
         FROM ex a
         JOIN ex b ON a.pos = b.pos AND a.label = b.label
                   AND a.vec_id < b.vec_id
@@ -898,8 +898,8 @@ def _pr_oracle() -> str:
     r{it} AS (
         SELECT e.v AS node,
                0.15 / (SELECT n FROM nn)
-               + {_PR_DAMP} * CAST(SUM(CAST({prev}.r / deg.d
-                    AS DECIMAL(38,12))) AS DOUBLE) AS r
+               + {_PR_DAMP} * CAST(CAST(SUM(CAST({prev}.r / deg.d
+                    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS r
         FROM edges e
         JOIN {prev} ON {prev}.node = e.u
         JOIN deg ON deg.node = e.u
@@ -1145,8 +1145,8 @@ _SEMDEDUP_K = 4  # quantizer granularity; seeds = vec_id 1..k
              WHERE vec_id BETWEEN 1 AND {_SEMDEDUP_K}),
     dist AS (
         SELECT ex.vec_id, cent.cid,
-               CAST(SUM(CAST((ex.x - cent.c) * (ex.x - cent.c)
-                    AS DECIMAL(38,12))) AS DOUBLE) AS d
+               CAST(CAST(SUM(CAST((ex.x - cent.c) * (ex.x - cent.c)
+                    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS d
         FROM ex JOIN cent USING (pos) GROUP BY 1, 2
     ),
     asg AS (
@@ -1157,11 +1157,11 @@ _SEMDEDUP_K = 4  # quantizer granularity; seeds = vec_id 1..k
             FROM dist) WHERE rnk = 1
     ),
     n AS (SELECT vec_id,
-                 CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+                 CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS n2
           FROM ex GROUP BY 1),
     dots AS (
         SELECT a.vec_id AS va, b.vec_id AS vb,
-               CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+               CAST(CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot
         FROM ex a
         JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
         JOIN asg aa ON aa.vec_id = a.vec_id

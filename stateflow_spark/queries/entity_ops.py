@@ -125,7 +125,7 @@ def entity_init_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     LEFT JOIN (
         SELECT user_id,
-               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS delta,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS delta,
                COUNT(*) AS n_invocations
         FROM events
         WHERE event_type = 'purchase'
@@ -162,10 +162,9 @@ def entity_invoke_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entity_stateful_replay",
     oracle="""
     SELECT user_id AS key,
-           100.0 + CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+           100.0 + CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
                                       WHEN event_type = 'error' THEN -value
-                                      ELSE 0.0 END AS DECIMAL(38,4)))
-                   AS DOUBLE) AS balance,
+                                      ELSE 0.0 END AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS balance,
            COUNT(*) FILTER (event_type IN ('view', 'click')) AS n_reads,
            COUNT(*) FILTER (event_type IN ('purchase', 'error')) AS n_updates
     FROM events
@@ -303,10 +302,9 @@ def entity_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entity_ycsb_replay",
     oracle="""
     SELECT user_id AS key,
-           100.0 + CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+           100.0 + CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
                                       WHEN event_type = 'error' THEN -value
-                                      ELSE 0.0 END AS DECIMAL(38,4)))
-                   AS DOUBLE) AS balance,
+                                      ELSE 0.0 END AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS balance,
            COUNT(*) FILTER (event_type IN ('view', 'click')) AS n_reads,
            COUNT(*) FILTER (event_type IN ('purchase', 'error')) AS n_updates
     FROM events

@@ -118,10 +118,9 @@ def _serialize_bursts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "entity_stream_replay",
     oracle="""
     SELECT user_id AS key,
-           100.0 + CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+           100.0 + CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
                                       WHEN event_type = 'error' THEN -value
-                                      ELSE 0.0 END AS DECIMAL(38,4)))
-                   AS DOUBLE) AS balance,
+                                      ELSE 0.0 END AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS balance,
            COUNT(*) FILTER (event_type IN ('view', 'click')) AS n_reads,
            COUNT(*) FILTER (event_type IN ('purchase', 'error')) AS n_updates
     FROM events

@@ -23,7 +23,7 @@ from stateflow_spark.queries.common import dsum, register
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value,
            MIN(value) AS min_value, MAX(value) AS max_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
@@ -69,7 +69,7 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w1 - INTERVAL 30 MINUTE AS window_start, value FROM floored
     )
     SELECT window_start, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM exploded
     GROUP BY window_start
     """,
@@ -109,7 +109,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM isl
     GROUP BY user_id, sid
     """,
@@ -163,7 +163,7 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1
     """,
@@ -188,7 +188,7 @@ def events_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_topk_users",
     oracle="""
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value,
            COUNT(*) AS n_events
     FROM events
     GROUP BY user_id
@@ -411,7 +411,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH obs AS (
         SELECT user_id, date_trunc('hour', ts) AS hour,
                COUNT(*) AS n_obs,
-               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS hour_avg
         FROM events WHERE user_id < 20
         GROUP BY 1, 2
@@ -491,7 +491,7 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH obs AS (
         SELECT user_id, date_trunc('hour', ts) AS hour,
                COUNT(*) AS n_obs,
-               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS hour_avg
         FROM events WHERE user_id < 20
         GROUP BY 1, 2

@@ -219,3 +219,82 @@ def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "join_band_price_neighbors",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+        FROM part
+    )
+    SELECT a.p_partkey, a.pc AS price_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(b.pc) AS band_min_cents,
+           MAX(b.pc) AS band_max_cents
+    FROM p a JOIN p b
+      ON b.p_partkey <> a.p_partkey AND abs(b.pc - a.pc) <= 50
+    GROUP BY a.p_partkey, a.pc
+    ORDER BY n_matches DESC, a.p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "band", "range"),
+)
+def join_band_price_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded inequality self-join: for every part, the parts priced within
+    ±50 cents — the |a−b| ≤ δ predicate class (record-linkage blocking,
+    sensor-alignment, price-matching) that a naive plan executes as a
+    CartesianProduct. Spark-first rewrite: quantize to integer cents (exact),
+    bucket by δ-width bands, EXPLODE each probe row to its 3 candidate
+    buckets, and the inequality becomes an EQUI-join on the band key plus a
+    residual per-pair filter — the standard bucketed range-join strategy
+    (same family as join_range_view_clicks's binned interval join, here the
+    self-join/absolute-difference face).
+
+    At 100 TB: the equi-join shuffles both sides once on the band key with
+    3× probe replication (constant, δ-independent); candidate volume per
+    band is |band|² — δ tunes it, and a hot price-point band (every part
+    $9.99) is the posting-skew case: AQE skew-split or a per-band cap, same
+    knob as dedup's stop-shingle cap. All arithmetic is int64 (cents), so
+    candidate filtering, counts and extrema are engine-exact; round() on
+    the double price is identical in both engines (values sit ~1e-10 from
+    integers, never at .5 ties). No CartesianProduct in the plan — gated in
+    test_plans.py."""
+    p = (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100).cast("bigint").alias("pc"),
+        )
+    )
+    build = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("pc").alias("b_pc"),
+        F.expr("pc DIV 50").alias("b_band"),
+    )
+    probe = p.select(
+        "p_partkey",
+        "pc",
+        F.explode(
+            F.array(
+                F.expr("pc DIV 50 - 1"),
+                F.expr("pc DIV 50"),
+                F.expr("pc DIV 50 + 1"),
+            )
+        ).alias("band"),
+    )
+    return (
+        probe.join(build, probe.band == build.b_band)
+        .filter(
+            (F.col("b_key") != F.col("p_partkey"))
+            & (F.abs(F.col("b_pc") - F.col("pc")) <= 50)
+        )
+        .groupBy("p_partkey", F.col("pc").alias("price_cents"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("b_pc").alias("band_min_cents"),
+            F.max("b_pc").alias("band_max_cents"),
+        )
+        .orderBy(F.col("n_matches").desc(), "p_partkey")
+        .limit(100)
+    )

@@ -121,12 +121,12 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
     dots AS (
         SELECT ex.vec_id,
-               CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
-               CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS DOUBLE) AS norm2
+               CAST(CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot,
+               CAST(CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS norm2
         FROM ex JOIN qx USING (pos)
         GROUP BY ex.vec_id
     ),
-    qn AS (SELECT CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS DOUBLE) AS qnorm2
+    qn AS (SELECT CAST(CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS qnorm2
            FROM qx)
     SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
     FROM dots, qn
@@ -165,12 +165,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ex AS ({_EX_SQL}),
     q AS (SELECT vec_id AS qid, pos, x AS qv FROM ex WHERE vec_id < 20),
     norms AS (
-        SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+        SELECT vec_id, CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS n2
         FROM ex GROUP BY vec_id
     ),
     dots AS (
         SELECT q.qid, ex.vec_id,
-               CAST(SUM(CAST(ex.x * q.qv AS DECIMAL(38,12))) AS DOUBLE) AS dot
+               CAST(CAST(SUM(CAST(ex.x * q.qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot
         FROM ex JOIN q USING (pos)
         WHERE ex.vec_id <> q.qid
         GROUP BY q.qid, ex.vec_id
@@ -245,13 +245,13 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
         SELECT label, pos,
-               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS c
         FROM labeled GROUP BY label, pos
     )
     SELECT l.vec_id, l.label,
-           sqrt(CAST(SUM(CAST((l.x - c.c) * (l.x - c.c)
-                AS DECIMAL(38,12))) AS DOUBLE)) AS dist_to_centroid
+           sqrt(CAST(CAST(SUM(CAST((l.x - c.c) * (l.x - c.c)
+                AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)) AS dist_to_centroid
     FROM labeled l
     JOIN cent c ON c.label = l.label AND c.pos = l.pos
     GROUP BY l.vec_id, l.label
@@ -289,14 +289,14 @@ def sim_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
         SELECT label, pos,
-               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS c
         FROM labeled GROUP BY label, pos
     ),
     qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
     probe AS (
         SELECT label,
-               CAST(SUM(CAST(c * qv AS DECIMAL(38,12))) AS DOUBLE) AS cdot
+               CAST(CAST(SUM(CAST(c * qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS cdot
         FROM cent JOIN qx USING (pos)
         GROUP BY label
         ORDER BY cdot DESC, label
@@ -304,15 +304,15 @@ def sim_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dots AS (
         SELECT l.vec_id,
-               CAST(SUM(CAST(l.x * qx.qv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
-               CAST(SUM(CAST(l.x * l.x AS DECIMAL(38,12))) AS DOUBLE) AS norm2
+               CAST(CAST(SUM(CAST(l.x * qx.qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot,
+               CAST(CAST(SUM(CAST(l.x * l.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS norm2
         FROM labeled l
         JOIN probe USING (label)
         JOIN qx USING (pos)
         WHERE l.vec_id <> 0
         GROUP BY l.vec_id
     ),
-    qn AS (SELECT CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS DOUBLE) AS qnorm2
+    qn AS (SELECT CAST(CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS qnorm2
            FROM qx)
     SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
     FROM dots, qn
@@ -412,7 +412,7 @@ def _srp_band_sig(band: int) -> F.Column:
     ),
     proj AS (
         SELECT ex.vec_id, pl.p,
-               CAST(SUM(CAST(ex.x * pl.r AS DECIMAL(38,12))) AS DOUBLE) AS s
+               CAST(CAST(SUM(CAST(ex.x * pl.r AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s
         FROM ex JOIN planes pl USING (pos)
         GROUP BY ex.vec_id, pl.p
     ),
@@ -432,12 +432,12 @@ def _srp_band_sig(band: int) -> F.Column:
     qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
     dots AS (
         SELECT ex.vec_id,
-               CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
-               CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS DOUBLE) AS norm2
+               CAST(CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot,
+               CAST(CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS norm2
         FROM ex JOIN cand USING (vec_id) JOIN qx USING (pos)
         GROUP BY ex.vec_id
     ),
-    qn AS (SELECT CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS DOUBLE)
+    qn AS (SELECT CAST(CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                     AS qnorm2 FROM qx)
     SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
     FROM dots, qn
@@ -528,12 +528,12 @@ _QROUND = 127  # symmetric int8 range
     qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
     dots AS (
         SELECT ex.vec_id,
-               CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
-               CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS DOUBLE) AS norm2
+               CAST(CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot,
+               CAST(CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS norm2
         FROM ex JOIN cand USING (vec_id) JOIN qx USING (pos)
         GROUP BY ex.vec_id
     ),
-    qn AS (SELECT CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS DOUBLE)
+    qn AS (SELECT CAST(CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                     AS qnorm2 FROM qx)
     SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
     FROM dots, qn
@@ -636,7 +636,7 @@ _KNN_NPROBE = 3  # clusters probed per query in the pruned k-NN join
     ),
     cent AS (
         SELECT label, pos,
-               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS c
         FROM labeled GROUP BY label, pos
     ),
@@ -646,20 +646,20 @@ _KNN_NPROBE = 3  # clusters probed per query in the pruned k-NN join
             SELECT q.qid, cent.label,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.qid
-                       ORDER BY CAST(SUM(CAST(cent.c * q.qv
-                                    AS DECIMAL(38,12))) AS DOUBLE) DESC,
+                       ORDER BY CAST(CAST(SUM(CAST(cent.c * q.qv
+                                    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) DESC,
                                 cent.label) AS rnk
             FROM cent JOIN q USING (pos)
             GROUP BY q.qid, cent.label
         ) WHERE rnk <= {_KNN_NPROBE}
     ),
     norms AS (
-        SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+        SELECT vec_id, CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS n2
         FROM ex GROUP BY vec_id
     ),
     dots AS (
         SELECT p.qid, l.vec_id,
-               CAST(SUM(CAST(l.x * q.qv AS DECIMAL(38,12))) AS DOUBLE) AS dot
+               CAST(CAST(SUM(CAST(l.x * q.qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot
         FROM labeled l
         JOIN probe p ON p.label = l.label
         JOIN q ON q.qid = p.qid AND q.pos = l.pos
@@ -756,8 +756,8 @@ def _km_oracle() -> str:
         sql += f""",
     dist{it} AS (
         SELECT ex.vec_id, {prev}.cid,
-               CAST(SUM(CAST((ex.x - {prev}.c) * (ex.x - {prev}.c)
-                    AS DECIMAL(38,12))) AS DOUBLE) AS d
+               CAST(CAST(SUM(CAST((ex.x - {prev}.c) * (ex.x - {prev}.c)
+                    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS d
         FROM ex JOIN {prev} USING (pos)
         GROUP BY ex.vec_id, {prev}.cid
     ),
@@ -771,7 +771,7 @@ def _km_oracle() -> str:
     ),
     cent{it} AS (
         SELECT a.cid, e.pos,
-               CAST(SUM(CAST(e.x AS DECIMAL(38,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(e.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS c
         FROM ex e JOIN asg{it} a USING (vec_id)
         GROUP BY a.cid, e.pos
@@ -784,7 +784,7 @@ def _km_oracle() -> str:
     SELECT a.cid, COUNT(*) AS n_members, n2.cnorm2
     FROM asg{_KM_ITERS} a
     JOIN (
-        SELECT cid, CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE)
+        SELECT cid, CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                  AS cnorm2
         FROM cent{_KM_ITERS} GROUP BY cid
     ) n2 USING (cid)
@@ -892,11 +892,11 @@ RANGE_COSINE_THRESHOLD = 0.30
     q AS (SELECT vec_id AS query_id, pos, x AS qx FROM ex
           WHERE vec_id % 101 = 0 AND vec_id < 1010),
     n AS (SELECT vec_id,
-                 CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+                 CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS n2
           FROM ex GROUP BY vec_id),
     dots AS (
         SELECT q.query_id, ex.vec_id,
-               CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(38,12))) AS DOUBLE) AS dot
+               CAST(CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot
         FROM ex JOIN q USING (pos)
         GROUP BY 1, 2
     )
@@ -966,11 +966,11 @@ def _mmr_oracle() -> str:
     sql = f"""
     WITH ex AS ({_EX_SQL}),
     n AS (SELECT vec_id,
-                 CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+                 CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS n2
           FROM ex GROUP BY 1),
     rel AS (
         SELECT c.vec_id,
-               CAST(SUM(CAST(c.x * q.x AS DECIMAL(38,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(c.x * q.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                  / (sqrt(nc.n2) * sqrt(nq.n2)) AS rel
         FROM ex c
         JOIN ex q ON q.pos = c.pos AND q.vec_id = 0
@@ -995,7 +995,7 @@ def _mmr_oracle() -> str:
         JOIN n nc ON nc.vec_id = r.vec_id
         JOIN (
             SELECT c.vec_id AS cand, s.vec_id AS sel, ns.n2,
-                   CAST(SUM(CAST(c.x * s.x AS DECIMAL(38,12))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(c.x * s.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                      AS dot
             FROM ex c
             JOIN ex s ON s.pos = c.pos
@@ -1315,7 +1315,7 @@ def _rrf_oracle() -> str:
     tf AS (SELECT doc_id, dl, {tf_cols} FROM d),
     stats AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-               CAST(SUM(CAST(dl AS DECIMAL(38,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(dl AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS avgdl,
                {stats_cols}
         FROM tf
@@ -1330,14 +1330,14 @@ def _rrf_oracle() -> str:
     qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
     dots AS (
         SELECT ex.vec_id,
-               CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(ex.x * qx.qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                  AS dot,
-               CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                  AS norm2
         FROM ex JOIN qx USING (pos)
         GROUP BY ex.vec_id
     ),
-    qn AS (SELECT CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS DOUBLE)
+    qn AS (SELECT CAST(CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                AS qnorm2 FROM qx),
     cos_leg AS (
         SELECT vec_id AS doc_id,
@@ -1585,8 +1585,8 @@ _PQ_ORACLE = f"""
     qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
     rr AS (
         SELECT e.vec_id, cand.adc_fx,
-               sqrt(CAST(SUM(CAST((e.x - qx.qv) * (e.x - qx.qv)
-                                  AS DECIMAL(24,12))) AS DOUBLE)) AS l2_dist
+               sqrt(CAST(CAST(SUM(CAST((e.x - qx.qv) * (e.x - qx.qv)
+                                  AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)) AS l2_dist
         FROM ex e JOIN cand USING (vec_id) JOIN qx USING (pos)
         GROUP BY 1, 2
     )
@@ -1640,14 +1640,14 @@ _IVFPQ_ORACLE = f"""
     ),
     cent AS (
         SELECT label, pos,
-               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS c
         FROM labeled GROUP BY label, pos
     ),
     qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
     probe AS (
         SELECT label,
-               CAST(SUM(CAST(c * qv AS DECIMAL(38,12))) AS DOUBLE) AS cdot
+               CAST(CAST(SUM(CAST(c * qv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS cdot
         FROM cent JOIN qx USING (pos)
         GROUP BY label
         ORDER BY cdot DESC, label
@@ -1693,8 +1693,8 @@ _IVFPQ_ORACLE = f"""
     ),
     rr AS (
         SELECT e.vec_id, cand.adc_fx,
-               sqrt(CAST(SUM(CAST((e.x - qx.qv) * (e.x - qx.qv)
-                                  AS DECIMAL(24,12))) AS DOUBLE)) AS l2_dist
+               sqrt(CAST(CAST(SUM(CAST((e.x - qx.qv) * (e.x - qx.qv)
+                                  AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)) AS l2_dist
         FROM ex e JOIN cand USING (vec_id) JOIN qx USING (pos)
         GROUP BY 1, 2
     )

@@ -66,9 +66,8 @@ def _two_epoch_dir(spark: SparkSession, sf_dir: str) -> str:
            COUNT(*) AS n,
            CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_legacy,
-           CAST(SUM(CASE WHEN event_id % 2 = 1
-                         THEN CAST(value AS DECIMAL(38,4)) END)
-                AS DOUBLE) AS total_value_new,
+           CAST(CAST(SUM(CASE WHEN event_id % 2 = 1
+                         THEN CAST(value AS DECIMAL(38,4)) END) AS VARCHAR) AS DOUBLE) AS total_value_new,
            CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_tagged
     FROM events

@@ -240,7 +240,7 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_enrich",
     oracle="""
     SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2
     """,

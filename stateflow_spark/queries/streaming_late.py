@@ -117,7 +117,7 @@ def _three_file_src(spark: SparkSession, sf_dir: str) -> str:
     agg AS (
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM ontime
         GROUP BY 1, 2
     )
@@ -237,7 +237,7 @@ _ROLLUP_CACHE: dict[str, str] = {}
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,

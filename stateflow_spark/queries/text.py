@@ -670,7 +670,7 @@ _BM25_TOPN = 20
     ),
     stats AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-               CAST(SUM(CAST(dl AS DECIMAL(38,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(dl AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS avgdl,
                {", ".join(
                    f"CAST(SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END)"

@@ -336,9 +336,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle=f"""
-    SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
-                     THEN {REV_SQL} ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
-                 / CAST(SUM(CAST({REV_SQL} AS DECIMAL(38,6))) AS DOUBLE)
+    SELECT 100.0 * CAST(CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN {REV_SQL} ELSE 0.0 END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST({REV_SQL} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
            AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01'
@@ -447,10 +447,10 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_sales_opportunity",
     oracle="""
     SELECT c_nationkey, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE)
         FROM customer WHERE c_acctbal > 0.0
     )

@@ -113,9 +113,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
     SELECT year(o_orderdate) AS o_year,
-           CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_7'
-                    THEN {REV_SQL} ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
-         / CAST(SUM(CAST({REV_SQL} AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+           CAST(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_7'
+                    THEN {REV_SQL} ELSE 0.0 END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST({REV_SQL} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -224,9 +224,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, {oracle_dsum('l_extendedprice', 'part_value', 4)}
     FROM eu
     GROUP BY l_partkey
-    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) >
-           (SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)))
-                                AS DOUBLE) FROM eu)
+    HAVING CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) >
+           (SELECT 0.001 * CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) FROM eu)
     """,
     tags=("tpch", "scalar-subquery", "having"),
 )
@@ -373,11 +372,11 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pa AS (
         SELECT l_partkey AS pk,
-               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+               0.2 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                       / CAST(COUNT(l_quantity) AS DOUBLE)) AS qty_threshold
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) / 7.0
            AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey

@@ -46,11 +46,11 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
                 PARTITION BY o_custkey
                 ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_spend,
+           ) AS VARCHAR) AS DOUBLE) AS running_spend,
            ROW_NUMBER() OVER (PARTITION BY o_custkey
                               ORDER BY o_orderdate, o_orderkey) AS order_seq
     FROM orders
@@ -208,7 +208,7 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
            COUNT(*) AS n_orders,
            MIN(o_totalprice) AS lo,
            MAX(o_totalprice) AS hi,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
                AS bucket_revenue
     FROM b
     GROUP BY bucket

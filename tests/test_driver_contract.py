@@ -52,3 +52,41 @@ def test_coverage_doc_counts_match_registry():
     n_oracled = sum(1 for q in REGISTRY.values() if q.oracle is not None)
     assert int(m.group(1)) == len(REGISTRY), (m.group(1), len(REGISTRY))
     assert int(m.group(2)) == n_oracled, (m.group(2), n_oracled)
+
+
+def test_no_naked_decimal_to_double_in_oracles():
+    """Oracle SQL must not cast a DECIMAL aggregate straight to DOUBLE:
+    DuckDB's direct cast double-rounds past 2^53 scaled units (Spark's
+    BigDecimal path is correctly rounded — q1 diverged by 1 ulp at sf10).
+    Every decimal SUM emission must round-trip through VARCHAR; see
+    oracle_dsum in queries/common.py."""
+    import re
+
+    import __spark_entry__ as E
+
+    def balanced_end(text, k):
+        depth = 0
+        for p in range(k, len(text)):
+            if text[p] == "(":
+                depth += 1
+            elif text[p] == ")":
+                depth -= 1
+                if depth == 0:
+                    return p + 1
+        return None
+
+    bad = []
+    for name, sql in E.oracle_sql().items():
+        up = sql.upper()
+        i = 0
+        while True:
+            j = up.find("CAST(SUM(", i)
+            if j < 0:
+                break
+            e = balanced_end(up, j + 4)
+            inner = up[j + 5 : e - 1] if e else ""
+            if inner.rstrip().endswith("AS DOUBLE") and "AS DECIMAL" in inner:
+                bad.append(name)
+                break
+            i = j + 1
+    assert not bad, f"naked DECIMAL->DOUBLE oracle cast (1-ulp hazard): {bad}"

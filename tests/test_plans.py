@@ -611,3 +611,17 @@ def test_pq_adc_zero_preagg_shuffles(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_band_join_is_equi_join_not_nested_loop(spark):
+    """join_band_price_neighbors expresses |a-b| <= δ as a banded EQUI-join
+    (explode to 3 candidate bands) — the plan must contain a hash/merge
+    equi-join on the band key and no nested-loop/cartesian fallback, which
+    is what the raw inequality predicate would produce."""
+    plan = explain_str(REGISTRY["join_band_price_neighbors"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan[:2000]
