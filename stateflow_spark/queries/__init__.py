@@ -102,9 +102,11 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # ONLY stamp — udtf, multimodal, entity stateful/ycsb, dedup minhash —
 # and evicting any of them would leave a whole family 3 rounds stale, a
 # worse trade), plus the post-freeze batch events_markov_transitions,
-# text_ngram_lm_score, sim_ivfpq_topk and join_band_price_neighbors.
-# All thirteen are local-oracle green at sf0.001, sf0.01 AND sf1, and
-# MUST lead the r7 prefix.
+# text_ngram_lm_score, sim_ivfpq_topk, join_band_price_neighbors,
+# sim_hard_negatives and the rest of the final-session batch (each
+# appended here as it lands). All post-freeze queries are local-oracle
+# green at sf0.001 and sf0.01 (sf1 where noted in SCALING.md) and MUST
+# lead the r7 prefix.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",

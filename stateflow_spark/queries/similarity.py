@@ -1747,3 +1747,115 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc = _pq_encode(probed, packed)
     return _pq_adc_rerank(enc, _pq_qlut(q, packed))
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH ex AS ({_EX_SQL}),
+    anch AS (
+        SELECT e.vec_id AS qid, emb.label AS qlabel, e.pos, e.x AS qv
+        FROM ex e JOIN embeddings emb ON emb.vec_id = e.vec_id
+        WHERE e.vec_id < 20
+    ),
+    norms AS (
+        SELECT vec_id,
+               CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR)
+                    AS DOUBLE) AS n2
+        FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT anch.qid, anch.qlabel, ex.vec_id,
+               CAST(CAST(SUM(CAST(ex.x * anch.qv AS DECIMAL(38,12)))
+                    AS VARCHAR) AS DOUBLE) AS dot
+        FROM ex JOIN anch USING (pos)
+        WHERE ex.vec_id <> anch.qid
+        GROUP BY anch.qid, anch.qlabel, ex.vec_id
+    ),
+    scored AS (
+        SELECT d.qid,
+               CASE WHEN emb.label <> d.qlabel
+                    THEN 'hard_neg' ELSE 'hard_pos' END AS kind,
+               d.vec_id,
+               dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+        FROM dots d
+        JOIN embeddings emb ON emb.vec_id = d.vec_id
+        JOIN norms na ON na.vec_id = d.qid
+        JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    SELECT qid, kind, vec_id AS neighbor_id, cosine, rnk FROM (
+        SELECT qid, kind, vec_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid, kind
+                   ORDER BY CASE WHEN kind = 'hard_neg'
+                                 THEN -cosine ELSE cosine END, vec_id
+               ) AS rnk
+        FROM scored
+    ) WHERE rnk <= CASE WHEN kind = 'hard_neg' THEN 3 ELSE 1 END
+    """,
+    tags=("similarity", "contrastive", "mining"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining: for each of 20 anchor vectors,
+    the 3 HARDEST NEGATIVES (most-similar corpus vectors with a DIFFERENT
+    label — the pairs a contrastive loss learns most from) and the 1
+    HARDEST POSITIVE (least-similar vector with the SAME label). This is
+    the triplet/InfoNCE mining step of an embedding-training data
+    pipeline (the reference engine has no vector ops; SURVEY §2
+    extension family).
+
+    Plan shape: the anchor block (20 rows + labels + norms) broadcasts
+    like sim_knn_join's query block; each labeled corpus row scores all
+    anchors with per-pair decimal folds; ONE window pass handles both
+    mining directions — partitioned by (qid, kind) and ordered by a
+    kind-dependent sort key (-cosine for negatives, +cosine for
+    positives), so hard-negative and hard-positive selection share a
+    single shuffle of the scored pairs. At 100 TB the scored volume is
+    corpus × n_anchors — mining runs against the IVF/PQ-pruned candidate
+    set instead of the full corpus (compose with sim_ivf_knn_join); the
+    mining window itself is already candidate-bounded.
+
+    Exactness: cosines come from the decimal kernels (bit-identical
+    across engines); the kind-dependent sort key negates a double (sign
+    flip is exact) and ties break on vec_id."""
+    corpus = _corpus(spark, sf_dir, with_label=True)
+    ablock = F.broadcast(
+        corpus.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+            norm2_dec("v").alias("qn2"),
+        )
+    )
+    probe = _corpus(spark, sf_dir, with_label=True, fan_out=True).select(
+        "vec_id", "label", "v", norm2_dec("v").alias("n2")
+    )
+    scored = (
+        probe.crossJoin(ablock)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.when(F.col("label") != F.col("qlabel"), F.lit("hard_neg"))
+            .otherwise(F.lit("hard_pos"))
+            .alias("kind"),
+            "vec_id",
+            (
+                dot_dec("v", "qv")
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid", "kind").orderBy(
+        F.when(F.col("kind") == "hard_neg", -F.col("cosine")).otherwise(
+            F.col("cosine")
+        ),
+        "vec_id",
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(
+            F.col("rnk")
+            <= F.when(F.col("kind") == "hard_neg", F.lit(3)).otherwise(F.lit(1))
+        )
+        .select("qid", "kind", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+    )

@@ -194,3 +194,47 @@ def test_pq_recall_against_exact_scan(spark):
     ]
     assert true10[0] in got, (true10, got)
     assert len(set(true10) & set(got)) >= 6, (true10, got)
+
+
+def test_hard_negative_mining_planted(spark, tmp_path):
+    """A corpus with a planted impostor (near-identical vector, WRONG
+    label) and a planted drifter (far vector, SAME label): the impostor
+    must surface as anchor 0's #1 hard negative and the drifter as its
+    hard positive — same-label near-dups must NOT appear as negatives."""
+    rng = random.Random(23)
+    dim = 64
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    impostor = [x + 1e-6 for x in base]  # ~identical, label differs
+    twin = [x + 2e-6 for x in base]  # ~identical, label matches
+    drifter = [-x for x in base]  # opposite direction, label matches
+    rows = [
+        (0, base, 0),
+        (1, impostor, 1),
+        (2, twin, 0),
+        (3, drifter, 0),
+    ] + [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 2)
+        for i in range(4, 104)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = REGISTRY["sim_hard_negatives"].fn(spark, str(tmp_path)).collect()
+    q0 = {(r.kind, r.rnk): r for r in out if r.qid == 0}
+    assert q0[("hard_neg", 1)].neighbor_id == 1  # the impostor
+    assert q0[("hard_neg", 1)].cosine > 0.999
+    assert q0[("hard_pos", 1)].neighbor_id == 3  # the drifter
+    assert q0[("hard_pos", 1)].cosine < -0.999
+    # the same-label twin never shows up on the negative side
+    assert 2 not in {
+        r.neighbor_id for r in out if r.qid == 0 and r.kind == "hard_neg"
+    }
+    # every anchor gets exactly 3 negatives and 1 positive
+    for qid in {r.qid for r in out}:
+        kinds = [(r.kind, r.rnk) for r in out if r.qid == qid]
+        assert sorted(kinds) == [
+            ("hard_neg", 1), ("hard_neg", 2), ("hard_neg", 3), ("hard_pos", 1)
+        ], (qid, kinds)
