@@ -1063,3 +1063,119 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lm_score", "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: fasttext-style hashed linear classifier
+# ---------------------------------------------------------------------------
+# The production pattern (CCNet / fastText quality gates): hash each token
+# unigram+bigram into a fixed feature space, dot with a learned weight
+# vector, threshold the mean activation. Weights here are hash-derived so
+# the oracle can replay them; a real model swaps in a broadcast weight
+# array and the plan is IDENTICAL — one per-row transform + fold, zero
+# shuffles, no UDF.
+_CLF_BUCKET_HEX = 3  # 3 hex chars -> 4096 feature buckets
+_CLF_WSPAN = 2001  # weights in [-1000, 1000]
+
+# DuckDB-side hex parse (first k chars of md5(expr) as bigint)
+def _duck_hex(expr: str, k: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {k + 1}),"
+        f" j -> CAST(strpos('0123456789abcdef', substr(md5({expr}), j, 1)) - 1"
+        f" AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+
+
+_CLF_W_DUCK = (
+    _duck_hex(f"'w' || CAST({_duck_hex('t', _CLF_BUCKET_HEX)} AS VARCHAR)", 4)
+    + f" % {_CLF_WSPAN} - 1000"
+)
+
+# Spark-side twin (SQL expression over a lambda variable t)
+_CLF_W_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('w', CAST("
+    "CAST(CONV(SUBSTRING(MD5(t), 1, 3), 16, 10) AS BIGINT)"
+    f" AS STRING))), 1, 4), 16, 10) AS BIGINT) % {_CLF_WSPAN} - 1000"
+)
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               string_split(text, ' ')
+               || list_transform(
+                      range(1, len(string_split(text, ' '))),
+                      i -> string_split(text, ' ')[i] || ' '
+                           || string_split(text, ' ')[i + 1]) AS feats
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(len(feats) AS INT) AS n_features,
+               CAST(list_reduce(
+                   list_transform(feats, t -> {_CLF_W_DUCK}),
+                   (a, b) -> a + b) AS BIGINT) AS score
+        FROM feat
+    )
+    SELECT doc_id, lang, n_features, score,
+           CAST(score AS DOUBLE) / CAST(n_features AS DOUBLE) AS mean_score,
+           CASE WHEN CAST(score AS DOUBLE) / CAST(n_features AS DOUBLE) >= 0
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM scored
+    """,
+    tags=("text", "classifier", "quality"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier INFERENCE over hashed
+    unigram+bigram features — the model-based quality gate of a CCNet/LLM
+    data pipeline, run as pure Catalyst expressions.
+
+    Per doc: features = tokens + adjacent bigrams (built in-array — the
+    bigram list is a sequence/transform over the token array, no explode);
+    each feature hashes to one of 4096 buckets (first 3 md5 hex chars) and
+    looks up a weight (md5-derived int in [-1000, 1000] — standing in for
+    a trained vector; a real model broadcasts its weight array and the
+    plan shape is unchanged); the doc's score is the exact int64 fold of
+    its feature weights, the gate thresholds the mean activation at 0.
+
+    Scale shape: ZERO shuffles — one projection pass over the corpus;
+    every doc is scored independently inside its scan task (the same
+    embarrassingly-parallel shape as text_repetition_filter). At 100 TB
+    this is scan-bandwidth-bound, which is exactly what a production
+    quality gate must be. Exactness: integer weight sums, one final
+    double division of bit-identical ints."""
+    d = load(spark, sf_dir, "documents")
+    feats = F.expr(
+        """
+        split(text, ' ') ||
+        CASE WHEN size(split(text, ' ')) > 1
+             THEN transform(sequence(1, size(split(text, ' ')) - 1),
+                            i -> concat(element_at(split(text, ' '), i), ' ',
+                                        element_at(split(text, ' '), i + 1)))
+             ELSE CAST(array() AS ARRAY<STRING>) END
+        """
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        feats.alias("feats"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("feats").alias("n_features"),
+        F.expr(
+            f"aggregate(transform(feats, t -> {_CLF_W_SPARK}),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("score"),
+    )
+    mean = F.col("score").cast("double") / F.col("n_features").cast("double")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_features",
+        "score",
+        mean.alias("mean_score"),
+        F.when(mean >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
+    )

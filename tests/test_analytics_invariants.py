@@ -406,3 +406,43 @@ def test_source_drift_is_a_distance(spark):
         assert r.tv_num >= 0
         denom = 2.0 * float(r.n_tokens) * float(total_tokens)
         assert abs(r.tv_distance - r.tv_num / denom) < 1e-15
+
+
+def test_quality_classifier_replays_hash_math(spark, tmp_path):
+    """The hashed-feature linear scorer is replayed in plain Python
+    (hashlib.md5) on a tiny constructed corpus — pins bucket derivation,
+    weight lookup, bigram construction and the keep/drop gate without
+    DuckDB in the loop."""
+    import hashlib
+
+    docs = [
+        (1, "alpha beta gamma", "en", "s", 16),
+        (2, "solo", "en", "s", 4),
+        (3, "x y x y x", "de", "s", 9),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def w(feat: str) -> int:
+        bucket = int(hashlib.md5(feat.encode()).hexdigest()[:3], 16)
+        return int(hashlib.md5(f"w{bucket}".encode()).hexdigest()[:4], 16) % 2001 - 1000
+
+    def expected(text: str):
+        toks = text.split(" ")
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        score = sum(w(f) for f in feats)
+        return len(feats), score
+
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["text_quality_classifier"].fn(spark, str(tmp_path)).collect()
+    }
+    for doc_id, text, *_ in docs:
+        n, score = expected(text)
+        r = out[doc_id]
+        assert (r.n_features, r.score) == (n, score), (doc_id, r)
+        assert r.mean_score == score / n
+        assert r.label == ("keep" if score / n >= 0 else "drop")
