@@ -344,3 +344,68 @@ def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") == F.col("f_price"))
         & (F.col("p_size") == F.col("f_size")),
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@register(
+    "scd2_dimension_versions",
+    oracle="""
+    WITH obs AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               LAG(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev_prio
+        FROM orders
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+        FROM obs
+        WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS version_nr,
+           o_orderpriority AS attr_value,
+           o_orderdate AS eff_from,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS eff_to,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) IS NULL
+               AS is_current
+    FROM changes
+    """,
+    tags=("window", "scd2", "warehouse"),
+)
+def scd2_dimension_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a change feed — the warehouse
+    MERGE-into-dimension pattern: each order observes the customer's
+    current order priority; a new dimension VERSION opens only when the
+    observed value CHANGES (SCD-2 writes no row for repeat observations),
+    carries a validity interval [eff_from, eff_to), and the open version
+    is flagged current (eff_to NULL).
+
+    Plan shape: change detection (lag ≠ prev), version numbering
+    (row_number) and interval closing (lead) are three window functions
+    over the SAME (custkey, orderdate, orderkey) ordering — Catalyst
+    evaluates them over ONE shuffle of the feed; at 100 TB this is a
+    single exchange on the dimension key, and the daily incremental run
+    windows only over (yesterday's open versions ∪ today's feed), not
+    history. Deterministic: the within-day tiebreak is the unique
+    orderkey, so version boundaries are total-ordered."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    obs = o.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    ).withColumn("prev_prio", F.lag("o_orderpriority").over(w))
+    changes = obs.filter(
+        F.col("prev_prio").isNull()
+        | (F.col("prev_prio") != F.col("o_orderpriority"))
+    )
+    eff_to = F.lead("o_orderdate").over(w)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).alias("version_nr"),
+        F.col("o_orderpriority").alias("attr_value"),
+        F.col("o_orderdate").alias("eff_from"),
+        eff_to.alias("eff_to"),
+        eff_to.isNull().alias("is_current"),
+    )

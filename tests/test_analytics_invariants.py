@@ -446,3 +446,23 @@ def test_quality_classifier_replays_hash_math(spark, tmp_path):
         assert (r.n_features, r.score) == (n, score), (doc_id, r)
         assert r.mean_score == score / n
         assert r.label == ("keep" if score / n >= 0 else "drop")
+
+
+def test_scd2_versions_form_contiguous_intervals(spark):
+    """SCD-2 laws: per key, version numbers are 1..n, intervals chain
+    (eff_to == next eff_from), exactly one open/current version, and no
+    two consecutive versions carry the same attribute value (SCD-2 never
+    writes a no-change row)."""
+    rows = REGISTRY["scd2_dimension_versions"].fn(spark, SF_DIR).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r)
+    assert by_key
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r.version_nr)
+        assert [v.version_nr for v in vs] == list(range(1, len(vs) + 1)), key
+        for a, b in zip(vs, vs[1:]):
+            assert a.eff_to == b.eff_from, (key, a, b)
+            assert a.attr_value != b.attr_value, (key, a, b)
+            assert not a.is_current
+        assert vs[-1].is_current and vs[-1].eff_to is None, key
