@@ -1061,3 +1061,108 @@ def agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("modsum_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass data profiler (the ingest-time data-quality report)
+# ---------------------------------------------------------------------------
+# (name, spark canonical expr, duck canonical expr template over {c},
+#  duck raw column) — doubles canonicalize through DECIMAL(12,2) so both
+# engines emit the identical string (and the 2-decimal source values are
+# never scale-2 rounding ties — see queries/common.py tie-hazard note).
+_PROFILE_COLS = [
+    ("l_linenumber", "CAST(l_linenumber AS STRING)",
+     "CAST({c} AS VARCHAR)"),
+    ("l_quantity", "CAST(CAST(l_quantity AS DECIMAL(12,2)) AS STRING)",
+     "CAST(CAST({c} AS DECIMAL(12,2)) AS VARCHAR)"),
+    ("l_discount", "CAST(CAST(l_discount AS DECIMAL(12,2)) AS STRING)",
+     "CAST(CAST({c} AS DECIMAL(12,2)) AS VARCHAR)"),
+    ("l_tax", "CAST(CAST(l_tax AS DECIMAL(12,2)) AS STRING)",
+     "CAST(CAST({c} AS DECIMAL(12,2)) AS VARCHAR)"),
+    ("l_returnflag", "l_returnflag", "{c}"),
+    ("l_linestatus", "l_linestatus", "{c}"),
+    ("l_shipdate", "CAST(l_shipdate AS STRING)", "CAST({c} AS VARCHAR)"),
+]
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for name, _, duck_t in _PROFILE_COLS:
+        canon = duck_t.format(c=name)
+        branches.append(f"""
+    SELECT '{name}' AS col_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN cnt END), 0)
+                AS BIGINT) AS n_nulls,
+           CAST(COUNT(val) AS BIGINT) AS n_distinct,
+           (SELECT {duck_t.format(c=f"MIN({name})")} FROM lineitem) AS min_val,
+           (SELECT {duck_t.format(c=f"MAX({name})")} FROM lineitem) AS max_val,
+           MAX(CASE WHEN val IS NOT NULL
+                    THEN lpad(CAST(cnt AS VARCHAR), 12, '0') || '|' || val
+               END) AS _top
+    FROM (SELECT {canon} AS val, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+        """)
+    u = " UNION ALL ".join(f"({b})" for b in branches)
+    return f"""
+    SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val,
+           substr(_top, 14) AS top_value,
+           CAST(CAST(substr(_top, 1, 12) AS BIGINT) AS BIGINT) AS top_count
+    FROM ({u})
+    """
+
+
+@register(
+    "profile_table_stats",
+    oracle=_profile_oracle(),
+    tags=("agg", "profiling"),
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler — the ingest-time data-quality report every
+    pipeline runs before training on a new source: per column, row/null
+    counts, EXACT distinct cardinality, typed min/max, and the modal value
+    with its frequency (deterministic tiebreak: higher value wins).
+
+    Plan shape: the k profiled columns unpivot via ``stack`` into
+    (col_name, canonical_value) rows — k× the scan rows BEFORE partial
+    aggregation, but the (col, val) count agg map-side-combines to
+    distinct-value volume per partition, so the only real shuffle carries
+    ~|distinct values| rows, not k×N. The per-column rollup is a second
+    k-row-output aggregate, and typed min/max ride ONE global 1-row
+    aggregate unpivoted and broadcast back — three aggregates, no window,
+    no per-column jobs (a naive profiler runs k scans). Top-value
+    selection is an order-independent struct MAX. At 100 TB: scan-bound;
+    high-cardinality columns dominate the count shuffle and would move to
+    approx_count_distinct — kept exact here so the oracle hash-gates."""
+    li = load(spark, sf_dir, "lineitem")
+    k = len(_PROFILE_COLS)
+    stack_args = ", ".join(f"'{n}', {s}" for n, s, _ in _PROFILE_COLS)
+    long = li.select(
+        F.expr(f"stack({k}, {stack_args})").alias("col_name", "val")
+    )
+    vc = long.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    top_struct = F.max(
+        F.when(F.col("val").isNotNull(), F.struct("cnt", "val"))
+    )
+    stats = vc.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count("val").alias("n_distinct"),
+        top_struct.getField("val").alias("top_value"),
+        top_struct.getField("cnt").alias("top_count"),
+    )
+    mm_exprs = []
+    for n, s, _ in _PROFILE_COLS:
+        mn = s.replace(n, f"MIN({n})") if n in s else s
+        mx = s.replace(n, f"MAX({n})") if n in s else s
+        mm_exprs += [F.expr(mn).alias(f"mn_{n}"), F.expr(mx).alias(f"mx_{n}")]
+    mm_row = li.agg(*mm_exprs)
+    mm_stack = ", ".join(f"'{n}', mn_{n}, mx_{n}" for n, _, _ in _PROFILE_COLS)
+    minmax = mm_row.select(
+        F.expr(f"stack({k}, {mm_stack})").alias("col_name", "min_val", "max_val")
+    )
+    return stats.join(F.broadcast(minmax), "col_name").select(
+        "col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_val", "max_val", "top_value", "top_count",
+    )
