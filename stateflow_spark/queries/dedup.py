@@ -1826,3 +1826,118 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("doc_id"))
         .alias("canonical_id"),
     )
+
+
+# --- Label propagation (community detection) over the dup-pair graph -------
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Generated 3-iteration synchronous LPA oracle — one CTE layer per
+    iteration (neighbor-label counts -> deterministic argmax), so the
+    label trajectory is replayed, not just the final shape."""
+    sql = f"""
+    WITH {_JACCARD_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM dup
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM dup
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges)"""
+    prev = "l0"
+    for it in range(1, _LPA_ITERS + 1):
+        sql += f""",
+    l{it} AS (
+        SELECT node, lab FROM (
+            SELECT dst AS node, lab,
+                   ROW_NUMBER() OVER (PARTITION BY dst
+                                      ORDER BY cnt DESC, lab) AS rn
+            FROM (
+                SELECT e.v AS dst, p.lab AS lab, COUNT(*) AS cnt
+                FROM edges e JOIN {prev} p ON p.node = e.u
+                GROUP BY 1, 2
+            )
+        ) WHERE rn = 1
+    )"""
+        prev = f"l{it}"
+    sql += f"""
+    SELECT node AS doc_id, lab AS community,
+           COUNT(*) OVER (PARTITION BY lab) AS comm_size
+    FROM {prev}
+    """
+    return sql
+
+
+@register(
+    "dedup_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("dedup", "graph", "lpa"),
+)
+def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, 3 fixed iterations) over the exact-Jaccard dup-pair graph —
+    the third canonical distributed graph op beside connected components
+    and PageRank, and the one that SPLITS what CC merges: two dense
+    near-dup groups joined by a single bridge pair stay separate
+    communities (majority vote never crosses the bridge), where CC
+    collapses them into one component. On a dup graph that distinction is
+    template-family detection: boilerplate clusters bridged by one hybrid
+    doc keep their identities.
+
+    Per iteration: neighbor labels land with one edges⋈labels join, the
+    (node, label) vote count is a partial/final aggregate, and the winner
+    is an order-independent struct MAX (count, then smallest label — the
+    deterministic tiebreak that makes synchronous LPA oracle-replayable;
+    textbook LPA breaks ties randomly). The edge list localCheckpoints
+    once, so the 3 unrolled iterations share its materialized blocks
+    instead of re-running the shingle/pair pipeline per layer (same
+    treatment as dedup_triangle_stats' five plan branches).
+
+    Scale: per-iteration volume is |edges| join rows and |distinct
+    (node,label) votes| aggregate rows — label state is one row per node,
+    never corpus-sized; the vote argmax needs no window over the corpus.
+    Fixed iterations keep it one Catalyst plan (the convergence-driven
+    loop form with per-round localCheckpoint + release is CC's, same
+    skeleton)."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS u", "doc_b AS v")
+        .unionByName(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+        .localCheckpoint()
+    )
+    labels = label_propagation(edges, _LPA_ITERS)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lab")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("community"),
+        F.count(F.lit(1)).over(w).alias("comm_size"),
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
+    """LPA core over a symmetric (u, v) edge list -> (node, lab): per
+    iteration every node adopts its neighbors' majority label, ties to
+    the smallest label (order-independent struct MAX — no window over
+    the vote table). Exposed separately so planted-graph tests can drive
+    arbitrary topologies (dedup_label_propagation feeds it the
+    jaccard-pair graph)."""
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(F.col("v").alias("nd"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = votes.groupBy("nd").agg(
+            F.max(
+                F.struct(F.col("cnt"), (-F.col("lab")).alias("neg"))
+            ).alias("m")
+        )
+        labels = best.select(
+            F.col("nd").alias("node"), (-F.col("m.neg")).alias("lab")
+        )
+    return labels

@@ -387,3 +387,27 @@ def test_winnowing_guarantee_property(spark, tmp_path_factory, data, run_len):
     df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
     pairs = _pairs(REGISTRY["dedup_winnowing_pairs"].fn(spark, str(d)))
     assert (1, 2) in pairs, (run_len, pairs)
+
+
+def test_lpa_splits_bridged_cliques_that_cc_merges(spark):
+    """Two 5-cliques joined by ONE bridge edge: connected components
+    merges them into a single component, but 3-round majority-vote LPA
+    keeps two communities (one vote never outweighs four clique
+    neighbors) — the template-family separation the query docstring
+    claims. Labels are the deterministic clique minima."""
+    from stateflow_spark.queries.dedup import label_propagation
+
+    cliq_a = list(range(10, 15))
+    cliq_b = list(range(20, 25))
+    pairs = (
+        [(a, b) for i, a in enumerate(cliq_a) for b in cliq_a[i + 1:]]
+        + [(a, b) for i, a in enumerate(cliq_b) for b in cliq_b[i + 1:]]
+        + [(14, 20)]  # the bridge
+    )
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "u long, v long"
+    )
+    labs = {r.node: r.lab for r in label_propagation(edges, 3).collect()}
+    assert set(labs) == set(cliq_a) | set(cliq_b)
+    assert all(labs[n] == 10 for n in cliq_a), labs
+    assert all(labs[n] == 20 for n in cliq_b), labs
