@@ -1179,3 +1179,223 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_score"),
         F.when(mean >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (merge-rule learning)
+# ---------------------------------------------------------------------------
+_BPE_STEPS = 6
+
+# Applying a merge (a,b) to a symbol array is inherently sequential
+# (greedy left-to-right, a merged pair consumes its right symbol), which
+# does not fold into an order-independent aggregate. It DOES have a
+# positional closed form: overlapping matches only happen in runs where
+# a == b, and there a match starts a merge iff its consecutive-match
+# streak has ODD length. So per position i (1-based):
+#   m[i]      = 1 if (sym[i], sym[i+1]) == (a, b)
+#   streak[i] = i - (last j < i with m[j] = 0, else 0)
+#   start[i]  = m[i] = 1 AND streak[i] is odd
+#   out       = positions not consumed by a start at i-1; starts emit a||b
+# Everything is list_transform/filter arithmetic — identical in Spark and
+# DuckDB, so the oracle replays the merge application bit-for-bit. The
+# inner streak scan is O(L^2) per word in the symbol length L — words are
+# short and the vocab table is tiny next to the corpus, so this is noise
+# at any scale.
+
+
+def _bpe_m_spark(sym: str) -> str:
+    return f"""CASE WHEN size({sym}) < 2 THEN CAST(array() AS ARRAY<INT>)
+    ELSE transform(sequence(1, size({sym}) - 1),
+         i -> IF(element_at({sym}, i) = pa
+                 AND element_at({sym}, i + 1) = pb, 1, 0)) END"""
+
+
+def _bpe_starts_spark(m: str) -> str:
+    # padded with a trailing 0 to length size(sym) so the consumer's
+    # element_at never indexes past the end under ANSI mode
+    return f"""CASE WHEN size({m}) = 0 THEN CAST(array(0) AS ARRAY<INT>)
+    ELSE concat(transform(sequence(1, size({m})),
+         i -> IF(element_at({m}, i) = 1
+                 AND (i - coalesce(array_max(filter(sequence(1, size({m})),
+                          j -> j < i AND element_at({m}, j) = 0)), 0)) % 2 = 1,
+                 1, 0)), array(0)) END"""
+
+
+def _bpe_apply_spark(sym: str, st: str) -> str:
+    return f"""CASE WHEN size({sym}) < 2 THEN {sym}
+    ELSE filter(transform(sequence(1, size({sym})),
+         i -> CASE WHEN i >= 2 AND element_at({st}, i - 1) = 1
+                   THEN CAST(NULL AS STRING)
+                   WHEN element_at({st}, i) = 1 THEN concat(pa, pb)
+                   ELSE element_at({sym}, i) END),
+         x -> x IS NOT NULL) END"""
+
+
+def _bpe_m_duck(sym: str) -> str:
+    return f"""CASE WHEN len({sym}) < 2 THEN CAST([] AS INTEGER[])
+    ELSE list_transform(range(1, len({sym})),
+         i -> CASE WHEN {sym}[i] = a AND {sym}[i + 1] = b
+                   THEN 1 ELSE 0 END) END"""
+
+
+def _bpe_starts_duck(m: str) -> str:
+    return f"""CASE WHEN len({m}) = 0 THEN CAST([0] AS INTEGER[])
+    ELSE list_transform(range(1, len({m}) + 1),
+         i -> CASE WHEN {m}[i] = 1
+                   AND (i - coalesce(list_max(list_filter(
+                            range(1, len({m}) + 1),
+                            j -> j < i AND {m}[j] = 0)), 0)) % 2 = 1
+                   THEN 1 ELSE 0 END) || [0] END"""
+
+
+def _bpe_apply_duck(sym: str, st: str) -> str:
+    return f"""CASE WHEN len({sym}) < 2 THEN {sym}
+    ELSE list_filter(list_transform(range(1, len({sym}) + 1),
+         i -> CASE WHEN i >= 2 AND {st}[i - 1] = 1 THEN NULL
+                   WHEN {st}[i] = 1 THEN a || b
+                   ELSE {sym}[i] END),
+         x -> x IS NOT NULL) END"""
+
+
+def _bpe_oracle() -> str:
+    sql = """
+    WITH v1 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               list_transform(range(1, len(word) + 1),
+                              i -> substr(word, i, 1)) AS sym
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0 AND strpos(word, '|') = 0
+        GROUP BY word
+    )"""
+    for k in range(1, _BPE_STEPS + 1):
+        sql += f""",
+    p{k} AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (SELECT freq, unnest(list_transform(range(1, len(sym)),
+                     i -> sym[i] || '|' || sym[i + 1])) AS pair
+              FROM v{k})
+        GROUP BY pair
+    ),
+    w{k} AS (
+        SELECT split_part(pair, '|', 1) AS a, split_part(pair, '|', 2) AS b, c
+        FROM p{k}
+        ORDER BY c DESC, split_part(pair, '|', 1), split_part(pair, '|', 2)
+        LIMIT 1
+    ),
+    v{k + 1} AS (
+        SELECT word, freq, {_bpe_apply_duck("sym", "starts")} AS sym
+        FROM (SELECT word, freq, sym, a, b,
+                     {_bpe_starts_duck("m")} AS starts
+              FROM (SELECT word, freq, sym, a, b, {_bpe_m_duck("sym")} AS m
+                    FROM v{k}, w{k}))
+    )"""
+    sql += f"""
+    {" UNION ALL ".join(
+        f"SELECT {k} AS step, a AS sym_a, b AS sym_b, c AS pair_count FROM w{k}"
+        for k in range(1, _BPE_STEPS + 1))}
+    """
+    return sql
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "bpe", "tokenizer"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
+    the first 6 merge rules over the corpus — the tokenizer-fitting step
+    of an LLM data pipeline, where text_bpe_token_count is the apply
+    side. Output is the merge table itself: (step, sym_a, sym_b,
+    pair_count), i.e. the learned artifact, trajectory-pinned.
+
+    Distributed shape (the standard scalable BPE formulation): pair
+    counting runs over the WORD-FREQUENCY table, not the corpus — one
+    corpus scan builds (word, freq, symbol-array), and every merge step
+    is (1) an adjacent-pair partial/final aggregate weighted by freq over
+    the vocab, (2) a 1-row TakeOrdered winner (count desc, pair asc —
+    deterministic where textbook BPE leaves ties unspecified) broadcast
+    back via crossJoin, and (3) a per-row positional merge application
+    (odd-streak rule above — no sequential fold, no UDF). The vocab
+    localCheckpoints per step, so step k+1's lineage starts from
+    materialized blocks instead of re-running all prior steps (the same
+    iterative-algorithm treatment as connected components); driver-side
+    data flow is ZERO — winners move executor-to-executor as 1-row
+    broadcasts. At 100 TB the corpus scan happens once; per-step cost is
+    vocab-sized (millions of rows), independent of corpus size.
+
+    Exactness: all counts are int64; winner selection and merge
+    application are integer/string ops — the whole 6-step trajectory
+    hash-gates against the generated per-step CTE oracle."""
+    from stateflow_spark.storage import unpersist_local_checkpoint
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        (F.length("word") > 0) & (~F.col("word").contains("|"))
+    )
+    v = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("sym"),
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for k in range(1, _BPE_STEPS + 1):
+        pairs = v.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(sym) < 2 THEN"
+                    " CAST(array() AS ARRAY<STRUCT<pa: STRING, pb: STRING>>)"
+                    " ELSE transform(sequence(1, size(sym) - 1),"
+                    " i -> struct(element_at(sym, i) AS pa,"
+                    "             element_at(sym, i + 1) AS pb)) END"
+                )
+            ).alias("p"),
+        ).select("freq", "p.pa", "p.pb")
+        # the 1-row winner materializes (localCheckpoint) so the merge
+        # table AND the next vocab both read executor blocks — without
+        # this, releasing v_k below would strand the winner's lineage
+        win = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "pa", "pb")
+            .limit(1)
+            .localCheckpoint()
+        )
+        merges.append(
+            win.select(
+                F.lit(k).alias("step"),
+                F.col("pa").alias("sym_a"),
+                F.col("pb").alias("sym_b"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        if k < _BPE_STEPS:
+            stepped = (
+                v.crossJoin(F.broadcast(win))
+                .withColumn("m", F.expr(_bpe_m_spark("sym")))
+                .withColumn("starts", F.expr(_bpe_starts_spark("m")))
+                .select(
+                    "word",
+                    "freq",
+                    F.expr(_bpe_apply_spark("sym", "starts")).alias("sym"),
+                )
+            )
+            nxt = stepped.localCheckpoint()
+            unpersist_local_checkpoint(v)
+            v = nxt
+    # the merge table reads only the materialized winners — the last
+    # vocab's blocks can go too
+    unpersist_local_checkpoint(v)
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out

@@ -466,3 +466,68 @@ def test_scd2_versions_form_contiguous_intervals(spark):
             assert a.attr_value != b.attr_value, (key, a, b)
             assert not a.is_current
         assert vs[-1].is_current and vs[-1].eff_to is None, key
+
+
+def _ref_bpe(words: list, steps: int):
+    """Greedy reference BPE (Sennrich 2016 pseudocode, deterministic
+    count-desc/pair-asc tiebreak) — the sequential ground truth for the
+    distributed trainer, including overlapping-run merge semantics."""
+    from collections import Counter
+
+    vocab = Counter(words)
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(steps):
+        pc = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_training_matches_sequential_reference(spark, tmp_path):
+    """The distributed trainer's positional odd-streak merge application
+    must reproduce greedy sequential BPE exactly — stressed with
+    single-char runs (aaaa...) where merge occurrences overlap and the
+    parity rule is load-bearing."""
+    import random
+
+    rng = random.Random(7)
+    words = ["a" * rng.randint(1, 7) for _ in range(40)] + [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+        for _ in range(200)
+    ]
+    docs = []
+    idx = 0
+    for doc_id in range(24):
+        take = words[idx: idx + 10]
+        idx += 10
+        docs.append((doc_id, " ".join(take), "en", "s", len(" ".join(take))))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    expected = _ref_bpe([w for d in docs for w in d[1].split(" ")], 6)
+    got = sorted(
+        (r.step, r.sym_a, r.sym_b, r.pair_count)
+        for r in REGISTRY["text_bpe_train_merges"].fn(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (k + 1, a, b, c) for k, (a, b, c) in enumerate(expected)
+    ], (got, expected)
