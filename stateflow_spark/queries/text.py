@@ -1257,7 +1257,9 @@ def _bpe_apply_duck(sym: str, st: str) -> str:
          x -> x IS NOT NULL) END"""
 
 
-def _bpe_oracle() -> str:
+def _bpe_ctes() -> str:
+    """Shared CTE chain: v1 (char-split word-frequency table), then per
+    step k the pair counts p{k}, winner w{k}, and merged vocab v{k+1}."""
     sql = """
     WITH v1 AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -1289,12 +1291,126 @@ def _bpe_oracle() -> str:
               FROM (SELECT word, freq, sym, a, b, {_bpe_m_duck("sym")} AS m
                     FROM v{k}, w{k}))
     )"""
-    sql += f"""
+    return sql
+
+
+def _bpe_oracle() -> str:
+    return _bpe_ctes() + f"""
     {" UNION ALL ".join(
         f"SELECT {k} AS step, a AS sym_a, b AS sym_b, c AS pair_count FROM w{k}"
         for k in range(1, _BPE_STEPS + 1))}
     """
-    return sql
+
+
+def _bpe_compression_oracle() -> str:
+    return _bpe_ctes() + f"""
+    {" UNION ALL ".join(
+        f"SELECT {s} AS step,"
+        f" CAST(SUM(freq * len(sym)) AS BIGINT) AS total_symbols,"
+        f" CAST(SUM(freq * len(word)) AS BIGINT) AS total_chars,"
+        f" CAST(SUM(freq * len(sym)) AS DOUBLE)"
+        f" / CAST(SUM(freq * len(word)) AS DOUBLE) AS symbols_per_char"
+        f" FROM v{s + 1}"
+        for s in range(_BPE_STEPS + 1))}
+    """
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, want_totals: bool):
+    """Run the 6-step distributed merge-learning chain. Returns
+    (merge-row DataFrames, per-step total DataFrames). Every returned
+    frame reads its own materialized (localCheckpoint) blocks, so the
+    intermediate vocabs are released as the chain advances."""
+    from stateflow_spark.storage import unpersist_local_checkpoint
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        (F.length("word") > 0) & (~F.col("word").contains("|"))
+    )
+    v = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("sym"),
+        )
+        .localCheckpoint()
+    )
+
+    def totals_of(vk, step: int):
+        sym_mass = F.sum(F.col("freq") * F.size("sym")).alias("total_symbols")
+        char_mass = F.sum(F.col("freq") * F.length("word")).alias("total_chars")
+        return (
+            vk.agg(sym_mass, char_mass)
+            .select(
+                F.lit(step).alias("step"),
+                "total_symbols",
+                "total_chars",
+                (
+                    F.col("total_symbols").cast("double")
+                    / F.col("total_chars").cast("double")
+                ).alias("symbols_per_char"),
+            )
+            .localCheckpoint()
+        )
+
+    merges, totals = [], []
+    if want_totals:
+        totals.append(totals_of(v, 0))
+    for k in range(1, _BPE_STEPS + 1):
+        pairs = v.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(sym) < 2 THEN"
+                    " CAST(array() AS ARRAY<STRUCT<pa: STRING, pb: STRING>>)"
+                    " ELSE transform(sequence(1, size(sym) - 1),"
+                    " i -> struct(element_at(sym, i) AS pa,"
+                    "             element_at(sym, i + 1) AS pb)) END"
+                )
+            ).alias("p"),
+        ).select("freq", "p.pa", "p.pb")
+        # the 1-row winner materializes (localCheckpoint) so the merge
+        # table AND the next vocab both read executor blocks — without
+        # this, releasing v_k below would strand the winner's lineage
+        win = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "pa", "pb")
+            .limit(1)
+            .localCheckpoint()
+        )
+        merges.append(
+            win.select(
+                F.lit(k).alias("step"),
+                F.col("pa").alias("sym_a"),
+                F.col("pb").alias("sym_b"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        if k < _BPE_STEPS or want_totals:
+            stepped = (
+                v.crossJoin(F.broadcast(win))
+                .withColumn("m", F.expr(_bpe_m_spark("sym")))
+                .withColumn("starts", F.expr(_bpe_starts_spark("m")))
+                .select(
+                    "word",
+                    "freq",
+                    F.expr(_bpe_apply_spark("sym", "starts")).alias("sym"),
+                )
+            )
+            nxt = stepped.localCheckpoint()
+            unpersist_local_checkpoint(v)
+            v = nxt
+            if want_totals:
+                totals.append(totals_of(v, k))
+    # outputs read only the materialized winner/total rows — the last
+    # vocab's blocks can go too
+    unpersist_local_checkpoint(v)
+    return merges, totals
 
 
 @register(
@@ -1327,75 +1443,33 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: all counts are int64; winner selection and merge
     application are integer/string ops — the whole 6-step trajectory
     hash-gates against the generated per-step CTE oracle."""
-    from stateflow_spark.storage import unpersist_local_checkpoint
-
-    d = load(spark, sf_dir, "documents")
-    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
-        (F.length("word") > 0) & (~F.col("word").contains("|"))
-    )
-    v = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "word",
-            "freq",
-            F.expr(
-                "transform(sequence(1, length(word)),"
-                " i -> substring(word, i, 1))"
-            ).alias("sym"),
-        )
-        .localCheckpoint()
-    )
-    merges = []
-    for k in range(1, _BPE_STEPS + 1):
-        pairs = v.select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(sym) < 2 THEN"
-                    " CAST(array() AS ARRAY<STRUCT<pa: STRING, pb: STRING>>)"
-                    " ELSE transform(sequence(1, size(sym) - 1),"
-                    " i -> struct(element_at(sym, i) AS pa,"
-                    "             element_at(sym, i + 1) AS pb)) END"
-                )
-            ).alias("p"),
-        ).select("freq", "p.pa", "p.pb")
-        # the 1-row winner materializes (localCheckpoint) so the merge
-        # table AND the next vocab both read executor blocks — without
-        # this, releasing v_k below would strand the winner's lineage
-        win = (
-            pairs.groupBy("pa", "pb")
-            .agg(F.sum("freq").alias("c"))
-            .orderBy(F.col("c").desc(), "pa", "pb")
-            .limit(1)
-            .localCheckpoint()
-        )
-        merges.append(
-            win.select(
-                F.lit(k).alias("step"),
-                F.col("pa").alias("sym_a"),
-                F.col("pb").alias("sym_b"),
-                F.col("c").alias("pair_count"),
-            )
-        )
-        if k < _BPE_STEPS:
-            stepped = (
-                v.crossJoin(F.broadcast(win))
-                .withColumn("m", F.expr(_bpe_m_spark("sym")))
-                .withColumn("starts", F.expr(_bpe_starts_spark("m")))
-                .select(
-                    "word",
-                    "freq",
-                    F.expr(_bpe_apply_spark("sym", "starts")).alias("sym"),
-                )
-            )
-            nxt = stepped.localCheckpoint()
-            unpersist_local_checkpoint(v)
-            v = nxt
-    # the merge table reads only the materialized winners — the last
-    # vocab's blocks can go too
-    unpersist_local_checkpoint(v)
+    merges, _ = _bpe_train(spark, sf_dir, want_totals=False)
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
+    return out
+
+
+@register(
+    "text_bpe_compression",
+    oracle=_bpe_compression_oracle(),
+    tags=("text", "bpe", "tokenizer"),
+)
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training curve: corpus token mass after each learned merge —
+    the readout a tokenizer-training pipeline monitors (every merge must
+    strictly shrink total symbols, by exactly the winning pair's count).
+    Output: (step, total_symbols, total_chars, symbols_per_char) for
+    step = 0 (raw characters) through 6; invariant total_symbols[k] =
+    total_symbols[k-1] - pair_count[k] ties this query to
+    text_bpe_train_merges' merge table and is pinned by a test.
+
+    Same distributed chain as the trainer (shared `_bpe_train`); each
+    per-step total is a 1-row aggregate over the vocab-frequency table —
+    freq-weighted, so the corpus itself is scanned exactly once at step
+    0. Exactness: pure int64 masses, one final double division."""
+    _, totals = _bpe_train(spark, sf_dir, want_totals=True)
+    out = totals[0]
+    for t in totals[1:]:
+        out = out.unionByName(t)
     return out

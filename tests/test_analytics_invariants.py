@@ -531,3 +531,23 @@ def test_bpe_training_matches_sequential_reference(spark, tmp_path):
     assert got == [
         (k + 1, a, b, c) for k, (a, b, c) in enumerate(expected)
     ], (got, expected)
+
+
+def test_bpe_compression_decreases_by_exactly_pair_counts(spark):
+    """Each merge shrinks total symbol mass by exactly the merged pair's
+    count — the law linking the compression curve to the merge table."""
+    merges = {
+        r.step: r.pair_count
+        for r in REGISTRY["text_bpe_train_merges"].fn(spark, SF_DIR).collect()
+    }
+    curve = {
+        r.step: r
+        for r in REGISTRY["text_bpe_compression"].fn(spark, SF_DIR).collect()
+    }
+    assert set(curve) == set(range(0, len(merges) + 1))
+    assert curve[0].total_symbols == curve[0].total_chars
+    for k in sorted(merges):
+        assert (
+            curve[k].total_symbols
+            == curve[k - 1].total_symbols - merges[k]
+        ), (k, curve[k], merges[k])
