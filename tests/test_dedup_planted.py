@@ -411,3 +411,63 @@ def test_lpa_splits_bridged_cliques_that_cc_merges(spark):
     assert set(labs) == set(cliq_a) | set(cliq_b)
     assert all(labs[n] == 10 for n in cliq_a), labs
     assert all(labs[n] == 20 for n in cliq_b), labs
+
+
+def test_lss_components_match_union_find_on_random_graphs(spark):
+    """Large-star/small-star CC vs a Python union-find ground truth on
+    random graphs, a 120-node PATH (the adversarial-diameter case it
+    exists for — min-label propagation would need 120 rounds; LSS is
+    given 15), cliques and singleton-free stars."""
+    import random
+
+    from stateflow_spark.queries.dedup import connected_components_lss
+
+    def uf_components(n_nodes, pairs):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        touched = {x for p in pairs for x in p}
+        for x in touched:
+            comp[x] = find(x)
+        # comp id must be the min node id of the component
+        roots = {}
+        for x, r in sorted(comp.items()):
+            roots.setdefault(r, x)
+        return {x: roots[r] for x, r in comp.items()}
+
+    rng = random.Random(99)
+    cases = []
+    # random sparse graphs
+    for _ in range(3):
+        n = 60
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        cases.append((n, pairs, 50))
+    # long path: diameter 119, LSS must converge in O(log n) rounds
+    cases.append((120, [(i, i + 1) for i in range(119)], 15))
+    # two cliques + a star
+    cliq = [(a, b) for i, a in enumerate(range(0, 8)) for b in range(i + 1, 8)]
+    cliq += [(a, b) for i, a in enumerate(range(20, 26)) for b in range(i + 21, 26)]
+    cliq += [(40, x) for x in range(41, 50)]
+    cases.append((50, cliq, 50))
+
+    for n, pairs, max_rounds in cases:
+        expected = uf_components(n, pairs)
+        edges = spark.createDataFrame(pairs, "u long, v long")
+        got = {
+            r.id: r.comp
+            for r in connected_components_lss(edges, max_rounds=max_rounds).collect()
+        }
+        assert got == expected, (n, len(pairs), max_rounds)
