@@ -1045,3 +1045,59 @@ def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ratio"),
         )
     )
+
+
+@register(
+    "curation_assign_ids",
+    oracle="""
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (ORDER BY source, doc_id) AS new_id
+    FROM documents
+    """,
+    tags=("curation", "ids"),
+)
+def curation_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable contiguous ID assignment ordered by (source, doc_id) — the
+    re-keying step when corpora merge (every doc gets a dense global id,
+    reproducible run-to-run), done WITHOUT a global sort: the naive
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` collapses the corpus to a
+    SinglePartition window (the zipWithIndex trap at 100 TB).
+
+    Distributed form (the same two-level rank as
+    window_equidepth_histogram): a coarse hash-free VALUE bucket on
+    doc_id ranges keeps bucket boundaries aligned with the target order;
+    per-bucket local ranks run in parallel windows partitioned by
+    (source-major bucket); bucket offsets are a running total over the
+    tiny per-bucket count table; new_id = offset + local rank. The only
+    serial window is over ~|buckets| rows. Deterministic: (source,
+    doc_id) is unique.
+
+    100 TB shape: one shuffle to bucket-partition, one parallel window,
+    one broadcast of the offsets table."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    # source-major coarse buckets: (source, doc_id div 512) tiles the
+    # (source, doc_id) order, so concatenating buckets in key order IS
+    # the global order
+    bucketed = d.withColumn("bkt", (F.col("doc_id") / F.lit(512)).cast("bigint"))
+    local_w = Window.partitionBy("source", "bkt").orderBy("doc_id")
+    local = bucketed.withColumn("lr", F.row_number().over(local_w))
+    counts = bucketed.groupBy("source", "bkt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    off_w = (
+        Window.orderBy("source", "bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "source",
+        "bkt",
+        F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            (F.col("off") + F.col("lr")).alias("new_id"),
+        )
+    )

@@ -298,3 +298,95 @@ def join_band_price_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_matches").desc(), "p_partkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (one row per FK edge of the schema)
+# ---------------------------------------------------------------------------
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ri_oracle() -> str:
+    branches = []
+    for name, child, fk, parent, pk in _FK_EDGES:
+        branches.append(f"""
+    SELECT '{name}' AS fk_edge,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+            WHERE {fk} IS NULL) AS n_null_fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+            WHERE {fk} IS NOT NULL
+              AND {fk} NOT IN (SELECT {pk} FROM {parent})) AS n_orphans,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {parent}) AS n_parent_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {parent}
+            WHERE {pk} NOT IN (SELECT {fk} FROM {child}
+                               WHERE {fk} IS NOT NULL))
+               AS n_childless_parents
+        """)
+    return " UNION ALL ".join(f"({b})" for b in branches)
+
+
+@register(
+    "profile_referential_integrity",
+    oracle=_ri_oracle(),
+    tags=("joins", "profiling", "integrity"),
+)
+def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the schema —
+    the cross-table half of the data-quality report (profile_table_stats
+    is the single-table half): per edge, child row count, NULL FKs,
+    ORPHANED child rows (FK with no parent — broken ingest), parent row
+    count, and childless parents (natural on TPC-H: customers without
+    orders — nonzero values that keep the audit hash-gated rather than
+    an all-zeros tautology).
+
+    Plan shape per edge: orphans are a LEFT ANTI join child→parent,
+    childless parents a LEFT ANTI parent→child — Catalyst broadcasts
+    the smaller side (dimension parents) so the fact table never
+    shuffles for the small edges, and AQE picks shuffle-hash for
+    fact-to-fact (lineitem→orders). Counts are 1-row aggregates unioned
+    into the report; at 100 TB each edge costs at most one shuffle of
+    pre-projected key columns."""
+    rows = []
+    for name, child, fk, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent)
+        child_stats = c.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(F.col(fk).isNull().cast("bigint")).alias("n_null_fk"),
+        )
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .join(p, c[fk] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        parent_stats = p.agg(F.count(F.lit(1)).alias("n_parent_rows"))
+        childless = (
+            p.join(
+                c.filter(F.col(fk).isNotNull()), p[pk] == c[fk], "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n_childless_parents"))
+        )
+        rows.append(
+            child_stats.crossJoin(orphans)
+            .crossJoin(parent_stats)
+            .crossJoin(childless)
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child_rows",
+                "n_null_fk",
+                "n_orphans",
+                "n_parent_rows",
+                "n_childless_parents",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1473,3 +1473,81 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in totals[1:]:
         out = out.unionByName(t)
     return out
+
+
+@register(
+    "text_keyword_extraction",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    dt AS (SELECT doc_id, tok, COUNT(*) AS k FROM w GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM dt GROUP BY 1),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT dt.doc_id, dt.tok,
+               (CAST(dt.k AS DOUBLE) / CAST(dl.n AS DOUBLE))
+               * ((CAST(nn.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS score
+        FROM dt
+        JOIN dl USING (doc_id)
+        JOIN dfreq USING (tok), nn
+    )
+    SELECT doc_id, tok AS keyword, score, rnk FROM (
+        SELECT doc_id, tok, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, tok) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf", "keywords"),
+)
+def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF — the
+    tagging/indexing step of a document pipeline. IDF uses the log-free
+    monotone surrogate (N - df + 0.5)/(df + 0.5) (same dialect-exactness
+    trade as text_bm25_retrieval: Java's Math.log is not guaranteed
+    correctly rounded, the rational form is bit-identical IEEE
+    arithmetic on exact integer counts and ranks identically).
+
+    Plan shape: per-(doc, token) counts aggregate once off the exploded
+    scan; document frequency is a second vocab-sized aggregate joined
+    back on token (AQE broadcasts it when the vocab fits, shuffles
+    otherwise); the corpus-row count is a 1-row broadcast; the top-3
+    window shuffles scored (doc, token) pairs once on doc_id. At 100 TB
+    every shuffle carries pre-aggregated pairs, never raw token
+    instances."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    dt = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    dl = dt.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nn = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    scored = (
+        dt.join(dl, "doc_id")
+        .join(dfreq, "tok")
+        .crossJoin(nn)
+        .select(
+            "doc_id",
+            "tok",
+            (
+                (F.col("k").cast("double") / F.col("n").cast("double"))
+                * (
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("df").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("tok").alias("keyword"), "score", "rnk")
+    )

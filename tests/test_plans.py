@@ -625,3 +625,26 @@ def test_band_join_is_equi_join_not_nested_loop(spark):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), plan[:2000]
+
+
+def test_assign_ids_no_corpus_wide_single_partition(spark):
+    """curation_assign_ids' only SinglePartition window must sit over the
+    per-bucket COUNT table (downstream of a HashAggregate), never over
+    the corpus — the declarative-zipWithIndex claim in its docstring."""
+    plan = explain_str(
+        REGISTRY["curation_assign_ids"].fn(spark, SF_DIR), "extended"
+    )
+    phys = plan.split("== Physical Plan ==")[1]
+    lines = phys.splitlines()
+    saw_single = False
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        saw_single = True
+        subtree = "\n".join(lines[i:])
+        assert "HashAggregate" in subtree, plan
+    assert saw_single, plan  # the offsets running total exists
+    # the parallel per-bucket window exists
+    assert "row_number()" in phys
+    # and the offsets side broadcasts back to the corpus
+    assert "BroadcastHashJoin" in phys, plan
