@@ -806,3 +806,96 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(w_from).cast("double")
         ).alias("prob"),
     ).orderBy("from_type", "to_type")
+
+
+_ATTR_WINDOW_US = 7 * 86400 * 10**6  # 7-day lookback, microseconds
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, value, ts, epoch_us(ts) AS us,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 20, '0')
+                         || event_type END AS enc
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               MIN(enc) OVER win AS fe,
+               MAX(enc) OVER win AS le
+        FROM e
+        WINDOW win AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                             AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS conv_event_id, ts AS conv_ts, value,
+           CAST(CAST(substr(fe, 21, 20) AS BIGINT) AS BIGINT)
+               AS first_touch_event_id,
+           substr(fe, 41) AS first_touch_type,
+           CAST(CAST(substr(le, 21, 20) AS BIGINT) AS BIGINT)
+               AS last_touch_event_id,
+           substr(le, 41) AS last_touch_type
+    FROM w WHERE event_type = 'purchase'
+    """,
+    tags=("events", "attribution"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    purchase, the earliest and latest click/view by the same user inside
+    a 7-day lookback — the marketing-analytics operator behind campaign
+    ROI tables, and the time-bounded cousin of the as-of join
+    (join_asof_click_view carries only last-touch, unbounded).
+
+    Plan shape: ONE window per user over the event stream, with a
+    microsecond RANGE frame [-7d, -1µs); first- and last-touch are MIN
+    and MAX over the same frame of a single order-encoding string
+    (zero-padded epoch ‖ zero-padded event_id ‖ type — lexicographic ==
+    (time, id) numeric order, so ties at the same microsecond resolve by
+    event_id deterministically). One shuffle on user_id, no self-join,
+    no per-conversion probe — the naive form joins conversions against
+    touches per pair and quadratics on hot users. Conversions with no
+    in-window touch emit NULL attribution (the organic-traffic row).
+
+    At 100 TB: the frame is time-bounded, so window state per user is
+    bounded by a week of that user's events regardless of history
+    length; the streaming twin would be the same expression over a
+    watermarked stream."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    us = F.unix_micros("ts")
+    enc = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.concat(
+            F.lpad(us.cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+            F.col("event_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    attributed = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.min(enc).over(w).alias("fe"),
+        F.max(enc).over(w).alias("le"),
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_event_id"),
+        F.col("ts").alias("conv_ts"),
+        "value",
+        F.substring("fe", 21, 20).cast("bigint").alias("first_touch_event_id"),
+        F.substring("fe", 41, 10).alias("first_touch_type"),
+        F.substring("le", 21, 20).cast("bigint").alias("last_touch_event_id"),
+        F.substring("le", 41, 10).alias("last_touch_type"),
+    )

@@ -551,3 +551,49 @@ def test_bpe_compression_decreases_by_exactly_pair_counts(spark):
             curve[k].total_symbols
             == curve[k - 1].total_symbols - merges[k]
         ), (k, curve[k], merges[k])
+
+
+def test_attribution_planted_touch_sequence(spark, tmp_path):
+    """Constructed journey: touches inside/outside the 7-day window, a
+    same-microsecond tie broken by event_id, and an organic conversion
+    with no touch — each pinned by hand."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def us(**kw):
+        return t0 + dt.timedelta(**kw)
+
+    rows = [
+        # user 1: click 8 days before (OUT of window), view 2 days
+        # before (first touch), click 1 hour before (last touch)
+        (100, us(days=-8), 1, "click", 0.0, "{}"),
+        (101, us(days=-2), 1, "view", 0.0, "{}"),
+        (102, us(hours=-1), 1, "click", 0.0, "{}"),
+        (103, us(), 1, "purchase", 9.99, "{}"),
+        # user 2: two touches at the SAME microsecond -> event_id breaks
+        # the tie (14 < 15 for first; 15 > 14 for last)
+        (14, us(minutes=-5), 2, "view", 0.0, "{}"),
+        (15, us(minutes=-5), 2, "click", 0.0, "{}"),
+        (16, us(), 2, "purchase", 1.0, "{}"),
+        # user 3: organic (only a signup before) -> NULL attribution
+        (30, us(days=-1), 3, "signup", 0.0, "{}"),
+        (31, us(), 3, "purchase", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: r
+        for r in REGISTRY["events_attribution"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1].first_touch_event_id == 101  # the -8d click is excluded
+    assert out[1].first_touch_type == "view"
+    assert out[1].last_touch_event_id == 102
+    assert out[1].last_touch_type == "click"
+    assert out[2].first_touch_event_id == 14
+    assert out[2].last_touch_event_id == 15
+    assert out[3].first_touch_event_id is None
+    assert out[3].last_touch_type is None
