@@ -1315,11 +1315,18 @@ def _bpe_compression_oracle() -> str:
     """
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str, want_totals: bool):
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    want_totals: bool,
+    keep_final_vocab: bool = False,
+):
     """Run the 6-step distributed merge-learning chain. Returns
-    (merge-row DataFrames, per-step total DataFrames). Every returned
-    frame reads its own materialized (localCheckpoint) blocks, so the
-    intermediate vocabs are released as the chain advances."""
+    (merge-row DataFrames, per-step total DataFrames, final vocab or
+    None). Every returned frame reads its own materialized
+    (localCheckpoint) blocks, so the intermediate vocabs are released as
+    the chain advances; with ``keep_final_vocab`` the post-merge vocab's
+    blocks stay live for the caller (the APPLY path)."""
     from stateflow_spark.storage import unpersist_local_checkpoint
 
     d = load(spark, sf_dir, "documents")
@@ -1391,7 +1398,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, want_totals: bool):
                 F.col("c").alias("pair_count"),
             )
         )
-        if k < _BPE_STEPS or want_totals:
+        if k < _BPE_STEPS or want_totals or keep_final_vocab:
             stepped = (
                 v.crossJoin(F.broadcast(win))
                 .withColumn("m", F.expr(_bpe_m_spark("sym")))
@@ -1407,10 +1414,12 @@ def _bpe_train(spark: SparkSession, sf_dir: str, want_totals: bool):
             v = nxt
             if want_totals:
                 totals.append(totals_of(v, k))
+    if keep_final_vocab:
+        return merges, totals, v
     # outputs read only the materialized winner/total rows — the last
     # vocab's blocks can go too
     unpersist_local_checkpoint(v)
-    return merges, totals
+    return merges, totals, None
 
 
 @register(
@@ -1443,7 +1452,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: all counts are int64; winner selection and merge
     application are integer/string ops — the whole 6-step trajectory
     hash-gates against the generated per-step CTE oracle."""
-    merges, _ = _bpe_train(spark, sf_dir, want_totals=False)
+    merges, _, _ = _bpe_train(spark, sf_dir, want_totals=False)
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
@@ -1468,7 +1477,7 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-step total is a 1-row aggregate over the vocab-frequency table —
     freq-weighted, so the corpus itself is scanned exactly once at step
     0. Exactness: pure int64 masses, one final double division."""
-    _, totals = _bpe_train(spark, sf_dir, want_totals=True)
+    _, totals, _ = _bpe_train(spark, sf_dir, want_totals=True)
     out = totals[0]
     for t in totals[1:]:
         out = out.unionByName(t)
@@ -1550,4 +1559,51 @@ def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", F.col("tok").alias("keyword"), "score", "rnk")
+    )
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_bpe_ctes() + f"""
+    , wl AS (SELECT word, len(sym) AS n_bpe FROM v{_BPE_STEPS + 1})
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
+           CAST(SUM(wl.n_bpe) AS BIGINT) AS n_tokens_bpe
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) dw
+    JOIN wl USING (word)
+    WHERE len(word) > 0 AND strpos(word, '|') = 0
+    GROUP BY doc_id
+    """,
+    tags=("text", "bpe", "tokenizer"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY at corpus scale: per-document token count
+    under the 6 learned merges — the inference side of
+    text_bpe_train_merges (the number a sequence-packing / length-bucket
+    stage consumes). Because BPE merges are word-local, applying the
+    tokenizer to a document reduces to looking its words up in the
+    TRAINED vocab's symbol counts: the corpus never re-runs the merge
+    fold. The word→|symbols| table is vocab-sized and broadcasts; at
+    100 TB the apply is one corpus scan + broadcast join + per-doc
+    aggregate (AQE shuffles the join only if the vocab outgrows the
+    broadcast threshold). OOV words cannot exist by construction (the
+    vocab was built from this corpus; a train/apply split would add a
+    char-count fallback for misses (len(word) symbols), the standard
+    byte/char-fallback policy."""
+    _, _, vocab = _bpe_train(
+        spark, sf_dir, want_totals=False, keep_final_vocab=True
+    )
+    wl = vocab.select("word", F.size("sym").alias("n_bpe"))
+    d = load(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter((F.length("word") > 0) & (~F.col("word").contains("|")))
+    return (
+        dw.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_ws"),
+            F.sum("n_bpe").alias("n_tokens_bpe"),
+        )
     )

@@ -597,3 +597,18 @@ def test_attribution_planted_touch_sequence(spark, tmp_path):
     assert out[2].last_touch_event_id == 15
     assert out[3].first_touch_event_id is None
     assert out[3].last_touch_type is None
+
+
+def test_bpe_apply_consistent_with_compression_curve(spark):
+    """Corpus-wide BPE token mass from the APPLY side must equal the
+    final step of the training curve (train and apply share the vocab),
+    and no document can gain tokens."""
+    curve = {
+        r.step: r.total_symbols
+        for r in REGISTRY["text_bpe_compression"].fn(spark, SF_DIR).collect()
+    }
+    rows = REGISTRY["text_bpe_apply"].fn(spark, SF_DIR).collect()
+    assert sum(r.n_tokens_bpe for r in rows) == curve[max(curve)]
+    # law: every word keeps >= 1 symbol, so a doc's BPE token count is
+    # bounded below by its whitespace token count
+    assert all(r.n_tokens_bpe >= r.n_tokens_ws for r in rows)
