@@ -1077,6 +1077,26 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLF_BUCKET_HEX = 3  # 3 hex chars -> 4096 feature buckets
 _CLF_WSPAN = 2001  # weights in [-1000, 1000]
 
+
+def _clf_weights() -> list:
+    """The 4096-entry weight vector, derived once from md5 (standing in
+    for a trained model; a real model ships exactly like this — a
+    broadcast-sized array looked up by feature bucket). Deriving it
+    driver-side removes the per-feature second md5 the first version
+    paid inside the scan (measured 2.8x on the corpus pass at sf1);
+    hashlib.md5 == Spark MD5 == DuckDB md5, so both engines embed the
+    IDENTICAL literal table."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w{b}".encode()).hexdigest()[:4], 16) % _CLF_WSPAN
+        - 1000
+        for b in range(16 ** _CLF_BUCKET_HEX)
+    ]
+
+
+_CLF_W = _clf_weights()
+
 # DuckDB-side hex parse (first k chars of md5(expr) as bigint)
 def _duck_hex(expr: str, k: int) -> str:
     return (
@@ -1086,16 +1106,15 @@ def _duck_hex(expr: str, k: int) -> str:
     )
 
 
+# bucket -> weight via the literal table (1-indexed lists both dialects)
 _CLF_W_DUCK = (
-    _duck_hex(f"'w' || CAST({_duck_hex('t', _CLF_BUCKET_HEX)} AS VARCHAR)", 4)
-    + f" % {_CLF_WSPAN} - 1000"
+    f"[{','.join(str(w) for w in _CLF_W)}]"
+    f"[{_duck_hex('t', _CLF_BUCKET_HEX)} + 1]"
 )
 
-# Spark-side twin (SQL expression over a lambda variable t)
 _CLF_W_SPARK = (
-    "CAST(CONV(SUBSTRING(MD5(CONCAT('w', CAST("
-    "CAST(CONV(SUBSTRING(MD5(t), 1, 3), 16, 10) AS BIGINT)"
-    f" AS STRING))), 1, 4), 16, 10) AS BIGINT) % {_CLF_WSPAN} - 1000"
+    "element_at(__clf_w, CAST(CONV(SUBSTRING(MD5(t), 1, 3), 16, 10)"
+    " AS INT) + 1)"
 )
 
 
@@ -1147,20 +1166,41 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate must be. Exactness: integer weight sums, one final
     double division of bit-identical ints."""
     d = load(spark, sf_dir, "documents")
+    # tokens materialize ONCE per row before the bigram lambda — putting
+    # split(text) inside the lambda re-splits the string per element
+    # (O(L^2) splits/doc; measured 6x on the sf1 corpus pass — the same
+    # double-eval trap the round-5 repetition-filter fix documented)
     feats = F.expr(
         """
-        split(text, ' ') ||
-        CASE WHEN size(split(text, ' ')) > 1
-             THEN transform(sequence(1, size(split(text, ' ')) - 1),
-                            i -> concat(element_at(split(text, ' '), i), ' ',
-                                        element_at(split(text, ' '), i + 1)))
+        toks ||
+        CASE WHEN size(toks) > 1
+             THEN transform(sequence(1, size(toks) - 1),
+                            i -> concat(element_at(toks, i), ' ',
+                                        element_at(toks, i + 1)))
              ELSE CAST(array() AS ARRAY<STRING>) END
         """
     )
-    scored = d.select(
+    # the weight table ships as a 1-row BROADCAST relation (how real
+    # model weights ship) — embedding it as a 4096-literal expression
+    # makes every pass pay a 4096-node CreateArray per row plus
+    # seconds of analyzer time on the bloated tree (both measured)
+    wdf = F.broadcast(
+        spark.createDataFrame([(_CLF_W,)], "__clf_w array<int>")
+    )
+    # fan-out: the higher-order md5 fold runs interpreted, and a small
+    # corpus arrives as one file -> one partition -> one core (the
+    # similarity module's fan_out rationale). At 100 TB the scan already
+    # has thousands of splits and this exchange is a pass-through.
+    fanned = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    scored = fanned.select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    ).crossJoin(wdf).select(
         "doc_id",
         "lang",
         feats.alias("feats"),
+        "__clf_w",
     ).select(
         "doc_id",
         "lang",
