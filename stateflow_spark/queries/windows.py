@@ -392,20 +392,34 @@ def scd2_dimension_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     history. Deterministic: the within-day tiebreak is the unique
     orderkey, so version boundaries are total-ordered."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     obs = o.select(
-        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
-    ).withColumn("prev_prio", F.lag("o_orderpriority").over(w))
-    changes = obs.filter(
-        F.col("prev_prio").isNull()
-        | (F.col("prev_prio") != F.col("o_orderpriority"))
-    )
-    eff_to = F.lead("o_orderdate").over(w)
-    return changes.select(
         F.col("o_custkey").alias("custkey"),
-        F.row_number().over(w).alias("version_nr"),
+        F.col("o_orderdate").alias("obs_date"),
+        F.col("o_orderkey").alias("obs_key"),
         F.col("o_orderpriority").alias("attr_value"),
-        F.col("o_orderdate").alias("eff_from"),
+    )
+    return scd2_versions(obs).drop("first_obs_key")
+
+
+def scd2_versions(obs: DataFrame) -> DataFrame:
+    """SCD-2 core over an observation feed (custkey, obs_date, obs_key,
+    attr_value) -> versioned dimension. Shared by the batch build above
+    and the incremental streaming merge (streaming_late.stream_scd2_merge),
+    whose per-batch recompute feeds it stored change-points ∪ new
+    observations for the affected keys only."""
+    w = Window.partitionBy("custkey").orderBy("obs_date", "obs_key")
+    flagged = obs.withColumn("prev_attr", F.lag("attr_value").over(w))
+    changes = flagged.filter(
+        F.col("prev_attr").isNull()
+        | (F.col("prev_attr") != F.col("attr_value"))
+    )
+    eff_to = F.lead("obs_date").over(w)
+    return changes.select(
+        "custkey",
+        F.row_number().over(w).alias("version_nr"),
+        "attr_value",
+        F.col("obs_date").alias("eff_from"),
+        F.col("obs_key").alias("first_obs_key"),
         eff_to.alias("eff_to"),
         eff_to.isNull().alias("is_current"),
     )

@@ -612,3 +612,43 @@ def test_bpe_apply_consistent_with_compression_curve(spark):
     # law: every word keeps >= 1 symbol, so a doc's BPE token count is
     # bounded below by its whitespace token count
     assert all(r.n_tokens_bpe >= r.n_tokens_ws for r in rows)
+
+
+def test_stream_scd2_collapses_repeats_across_batch_seams(spark, tmp_path):
+    """A key observing the SAME value at the end of one micro-batch and
+    the start of the next must NOT open a new version (the cross-batch
+    collapse is where an incremental SCD-2 merge goes wrong); a changed
+    value across the seam must. Dates span 90 days so the tercile files
+    put the seam observations in different triggers."""
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        # key 1: URGENT in tercile 0 (days 0, 29) and again in tercile 1
+        # (day 31) -> still ONE version; changes to LOW in tercile 2
+        (101, 1, d0, "URGENT"),
+        (102, 1, d0 + dt.timedelta(days=29), "URGENT"),
+        (103, 1, d0 + dt.timedelta(days=31), "URGENT"),
+        (104, 1, d0 + dt.timedelta(days=75), "LOW"),
+        # key 2: changes exactly at the seam
+        (201, 2, d0 + dt.timedelta(days=29), "HIGH"),
+        (202, 2, d0 + dt.timedelta(days=31), "MEDIUM"),
+        (203, 2, d0 + dt.timedelta(days=89), "MEDIUM"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = sorted(
+        (
+            (r.custkey, r.version_nr, r.attr_value, r.is_current)
+            for r in REGISTRY["stream_scd2_merge"].fn(spark, str(tmp_path)).collect()
+        )
+    )
+    assert out == [
+        (1, 1, "URGENT", False),
+        (1, 2, "LOW", True),
+        (2, 1, "HIGH", False),
+        (2, 2, "MEDIUM", True),
+    ], out
