@@ -648,3 +648,43 @@ def test_assign_ids_no_corpus_wide_single_partition(spark):
     assert "row_number()" in phys
     # and the offsets side broadcasts back to the corpus
     assert "BroadcastHashJoin" in phys, plan
+
+
+def test_quality_classifier_single_fanout_exchange(spark):
+    """The classifier is scan-shaped: its ONLY exchange is the explicit
+    fan-out repartition (plus the 1-row weight broadcast) — no aggregate
+    or join shuffle may appear."""
+    plan = explain_str(
+        REGISTRY["text_quality_classifier"].fn(spark, SF_DIR), "formatted"
+    )
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    hash_exchanges = [e for e in exchanges if e == "hashpartitioning"]
+    assert len(hash_exchanges) <= 1, exchanges
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_hard_negatives_broadcast_anchor_block(spark):
+    """The anchor block must broadcast (BNLJ against the corpus); the
+    only wide shuffle is the (qid, kind) mining window."""
+    plan = explain_str(
+        REGISTRY["sim_hard_negatives"].fn(spark, SF_DIR), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_referential_integrity_broadcasts_dimension_antijoins(spark):
+    """Every anti join against a dimension parent must broadcast — the
+    fact table never shuffles for the small edges."""
+    plan = explain_str(
+        REGISTRY["profile_referential_integrity"].fn(spark, SF_DIR),
+        "formatted",
+    )
+    assert "BroadcastHashJoin" in plan
+    # LEFT ANTI appears for both orphan directions
+    assert plan.count("LeftAnti") >= 6, plan.count("LeftAnti")
