@@ -103,10 +103,13 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # and evicting any of them would leave a whole family 3 rounds stale, a
 # worse trade), plus the post-freeze batch events_markov_transitions,
 # text_ngram_lm_score, sim_ivfpq_topk, join_band_price_neighbors,
-# sim_hard_negatives and the rest of the final-session batch (each
-# appended here as it lands). All post-freeze queries are local-oracle
-# green at sf0.001 and sf0.01 (sf1 where noted in SCALING.md) and MUST
-# lead the r7 prefix.
+# and the final-session batch: sim_hard_negatives,
+# text_quality_classifier, scd2_dimension_versions, profile_table_stats,
+# dedup_label_propagation, text_bpe_train_merges, text_bpe_compression,
+# text_bpe_apply, text_keyword_extraction, profile_referential_integrity,
+# curation_assign_ids, events_attribution, stream_scd2_merge. All
+# post-freeze queries are local-oracle green at sf0.001 and sf0.01
+# (sf1/sf10 where noted in SCALING.md) and MUST lead the r7 prefix.
 _R06_PREFIX = [
     # never driver-stamped
     "text_chunking",
