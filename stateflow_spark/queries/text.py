@@ -1647,3 +1647,72 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe").alias("n_tokens_bpe"),
         )
     )
+
+
+@register(
+    "text_memorization_audit",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(text, ' ')) < 8
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        range(1, len(string_split(text, ' ')) - 6),
+                        i -> array_to_string(
+                            list_slice(string_split(text, ' '), i, i + 7),
+                            ' ')) END) AS grams
+        FROM documents
+    ),
+    cnt AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS example_doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+        GROUP BY gram
+    )
+    SELECT gram, n_docs, example_doc_id
+    FROM cnt
+    ORDER BY n_docs DESC, gram
+    LIMIT 20
+    """,
+    tags=("text", "memorization", "dedup"),
+)
+def text_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit: the 20 8-token sequences shared by the
+    most distinct documents — the repeated-passage census behind
+    substring dedup (Lee et al. 2022: sequences repeated across training
+    docs are what models memorize verbatim). Output is the readable
+    artifact (gram, n_docs, example doc) a data audit reports.
+
+    Plan shape: the gram set builds IN-ARRAY per doc (slice + concat_ws
+    over the token array — no token explode) and dedups per doc
+    (array_distinct) BEFORE the corpus-wide count, so the shuffle
+    carries each doc's distinct grams once; the census is one
+    partial/final count + TakeOrdered(20). At 100 TB the gram strings
+    would carry as 64-bit rolling hashes (text_rolling_fingerprint's
+    arithmetic) with strings recovered for the top-k only — same plan,
+    1/6 the shuffle bytes; kept as strings here so the DuckDB oracle
+    pins the census end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    toks_once = d.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            """
+            array_distinct(CASE WHEN size(toks) < 8
+                THEN CAST(array() AS ARRAY<STRING>)
+                ELSE transform(sequence(1, size(toks) - 7),
+                     i -> concat_ws(' ', slice(toks, i, 8))) END)
+            """
+        ).alias("grams"),
+    )
+    return (
+        toks_once.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(20)
+    )

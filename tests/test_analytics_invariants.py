@@ -652,3 +652,28 @@ def test_stream_scd2_collapses_repeats_across_batch_seams(spark, tmp_path):
         (2, 1, "HIGH", False),
         (2, 2, "MEDIUM", True),
     ], out
+
+
+def test_memorization_audit_finds_planted_quote(spark, tmp_path):
+    """An 8-token passage quoted verbatim in 5 otherwise-unrelated docs
+    must top the census with n_docs = 5; a passage REPEATED twice inside
+    ONE doc counts once (distinct-doc semantics)."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = []
+    for i in range(5):
+        filler = " ".join(f"u{i}w{j}" for j in range(6))
+        docs.append((i, f"{filler} {quote}", "en", "s", 1))
+    # doc 10 repeats a different 8-gram twice -> still n_docs = 1
+    rep = "one two three four five six seven eight"
+    docs.append((10, f"{rep} {rep}", "en", "s", 1))
+    for j in range(20, 40):
+        docs.append((j, " ".join(f"z{j}x{k}" for k in range(12)), "en", "s", 1))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = REGISTRY["text_memorization_audit"].fn(spark, str(tmp_path)).collect()
+    assert rows[0].gram == quote and rows[0].n_docs == 5
+    by_gram = {r.gram: r.n_docs for r in rows}
+    assert by_gram.get(rep, 1) == 1
