@@ -107,7 +107,8 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # text_quality_classifier, scd2_dimension_versions, profile_table_stats,
 # dedup_label_propagation, text_bpe_train_merges, text_bpe_compression,
 # text_bpe_apply, text_keyword_extraction, profile_referential_integrity,
-# curation_assign_ids, events_attribution, stream_scd2_merge. All
+# curation_assign_ids, events_attribution, stream_scd2_merge,
+# text_memorization_audit. All
 # post-freeze queries are local-oracle green at sf0.001 and sf0.01
 # (sf1/sf10 where noted in SCALING.md) and MUST lead the r7 prefix.
 _R06_PREFIX = [

@@ -1144,7 +1144,7 @@ _CLF_W_SPARK = (
                 THEN 'keep' ELSE 'drop' END AS label
     FROM scored
     """,
-    tags=("text", "classifier", "quality"),
+    tags=("text", "classifier", "quality", "bench"),
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality classifier INFERENCE over hashed
@@ -1465,7 +1465,7 @@ def _bpe_train(
 @register(
     "text_bpe_train_merges",
     oracle=_bpe_oracle(),
-    tags=("text", "bpe", "tokenizer"),
+    tags=("text", "bpe", "tokenizer", "bench"),
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
