@@ -1066,22 +1066,23 @@ def agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # One-pass data profiler (the ingest-time data-quality report)
 # ---------------------------------------------------------------------------
-# (name, spark canonical expr, duck canonical expr template over {c},
-#  duck raw column) — doubles canonicalize through DECIMAL(12,2) so both
-# engines emit the identical string (and the 2-decimal source values are
-# never scale-2 rounding ties — see queries/common.py tie-hazard note).
+# (name, spark canonical template over {c}, duck canonical template over
+# {c}) — both sides are TEMPLATES so min/max can substitute MIN(col)/
+# MAX(col) without string surgery on the column name. Doubles
+# canonicalize through DECIMAL(12,2) so both engines emit the identical
+# string (and the 2-decimal source values are never scale-2 rounding
+# ties — see queries/common.py tie-hazard note).
 _PROFILE_COLS = [
-    ("l_linenumber", "CAST(l_linenumber AS STRING)",
-     "CAST({c} AS VARCHAR)"),
-    ("l_quantity", "CAST(CAST(l_quantity AS DECIMAL(12,2)) AS STRING)",
+    ("l_linenumber", "CAST({c} AS STRING)", "CAST({c} AS VARCHAR)"),
+    ("l_quantity", "CAST(CAST({c} AS DECIMAL(12,2)) AS STRING)",
      "CAST(CAST({c} AS DECIMAL(12,2)) AS VARCHAR)"),
-    ("l_discount", "CAST(CAST(l_discount AS DECIMAL(12,2)) AS STRING)",
+    ("l_discount", "CAST(CAST({c} AS DECIMAL(12,2)) AS STRING)",
      "CAST(CAST({c} AS DECIMAL(12,2)) AS VARCHAR)"),
-    ("l_tax", "CAST(CAST(l_tax AS DECIMAL(12,2)) AS STRING)",
+    ("l_tax", "CAST(CAST({c} AS DECIMAL(12,2)) AS STRING)",
      "CAST(CAST({c} AS DECIMAL(12,2)) AS VARCHAR)"),
-    ("l_returnflag", "l_returnflag", "{c}"),
-    ("l_linestatus", "l_linestatus", "{c}"),
-    ("l_shipdate", "CAST(l_shipdate AS STRING)", "CAST({c} AS VARCHAR)"),
+    ("l_returnflag", "{c}", "{c}"),
+    ("l_linestatus", "{c}", "{c}"),
+    ("l_shipdate", "CAST({c} AS STRING)", "CAST({c} AS VARCHAR)"),
 ]
 
 
@@ -1135,7 +1136,9 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct — kept exact here so the oracle hash-gates."""
     li = load(spark, sf_dir, "lineitem")
     k = len(_PROFILE_COLS)
-    stack_args = ", ".join(f"'{n}', {s}" for n, s, _ in _PROFILE_COLS)
+    stack_args = ", ".join(
+        f"'{n}', {s.format(c=n)}" for n, s, _ in _PROFILE_COLS
+    )
     long = li.select(
         F.expr(f"stack({k}, {stack_args})").alias("col_name", "val")
     )
@@ -1154,9 +1157,10 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mm_exprs = []
     for n, s, _ in _PROFILE_COLS:
-        mn = s.replace(n, f"MIN({n})") if n in s else s
-        mx = s.replace(n, f"MAX({n})") if n in s else s
-        mm_exprs += [F.expr(mn).alias(f"mn_{n}"), F.expr(mx).alias(f"mx_{n}")]
+        mm_exprs += [
+            F.expr(s.format(c=f"MIN({n})")).alias(f"mn_{n}"),
+            F.expr(s.format(c=f"MAX({n})")).alias(f"mx_{n}"),
+        ]
     mm_row = li.agg(*mm_exprs)
     mm_stack = ", ".join(f"'{n}', mn_{n}, mx_{n}" for n, _, _ in _PROFILE_COLS)
     minmax = mm_row.select(

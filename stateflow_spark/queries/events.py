@@ -854,7 +854,11 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     and MAX over the same frame of a single order-encoding string
     (zero-padded epoch ‖ zero-padded event_id ‖ type — lexicographic ==
     (time, id) numeric order, so ties at the same microsecond resolve by
-    event_id deterministically). One shuffle on user_id, no self-join,
+    event_id deterministically; CAVEAT: zero-padding assumes nonnegative
+    epoch micros — pre-1970 timestamps would encode with a '-' and break
+    the lexicographic ordering on BOTH engines identically, i.e. wrong
+    silently; an event feed with pre-epoch times needs a +2^62 offset in
+    the pad). One shuffle on user_id, no self-join,
     no per-conversion probe — the naive form joins conversions against
     touches per pair and quadratics on hot users. Conversions with no
     in-window touch emit NULL attribution (the organic-traffic row).
@@ -895,7 +899,10 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("conv_ts"),
         "value",
         F.substring("fe", 21, 20).cast("bigint").alias("first_touch_event_id"),
-        F.substring("fe", 41, 10).alias("first_touch_type"),
+        # 2-arg substring (unbounded suffix) mirrors the oracle's
+        # substr(fe, 41) — a length cap would silently truncate any
+        # future touch type longer than it
+        F.expr("substring(fe, 41)").alias("first_touch_type"),
         F.substring("le", 21, 20).cast("bigint").alias("last_touch_event_id"),
-        F.substring("le", 41, 10).alias("last_touch_type"),
+        F.expr("substring(le, 41)").alias("last_touch_type"),
     )

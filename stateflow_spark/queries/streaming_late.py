@@ -58,6 +58,22 @@ from stateflow_spark.queries.common import dsum, register
 # a module-level import would register the whole events family ahead of
 # the r03-stamped families this round's prefix must refresh first.
 
+
+def _write_single_file(df, dst: str, mtime: int) -> None:
+    """Write a DataFrame as exactly one parquet FILE at `dst` with a
+    forced mtime — the building block of every deterministic micro-batch
+    schedule in this module (FileStreamSource reads files in mtime
+    order). One implementation; four harnesses use it."""
+    tmp = tempfile.mkdtemp(prefix="single-file-")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # one two-file re-serve of the events table per (process, sf_dir)
 _SRC_CACHE: dict[str, str] = {}
 
@@ -94,13 +110,9 @@ def _three_file_src(spark: SparkSession, sf_dir: str) -> str:
             ("late", late, 3000),
         )
     ):
-        tmp = tempfile.mkdtemp(prefix=f"stream-late-{tag}-")
-        e.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(src, f"{i:02d}-{tag}.parquet")
-        shutil.copyfile(os.path.join(tmp, part), dst)
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
+        _write_single_file(
+            e.filter(pred), os.path.join(src, f"{i:02d}-{tag}.parquet"), mtime
+        )
     _SRC_CACHE[sf_dir] = src
     return src
 
@@ -172,14 +184,12 @@ def _replay_src(spark: SparkSession, sf_dir: str) -> str:
     if src is not None and os.path.isdir(src):
         return src
     src = tempfile.mkdtemp(prefix="stream-replay-src-")
-    tmp = tempfile.mkdtemp(prefix="stream-replay-one-")
-    load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-    for i, tag in enumerate(("original", "replay")):
-        dst = os.path.join(src, f"{i:02d}-{tag}.parquet")
-        shutil.copyfile(os.path.join(tmp, part), dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
-    shutil.rmtree(tmp, ignore_errors=True)
+    first = os.path.join(src, "00-original.parquet")
+    _write_single_file(load(spark, sf_dir, "events"), first, 1000)
+    # the replay must be the SAME BYTES, not a re-write of the same rows
+    replay = os.path.join(src, "01-replay.parquet")
+    shutil.copyfile(first, replay)
+    os.utime(replay, (2000, 2000))
     _REPLAY_CACHE[sf_dir] = src
     return src
 
@@ -319,13 +329,9 @@ def _phase_src(spark: SparkSession, sf_dir: str) -> str:
         e.filter(F.col("ts") >= F.lit(b2)),
     ]
     for i, p in enumerate(phases):
-        tmp = tempfile.mkdtemp(prefix="stream-phase-one-")
-        p.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(src, f"{i:02d}-phase.parquet")
-        shutil.copyfile(os.path.join(tmp, part), dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
-        shutil.rmtree(tmp, ignore_errors=True)
+        _write_single_file(
+            p, os.path.join(src, f"{i:02d}-phase.parquet"), 1000 * (i + 1)
+        )
     _PHASE_CACHE[sf_dir] = src
     return src
 
@@ -457,10 +463,8 @@ def _scd2_merge_fn(table: str):
     over verbatim. Per-trigger cost is O(stored versions of touched keys
     + batch rows) — independent of history volume for untouched keys.
     The table swap reuses the sink's crash-safe delete-then-rename."""
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from stateflow_spark.queries.windows import scd2_versions
+    from stateflow_spark.streaming.sinks import swap_parquet_dir
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -486,49 +490,17 @@ def _scd2_merge_fn(table: str):
             )
         else:
             merged = scd2_versions(obs)
-        tmp = _tempfile.mkdtemp(
-            prefix=".scd2-", dir=os.path.dirname(table) or "."
-        )
-        out = os.path.join(tmp, "data")
-        merged.write.mode("overwrite").parquet(out)
-        old = table + ".old"
-        _shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(table):
-            os.rename(table, old)
-        os.rename(out, table)
-        _shutil.rmtree(old, ignore_errors=True)
-        _shutil.rmtree(tmp, ignore_errors=True)
+        swap_parquet_dir(merged, table, prefix=".scd2-")
 
     return merge
 
 
+from stateflow_spark.queries.windows import SCD2_ORACLE
+
+
 @register(
     "stream_scd2_merge",
-    oracle="""
-    WITH obs AS (
-        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-               LAG(o_orderpriority) OVER (
-                   PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey) AS prev_prio
-        FROM orders
-    ),
-    changes AS (
-        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
-        FROM obs
-        WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
-    )
-    SELECT o_custkey AS custkey,
-           ROW_NUMBER() OVER (PARTITION BY o_custkey
-                              ORDER BY o_orderdate, o_orderkey) AS version_nr,
-           o_orderpriority AS attr_value,
-           o_orderdate AS eff_from,
-           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey) AS eff_to,
-           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey) IS NULL
-               AS is_current
-    FROM changes
-    """,
+    oracle=SCD2_ORACLE,
     tags=("streaming", "scd2", "warehouse"),
 )
 def stream_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,13 +539,11 @@ def stream_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("p2", F.col("o_orderdate") >= t2, 3000),
         )
         for i, (tag, pred, mtime) in enumerate(phases):
-            tmp = tempfile.mkdtemp(prefix=f"scd2-{tag}-")
-            o.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            dst = os.path.join(src, f"{i:02d}-{tag}.parquet")
-            shutil.copyfile(os.path.join(tmp, part), dst)
-            os.utime(dst, (mtime, mtime))
-            shutil.rmtree(tmp, ignore_errors=True)
+            _write_single_file(
+                o.filter(pred),
+                os.path.join(src, f"{i:02d}-{tag}.parquet"),
+                mtime,
+            )
         table = os.path.join(base, "scd2")
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)

@@ -346,9 +346,10 @@ def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_retailprice", "p_size")
 
 
-@register(
-    "scd2_dimension_versions",
-    oracle="""
+# shared with stream_scd2_merge (streaming_late.py): the streaming
+# query's contract IS convergence to this batch recompute, so both
+# registrations must gate on the identical oracle literal
+SCD2_ORACLE = """
     WITH obs AS (
         SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
                LAG(o_orderpriority) OVER (
@@ -372,7 +373,12 @@ def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY o_orderdate, o_orderkey) IS NULL
                AS is_current
     FROM changes
-    """,
+    """
+
+
+@register(
+    "scd2_dimension_versions",
+    oracle=SCD2_ORACLE,
     tags=("window", "scd2", "warehouse"),
 )
 def scd2_dimension_versions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,21 +119,10 @@ def compact(
     )
     n_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = tempfile.mkdtemp(prefix=".compact-", dir=os.path.dirname(path) or ".")
-    out = os.path.join(tmp, "data")
-    df.repartition(n_files).write.mode("overwrite").parquet(out)
-    old = path + ".old"
-    # clear a leftover `.old` from a crashed prior compaction before the
-    # swap — otherwise os.rename(path, old) raises ENOTEMPTY and every
-    # subsequent compaction fails until manual cleanup (round-5 ADVICE).
-    # The brief table-less window between the renames is inherent to
-    # dir-swap without renameat2(RENAME_EXCHANGE); compaction is an
-    # offline maintenance op, re-runnable after a crash.
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(out, path)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+    # shared crash-safe dir swap (round-5 ENOTEMPTY fix lives there once)
+    from stateflow_spark.streaming.sinks import swap_parquet_dir
+
+    swap_parquet_dir(df.repartition(n_files), path, prefix=".compact-")
     return n_files
 
 

@@ -35,6 +35,35 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame
 
 
+def swap_parquet_dir(df: DataFrame, path: str, prefix: str = ".swap-") -> None:
+    """Write `df` next to `path` and atomically swap it in — the shared
+    crash-safe replace used by the upsert sink, storage.compact and the
+    streaming SCD-2 merge (one implementation so the round-5 ENOTEMPTY
+    fix cannot drift between copies).
+
+    A crash between the two renames leaves a populated `.old` and no
+    table at `path`; any such leftover is cleared FIRST so a wedged
+    prior swap cannot fail every later one with ENOTEMPTY (round-5
+    ADVICE). The brief table-less window between the renames is inherent
+    to dir-swap without renameat2(RENAME_EXCHANGE); callers are
+    re-runnable (micro-batches replay from the checkpoint, compaction is
+    offline maintenance)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    tmp = _tempfile.mkdtemp(prefix=prefix, dir=_os.path.dirname(path) or ".")
+    out = _os.path.join(tmp, "data")
+    df.write.mode("overwrite").parquet(out)
+    old = path + ".old"
+    _shutil.rmtree(old, ignore_errors=True)
+    if _os.path.isdir(path):
+        _os.rename(path, old)
+    _os.rename(out, path)
+    _shutil.rmtree(old, ignore_errors=True)
+    _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def upsert_parquet_sink(
     path: str, keys: Sequence[str]
 ) -> Callable[[DataFrame, int], None]:
@@ -52,23 +81,6 @@ def upsert_parquet_sink(
             ).unionByName(batch_df)
         else:
             merged = batch_df
-        tmp = tempfile.mkdtemp(
-            prefix=".upsert-", dir=os.path.dirname(path) or "."
-        )
-        out = os.path.join(tmp, "data")
-        merged.write.mode("overwrite").parquet(out)
-        old = path + ".old"
-        # a crash between the two renames below leaves a populated `.old`
-        # and no table at `path`; clear any such leftover FIRST so a
-        # wedged prior swap cannot fail this one with ENOTEMPTY forever
-        # (round-5 ADVICE). The table-less window between the renames is
-        # inherent to dir-swap without renameat2(RENAME_EXCHANGE); readers
-        # retry, and the batch itself re-runs from the checkpoint.
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(path):
-            os.rename(path, old)
-        os.rename(out, path)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        swap_parquet_dir(merged, path, prefix=".upsert-")
 
     return merge

@@ -659,9 +659,10 @@ def test_quality_classifier_single_fanout_exchange(spark):
     )
     import re
 
-    exchanges = re.findall(r"Exchange (\w+)", plan)
-    hash_exchanges = [e for e in exchanges if e == "hashpartitioning"]
-    assert len(hash_exchanges) <= 1, exchanges
+    # formatted plans print "(N) Exchange"; count the shuffle exchanges
+    # (BroadcastExchange is the 1-row weight relation and is allowed)
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) <= 1, (shuffles, plan)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
