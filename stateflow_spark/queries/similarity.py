@@ -1859,3 +1859,123 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("qid", "kind", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
     )
+
+
+_MINE_TOPK = 4
+_MINE_MARGIN = 1.05
+
+
+@register(
+    "sim_bitext_mining",
+    oracle=f"""
+    WITH ex AS ({_EX_SQL}),
+    norms AS (
+        SELECT vec_id,
+               CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR)
+                    AS DOUBLE) AS n2
+        FROM ex GROUP BY vec_id
+    ),
+    src AS (SELECT vec_id AS sid FROM embeddings WHERE label = 0),
+    tgt AS (SELECT vec_id AS tid FROM embeddings WHERE label = 1),
+    dots AS (
+        SELECT s.sid, t.tid,
+               CAST(CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS VARCHAR)
+                    AS DOUBLE) AS dot
+        FROM src s
+        JOIN ex a ON a.vec_id = s.sid
+        JOIN tgt t ON TRUE
+        JOIN ex b ON b.vec_id = t.tid AND b.pos = a.pos
+        GROUP BY s.sid, t.tid
+    ),
+    scored AS (
+        SELECT sid, tid,
+               dot / (sqrt(ns.n2) * sqrt(nt.n2)) AS cosine
+        FROM dots
+        JOIN norms ns ON ns.vec_id = sid
+        JOIN norms nt ON nt.vec_id = tid
+    ),
+    ranked AS (
+        SELECT sid, tid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY sid
+                                  ORDER BY cosine DESC, tid) AS rnk
+        FROM scored
+    ),
+    folded AS (
+        SELECT sid,
+               MAX(CASE WHEN rnk = 1 THEN tid END) AS best_tid,
+               MAX(CASE WHEN rnk = 1 THEN cosine END) AS best_cos,
+               CAST(CAST(SUM(CASE WHEN rnk <= {_MINE_TOPK}
+                    THEN CAST(cosine AS DECIMAL(27,12)) END) AS VARCHAR)
+                    AS DOUBLE) AS topk_sum,
+               CAST(COUNT(CASE WHEN rnk <= {_MINE_TOPK} THEN 1 END)
+                    AS BIGINT) AS topk_n
+        FROM ranked GROUP BY sid
+    )
+    SELECT sid AS src_id, best_tid AS tgt_id, best_cos AS cosine,
+           best_cos / (topk_sum / CAST(topk_n AS DOUBLE)) AS margin,
+           best_cos / (topk_sum / CAST(topk_n AS DOUBLE)) >= {_MINE_MARGIN}
+               AS accepted
+    FROM folded
+    """,
+    tags=("similarity", "mining", "bitext"),
+)
+def sim_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER bitext-mining criterion): for every source-side
+    vector (label 0 stands in for language A) the best target-side
+    neighbor (label 1 = language B) is accepted only if its cosine
+    stands out from the neighborhood — margin = best / mean(top-4) ≥
+    1.05 — which kills the hubness false positives plain
+    nearest-neighbor mining suffers.
+
+    Plan shape: target block broadcasts against the fanned-out source
+    side (the smaller side broadcasts — at corpus scale both sides
+    shard and the scoring runs through the IVF probe like
+    sim_ivf_knn_join, margin unchanged); ranking and the top-4 mean
+    share ONE window shuffle on src_id; the mean accumulates through
+    decimal so margin is one IEEE division of bit-identical operands.
+    Emits every source row with its margin and the accept decision, so
+    the gate hashes the criterion itself, not just the survivors."""
+    corpus = _corpus(spark, sf_dir, with_label=True)
+    tgt = F.broadcast(
+        corpus.filter(F.col("label") == 1).select(
+            F.col("vec_id").alias("tid"),
+            F.col("v").alias("tv"),
+            norm2_dec("v").alias("tn2"),
+        )
+    )
+    src = (
+        _corpus(spark, sf_dir, with_label=True, fan_out=True)
+        .filter(F.col("label") == 0)
+        .select(
+            F.col("vec_id").alias("sid"), "v", norm2_dec("v").alias("sn2")
+        )
+    )
+    scored = src.crossJoin(tgt).select(
+        "sid",
+        "tid",
+        (
+            dot_dec("v", "tv") / (F.sqrt(F.col("sn2")) * F.sqrt(F.col("tn2")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("sid").orderBy(F.col("cosine").desc(), "tid")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    topk = F.when(
+        F.col("rnk") <= _MINE_TOPK, F.col("cosine").cast("decimal(27,12)")
+    )
+    folded = ranked.groupBy("sid").agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("tid"))).alias("best_tid"),
+        F.max(F.when(F.col("rnk") == 1, F.col("cosine"))).alias("best_cos"),
+        F.sum(topk).cast("double").alias("topk_sum"),
+        F.count(topk).alias("topk_n"),
+    )
+    margin = F.col("best_cos") / (
+        F.col("topk_sum") / F.col("topk_n").cast("double")
+    )
+    return folded.select(
+        F.col("sid").alias("src_id"),
+        F.col("best_tid").alias("tgt_id"),
+        F.col("best_cos").alias("cosine"),
+        margin.alias("margin"),
+        (margin >= _MINE_MARGIN).alias("accepted"),
+    )

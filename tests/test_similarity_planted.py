@@ -238,3 +238,39 @@ def test_hard_negative_mining_planted(spark, tmp_path):
         assert sorted(kinds) == [
             ("hard_neg", 1), ("hard_neg", 2), ("hard_neg", 3), ("hard_pos", 1)
         ], (qid, kinds)
+
+
+def test_bitext_margin_accepts_true_pair_rejects_hub(spark, tmp_path):
+    """A planted translation pair (near-identical cross-side vectors)
+    must be accepted with a high margin; a source vector equidistant
+    from several targets (the hubness case) gets margin ~1 and is
+    rejected even though it HAS a nearest neighbor."""
+    rng = random.Random(31)
+    dim = 64
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    pair = [x + 1e-6 for x in base]
+    rows = [
+        (0, base, 0),  # source with a true counterpart
+        (100, pair, 1),  # its translation on the target side
+    ]
+    # a hub source: a CLUSTER of near-identical targets sits at moderate
+    # cosine from it, so its best neighbor is no better than its top-4
+    # mean (margin ≈ 1) even though a nearest neighbor exists
+    hub = [rng.uniform(-1, 1) for _ in range(dim)]
+    cluster = [x + rng.uniform(-0.5, 0.5) for x in hub]
+    rows.append((1, hub, 0))
+    for i in range(101, 107):
+        rows.append(
+            (i, [x + rng.uniform(-1e-4, 1e-4) for x in cluster], 1)
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {r.src_id: r for r in REGISTRY["sim_bitext_mining"].fn(spark, str(tmp_path)).collect()}
+    assert out[0].tgt_id == 100 and out[0].accepted
+    assert out[0].margin > 1.5
+    # the hub's best neighbor is not meaningfully better than its top-4
+    assert not out[1].accepted, out[1]
