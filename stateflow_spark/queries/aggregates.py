@@ -1170,3 +1170,121 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name", "n_rows", "n_nulls", "n_distinct",
         "min_val", "max_val", "top_value", "top_count",
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, CAST(value AS DECIMAL(38,2)) AS v, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM q
+    ),
+    thr AS (
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               MIN(CASE WHEN cum >= CAST(ceil(0.05 * n) AS BIGINT)
+                        THEN v END) AS p05,
+               MIN(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT)
+                        THEN v END) AS p95
+        FROM cum GROUP BY event_type
+    ),
+    stats AS (
+        SELECT q.event_type,
+               SUM(CAST(CAST(q.v * 100 AS BIGINT) * q.c
+                        AS DECIMAL(38,0))) AS plain_cents,
+               SUM(CAST(CAST(LEAST(GREATEST(q.v, thr.p05), thr.p95) * 100
+                             AS BIGINT) * q.c AS DECIMAL(38,0))) AS wins_cents
+        FROM q JOIN thr USING (event_type)
+        GROUP BY q.event_type
+    )
+    SELECT thr.event_type, thr.n,
+           CAST(thr.p05 AS DOUBLE) AS p05,
+           CAST(thr.p95 AS DOUBLE) AS p95,
+           CAST(CAST(plain_cents AS VARCHAR) AS DOUBLE)
+               / (100.0 * CAST(thr.n AS DOUBLE)) AS mean_plain,
+           CAST(CAST(wins_cents AS VARCHAR) AS DOUBLE)
+               / (100.0 * CAST(thr.n AS DOUBLE)) AS mean_winsorized
+    FROM thr JOIN stats USING (event_type)
+    """,
+    tags=("agg", "robust", "stats"),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) mean per event type: values clipped to the
+    EXACT [p05, p95] before averaging — the outlier-resistant quality
+    metric a data pipeline reports beside the plain mean (one fat-finger
+    value can move a plain mean arbitrarily; the winsorized mean is
+    bounded). Completes the robust-statistics corner beside exact
+    variance / OLS / correlation / z-test.
+
+    Scale shape: EVERYTHING computes off the (type, distinct-value)
+    histogram from agg_exact_percentiles — one map-combinable corpus
+    aggregate; the cumulative window, the threshold pick AND the clipped
+    sums all run over the ~10⁴-rows-per-type histogram (clip(v)·count is
+    algebra over the histogram, so winsorizing needs NO second corpus
+    pass — the naive form rescans with a per-row CASE). Exactness:
+    values quantize to cents (never scale-2 ties), clipped sums are
+    int64-cents products accumulated through decimal(38,0), means are
+    one IEEE division of bit-identical operands."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    q = e.groupBy(
+        "event_type", F.col("value").cast("decimal(38,2)").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = q.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def pick_dec(frac: float, name: str):
+        target = F.ceil(F.lit(frac) * F.col("n")).cast("bigint")
+        return F.min(F.when(F.col("cum") >= target, F.col("v"))).alias(name)
+
+    thr = cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick_dec(0.05, "p05"),
+        pick_dec(0.95, "p95"),
+    )
+    cents = (F.col("v") * 100).cast("bigint")
+    clipped_cents = (
+        F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95")) * 100
+    ).cast("bigint")
+    stats = (
+        q.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+            F.sum((cents * F.col("c")).cast("decimal(38,0)")).alias(
+                "plain_cents"
+            ),
+            F.sum((clipped_cents * F.col("c")).cast("decimal(38,0)")).alias(
+                "wins_cents"
+            ),
+        )
+    )
+    denom = F.lit(100.0) * F.col("n").cast("double")
+    return stats.select(
+        "event_type",
+        "n",
+        F.col("p05").cast("double").alias("p05"),
+        F.col("p95").cast("double").alias("p95"),
+        (F.col("plain_cents").cast("double") / denom).alias("mean_plain"),
+        (F.col("wins_cents").cast("double") / denom).alias("mean_winsorized"),
+    )

@@ -677,3 +677,27 @@ def test_memorization_audit_finds_planted_quote(spark, tmp_path):
     assert rows[0].gram == quote and rows[0].n_docs == 5
     by_gram = {r.gram: r.n_docs for r in rows}
     assert by_gram.get(rep, 1) == 1
+
+
+def test_winsorized_mean_bounds_a_planted_outlier(spark, tmp_path):
+    """One absurd outlier moves the plain mean but the winsorized mean
+    stays at the bulk's level; both equal the direct computation."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0] * 98 + [11.0, 100000.0]  # bulk at 10-11, one fat finger
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, "purchase", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["agg_winsorized_mean"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n == 100
+    assert r.p05 == 10.0 and r.p95 == 10.0
+    # direct replay: clip to [10, 10] -> all 10
+    assert r.mean_winsorized == 10.0
+    assert r.mean_plain == sum(vals) / 100
+    assert r.mean_plain > 1000 > r.mean_winsorized
