@@ -21,10 +21,17 @@ Tie hazard: a double→DECIMAL(38,s) cast ROUNDS, and Spark (HALF_UP) and
 DuckDB (half-even) break exact half-way values differently — real data can
 hit this (a product in sim_power_iteration lands exactly on a scale-12
 half-way point). Derived quantities multiplied through several steps are
-the risk class; raw column values effectively never tie. Where an operator
-chains derived products, use the fixed-point int64 kernel instead
-(trunc(p·10^s) as bigint: truncation has no ties — see
-similarity.py::_fx/_fx_fold and _PI_SCALE).
+one risk class; RAW FLOAT32 COLUMNS are another, discovered at sf0.1:
+binary fractions with exactly 13 fractional bits (e.g. -1261/2^13 =
+-0.1539306640625) ARE exact scale-12 halfway points, so casting raw
+embedding values to DECIMAL(38,12) diverges between engines (one element
+flipped sim_centroid_distance's centroid by 1e-12 and two output rows by
+5e-13). Where an operator averages or chains raw floats/products, use a
+tie-free fixed-point kernel instead: trunc(p·10^s) as bigint for derived
+products (similarity.py::_fx/_fx_fold), or trunc(x·2^40) for raw-float
+means (power-of-two scale: the multiply is exact for float32 inputs and
+the later division by 2^40 is an exact exponent shift — see
+similarity.py::_centroids). Truncation has no ties.
 """
 
 from __future__ import annotations

@@ -100,9 +100,22 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
     ).select("label", (F.col("pos0") + 1).alias("pos"), "x")
+    # mean via POWER-OF-TWO fixed point (trunc(x·2^40), int64-exact,
+    # decimal(38,0) vs overflow at extreme counts): the old scale-12
+    # decimal cast of raw x hit a REAL rounding tie at sf0.1 — float32
+    # values are binary fractions, and one (-0.1539306640625 = -1261/2^13)
+    # lands exactly on a scale-12 halfway point, where Spark (HALF_UP)
+    # and DuckDB disagree. x·2^40 is exact for these floats, truncation
+    # has no ties, and both divisions (by 2^40: exact exponent shift;
+    # by count: IEEE on identical operands) are engine-identical.
     cent = ex.groupBy("label", "pos").agg(
         (
-            F.sum(_dec(F.col("x"))).cast("double")
+            F.sum(
+                (F.col("x") * F.lit(1099511627776.0))
+                .cast("bigint")
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1099511627776.0)
             / F.count(F.lit(1)).cast("double")
         ).alias("c")
     )
@@ -245,13 +258,14 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
         SELECT label, pos,
-               CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS c
+               CAST(CAST(SUM(CAST(trunc(x * 1099511627776.0) AS BIGINT))
+                    AS VARCHAR) AS DOUBLE)
+                 / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS c
         FROM labeled GROUP BY label, pos
     )
     SELECT l.vec_id, l.label,
-           sqrt(CAST(CAST(SUM(CAST((l.x - c.c) * (l.x - c.c)
-                AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)) AS dist_to_centroid
+           sqrt(CAST(SUM(CAST(trunc((l.x - c.c) * (l.x - c.c) * 1e12)
+                AS BIGINT)) AS DOUBLE) / 1e12) AS dist_to_centroid
     FROM labeled l
     JOIN cent c ON c.label = l.label AND c.pos = l.pos
     GROUP BY l.vec_id, l.label
@@ -266,15 +280,26 @@ def sim_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan → broadcast hash join on label → zip_with (x-c)² fold. No
     exploded-corpus joins, no per-vector re-aggregation — the round-4 form
     shuffled dim× rows through a label-recovery join and a (vec_id, label)
-    groupBy; this one's only shuffle is inside the tiny centroid agg."""
+    groupBy; this one's only shuffle is inside the tiny centroid agg.
+
+    Exactness: the squared terms go through the TRUNCATING fixed-point
+    kernel (trunc((x−c)²·10¹²) as int64), not the rounding decimal cast —
+    (x−c)² is a derived product, the tie-hazard class common.py
+    documents, and at sf0.1 one term DID land on a scale-12 halfway
+    point (Spark HALF_UP vs DuckDB half-even → a 5e-13 DIFF on one row).
+    Truncation has no ties; 64 terms ≤ 4·10¹² each stay exact in int64
+    and the final sum is < 2⁵³ so the double emission is exact."""
     cent = F.broadcast(_centroids(spark, sf_dir))
+    sq_fx = _fx_fold(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, c: _fx((x - c) * (x - c)))
+    )
     return (
         _corpus(spark, sf_dir, with_label=True, fan_out=True)
         .join(cent, "label")
         .select(
             "vec_id",
             "label",
-            F.sqrt(sqdist_dec("v", "cv")).alias("dist_to_centroid"),
+            F.sqrt(sq_fx).alias("dist_to_centroid"),
         )
     )
 
@@ -289,8 +314,9 @@ def sim_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
         SELECT label, pos,
-               CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS c
+               CAST(CAST(SUM(CAST(trunc(x * 1099511627776.0) AS BIGINT))
+                    AS VARCHAR) AS DOUBLE)
+                 / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS c
         FROM labeled GROUP BY label, pos
     ),
     qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
@@ -636,8 +662,9 @@ _KNN_NPROBE = 3  # clusters probed per query in the pruned k-NN join
     ),
     cent AS (
         SELECT label, pos,
-               CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS c
+               CAST(CAST(SUM(CAST(trunc(x * 1099511627776.0) AS BIGINT))
+                    AS VARCHAR) AS DOUBLE)
+                 / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS c
         FROM labeled GROUP BY label, pos
     ),
     q AS (SELECT vec_id AS qid, pos, x AS qv FROM ex WHERE vec_id < 20),
@@ -756,8 +783,8 @@ def _km_oracle() -> str:
         sql += f""",
     dist{it} AS (
         SELECT ex.vec_id, {prev}.cid,
-               CAST(CAST(SUM(CAST((ex.x - {prev}.c) * (ex.x - {prev}.c)
-                    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS d
+               CAST(SUM(CAST(trunc((ex.x - {prev}.c) * (ex.x - {prev}.c)
+                    * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS d
         FROM ex JOIN {prev} USING (pos)
         GROUP BY ex.vec_id, {prev}.cid
     ),
@@ -771,8 +798,9 @@ def _km_oracle() -> str:
     ),
     cent{it} AS (
         SELECT a.cid, e.pos,
-               CAST(CAST(SUM(CAST(e.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS c
+               CAST(CAST(SUM(CAST(trunc(e.x * 1099511627776.0) AS BIGINT))
+                    AS VARCHAR) AS DOUBLE)
+                 / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS c
         FROM ex e JOIN asg{it} a USING (vec_id)
         GROUP BY a.cid, e.pos
     )"""
@@ -834,8 +862,27 @@ def sim_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         d = corpus.crossJoin(one)
+        # truncating fixed-point distances: a scale-12 rounding tie in
+        # the decimal cast would flip an argmin and corrupt every later
+        # iteration (the mean fix above has the full tie story)
+        def _sqdist_fx(a, b):
+            return (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(a),
+                        F.col(b),
+                        lambda x, y: ((x - y) * (x - y) * F.lit(1e12)).cast(
+                            "bigint"
+                        ),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + t,
+                ).cast("double")
+                / F.lit(1e12)
+            )
+
         dist_cols = [
-            sqdist_dec("v", f"c{c}").alias(f"d{c}")
+            _sqdist_fx("v", f"c{c}").alias(f"d{c}")
             for c in range(1, _KM_K + 1)
         ]
         d = d.select("vec_id", "v", *dist_cols)
@@ -855,9 +902,15 @@ def sim_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex = asg_df.select(
             "cid", F.posexplode("v").alias("pos0", "x")
         ).select("cid", (F.col("pos0") + 1).alias("pos"), "x")
+        # same tie-free fixed-point mean as _centroids (see note there)
         cent = ex.groupBy("cid", "pos").agg(
             (
-                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                F.sum(
+                    (F.col("x") * F.lit(1099511627776.0))
+                    .cast("bigint")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1099511627776.0)
                 / F.count(F.lit(1)).cast("double")
             ).alias("c")
         )
@@ -1640,8 +1693,9 @@ _IVFPQ_ORACLE = f"""
     ),
     cent AS (
         SELECT label, pos,
-               CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS c
+               CAST(CAST(SUM(CAST(trunc(x * 1099511627776.0) AS BIGINT))
+                    AS VARCHAR) AS DOUBLE)
+                 / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS c
         FROM labeled GROUP BY label, pos
     ),
     qx AS (SELECT pos, x AS qv FROM ex WHERE vec_id = 0),
