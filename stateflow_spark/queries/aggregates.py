@@ -1288,3 +1288,136 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("plain_cents").cast("double") / denom).alias("mean_plain"),
         (F.col("wins_cents").cast("double") / denom).alias("mean_winsorized"),
     )
+
+
+# epoch-2 synthesis for the table-diff audit: deterministic hash-selected
+# mutations of orders (same derivation both engines, so the DIFF REPORT
+# itself is the oracle-checked artifact):
+#   - rows with md5(orderkey) % 19 == 0 get totalprice + 1.00 (changed)
+#   - rows with md5(orderkey) % 23 == 0 are dropped (removed)
+#   - every orderkey + 3,000,000 with % 31 == 0 is inserted (added)
+_DIFF_H = (
+    "CAST(CONV(SUBSTRING(MD5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT)"
+)
+_DIFF_H_DUCK = (
+    "list_reduce(list_transform(range(1, 9),"
+    " j -> CAST(strpos('0123456789abcdef',"
+    " substr(md5(CAST(o_orderkey AS VARCHAR)), j, 1)) - 1 AS BIGINT)),"
+    " (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "profile_table_diff",
+    oracle=f"""
+    WITH v1 AS (SELECT o_orderkey, o_custkey,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                       o_orderstatus FROM orders),
+    v2 AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN {_DIFF_H_DUCK} % 19 = 0
+                    THEN price + CAST(1 AS DECIMAL(18,2)) ELSE price END
+                   AS price,
+               o_orderstatus
+        FROM v1 WHERE {_DIFF_H_DUCK} % 23 <> 0
+        UNION ALL
+        SELECT o_orderkey + 3000000, o_custkey, price, o_orderstatus
+        FROM v1 WHERE {_DIFF_H_DUCK} % 31 = 0
+    ),
+    j AS (
+        SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+               v1.o_orderkey IS NULL AS added,
+               v2.o_orderkey IS NULL AS removed,
+               v1.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+                   AND (v1.price <> v2.price
+                        OR v1.o_custkey <> v2.o_custkey
+                        OR v1.o_orderstatus <> v2.o_orderstatus) AS changed,
+               v1.price <> v2.price AS price_changed
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN added THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(SUM(CASE WHEN COALESCE(price_changed, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changed,
+           CAST(SUM(CASE WHEN NOT added AND NOT removed AND NOT changed
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_identical
+    FROM j
+    """,
+    tags=("agg", "profiling", "diff"),
+)
+def profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff audit: given two versions of a keyed table,
+    classify every key as added / removed / changed / identical and
+    count which columns changed — the migration-verification report
+    beside agg_table_checksum (the checksum DETECTS a difference; the
+    diff EXPLAINS it). Version 2 is synthesized from orders with
+    deterministic hash-selected mutations, so the oracle replays the
+    mutation AND the diff.
+
+    Plan shape: one FULL OUTER join on the key (AQE sizes it; at 100 TB
+    both versions pre-bucket on the key → zero-exchange SMJ, the
+    storage.py layout) and one global aggregate — no per-column jobs;
+    column comparisons are projection expressions. Decimal-quantized
+    price comparison avoids float equality."""
+    o = load(spark, sf_dir, "orders")
+    h = F.expr(_DIFF_H)
+    v1 = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderstatus",
+        h.alias("h"),
+    )
+    v2 = (
+        v1.filter(F.col("h") % 23 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("h") % 19 == 0,
+                F.col("price") + F.lit(1).cast("decimal(18,2)"),
+            )
+            .otherwise(F.col("price"))
+            .alias("price"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            v1.filter(F.col("h") % 31 == 0).select(
+                (F.col("o_orderkey") + 3000000).alias("o_orderkey"),
+                "o_custkey",
+                "price",
+                "o_orderstatus",
+            )
+        )
+    )
+    a, b = v1.drop("h").alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    added = F.col("a.o_orderkey").isNull()
+    removed = F.col("b.o_orderkey").isNull()
+    changed = (
+        F.col("a.o_orderkey").isNotNull()
+        & F.col("b.o_orderkey").isNotNull()
+        & (
+            (F.col("a.price") != F.col("b.price"))
+            | (F.col("a.o_custkey") != F.col("b.o_custkey"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        )
+    )
+    price_changed = F.coalesce(
+        F.col("a.price") != F.col("b.price"), F.lit(False)
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(added.cast("bigint")).alias("n_added"),
+        F.sum(removed.cast("bigint")).alias("n_removed"),
+        F.sum(changed.cast("bigint")).alias("n_changed"),
+        F.sum(price_changed.cast("bigint")).alias("n_price_changed"),
+        F.sum(
+            (~added & ~removed & ~changed).cast("bigint")
+        ).alias("n_identical"),
+    )

@@ -701,3 +701,12 @@ def test_winsorized_mean_bounds_a_planted_outlier(spark, tmp_path):
     assert r.mean_winsorized == 10.0
     assert r.mean_plain == sum(vals) / 100
     assert r.mean_plain > 1000 > r.mean_winsorized
+
+
+def test_table_diff_partitions_keys_and_counts_each_class(spark):
+    """Diff classes partition the key space; every class is nonzero on
+    the synthesized mutation set, and the only mutated column is price."""
+    r = REGISTRY["profile_table_diff"].fn(spark, SF_DIR).collect()[0]
+    assert r.n_keys == r.n_added + r.n_removed + r.n_changed + r.n_identical
+    assert min(r.n_added, r.n_removed, r.n_changed, r.n_identical) > 0
+    assert r.n_price_changed == r.n_changed
