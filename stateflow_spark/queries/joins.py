@@ -390,3 +390,96 @@ def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH obs AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               LAG(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev_prio
+        FROM orders
+    ),
+    dim AS (
+        SELECT o_custkey AS custkey, o_orderdate AS eff_from,
+               o_orderkey AS vkey, o_orderpriority AS attr_value
+        FROM obs WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+    ),
+    fact AS (
+        SELECT l_orderkey, o_custkey, o_orderdate, o_orderkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber = 1
+    )
+    SELECT f.l_orderkey, f.o_custkey AS custkey, f.o_orderdate AS asof_date,
+           (SELECT d.attr_value FROM dim d
+            WHERE d.custkey = f.o_custkey
+              AND (d.eff_from < f.o_orderdate
+                   OR (d.eff_from = f.o_orderdate AND d.vkey <= f.o_orderkey))
+            ORDER BY d.eff_from DESC, d.vkey DESC LIMIT 1) AS attr_at_time
+    FROM fact f
+    """,
+    tags=("joins", "scd2", "point-in-time"),
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the CONSUMPTION half of SCD-2
+    versioning: enrich each fact row (first lineitem of every order)
+    with the dimension attribute that was CURRENT at the fact's date,
+    i.e. the version whose validity interval covers it. This is how a
+    feature-store / warehouse reads a versioned dimension without
+    leaking future attribute values into training data.
+
+    Scalable form: NOT the interval join (fact × versions range
+    predicate — quadratic on hot keys). Dimension change-points and fact
+    rows UNION into one stream per custkey; a single window ordered by
+    (date, version-key-priority) carries the last seen attribute forward
+    onto each fact row — the as-of join shape (join_asof_click_view)
+    applied to SCD-2. One shuffle on the dimension key, linear work;
+    same-date fact-vs-change ordering is pinned by the orderkey tiebreak
+    (a change observed AT the fact's own order sorts before it, matching
+    the SCD-2 build's change-detection order).
+
+    The oracle replays it as the correlated last-version-before lookup —
+    the declarative spec of the same semantics."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    obs = o.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    ).withColumn("prev", F.lag("o_orderpriority").over(w))
+    dim = obs.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("attr"),
+        F.lit(0).alias("is_fact"),
+        F.lit(None).cast("bigint").alias("l_orderkey"),
+    )
+    fact = (
+        li.filter(F.col("l_linenumber") == 1)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("k"),
+            F.lit(None).cast("string").alias("attr"),
+            F.lit(1).alias("is_fact"),
+            "l_orderkey",
+        )
+    )
+    # change rows sort before the fact at the same (date, orderkey):
+    # the change a fact's own order introduces applies to that fact
+    united = dim.unionByName(fact)
+    wu = Window.partitionBy("custkey").orderBy("d", "k", "is_fact")
+    carried = united.withColumn(
+        "attr_at_time", F.last("attr", ignorenulls=True).over(wu)
+    )
+    return carried.filter(F.col("is_fact") == 1).select(
+        "l_orderkey",
+        "custkey",
+        F.col("d").alias("asof_date"),
+        "attr_at_time",
+    )

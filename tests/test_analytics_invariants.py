@@ -710,3 +710,28 @@ def test_table_diff_partitions_keys_and_counts_each_class(spark):
     assert r.n_keys == r.n_added + r.n_removed + r.n_changed + r.n_identical
     assert min(r.n_added, r.n_removed, r.n_changed, r.n_identical) > 0
     assert r.n_price_changed == r.n_changed
+
+
+def test_point_in_time_join_never_leaks_future_attributes(spark):
+    """PIT law: every fact's attr_at_time equals the SCD-2 version whose
+    [eff_from, eff_to) interval covers the fact date (replayed against
+    the registered dimension build); no fact reads a version that opens
+    after its date."""
+    dim = REGISTRY["scd2_dimension_versions"].fn(spark, SF_DIR).collect()
+    by_key: dict[int, list] = {}
+    for v in dim:
+        by_key.setdefault(v.custkey, []).append(v)
+    facts = REGISTRY["join_point_in_time_scd2"].fn(spark, SF_DIR).collect()
+    assert facts
+    checked = 0
+    for f in facts[:500]:
+        vs = sorted(by_key[f.custkey], key=lambda v: v.version_nr)
+        covering = [
+            v for v in vs
+            if v.eff_from <= f.asof_date
+            and (v.eff_to is None or f.asof_date < v.eff_to)
+        ]
+        assert len(covering) == 1, (f, covering)
+        assert f.attr_at_time == covering[0].attr_value, (f, covering[0])
+        checked += 1
+    assert checked == min(500, len(facts))
