@@ -333,3 +333,111 @@ def entity_ycsb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_updates"
         ),
     )
+
+
+def _nation_agg_class():
+    from stateflow_spark.entity.registry import entity, get_registry
+
+    if "NationAgg" in get_registry():
+        return
+
+    @entity
+    class NationAgg:
+        def __init__(self, nationkey: str):
+            self.nationkey: str = nationkey
+            self.n_customers: int = 0
+            self.balance_cents: int = 0
+
+        def absorb(self, n: int, cents: int):
+            self.n_customers += n
+            self.balance_cents += cents
+
+        def __key__(self):
+            return self.nationkey
+
+
+@register(
+    "entity_state_relational_join",
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
+           CAST(SUM(cnt) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_balance
+    FROM (
+        SELECT c_nationkey,
+               COUNT(*) AS cnt,
+               SUM(CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM customer GROUP BY c_nationkey
+    )
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+    tags=("entity", "state-table", "relational"),
+)
+def entity_state_relational_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity state ↔ relational bridge (entity/table.py), end-to-end as
+    a registered query: per-nation aggregates of the customer table feed
+    ONE InvokeStateful per nation through the DISTRIBUTED
+    SuperstepRuntime; the resulting state snapshot unpacks into a TYPED
+    DataFrame via state_table() and joins the nation/region dimensions
+    like any other table — per-region rollups computed over LIVE ENTITY
+    STATE, hash-gated against plain SQL over the source tables.
+
+    Scale shape: the relational pre-aggregation bounds the event volume
+    at the DIMENSION cardinality (25 nations), not the fact table — the
+    driver materializes 25 aggregate rows to mint events (the client
+    role; compare entity_stream_replay's cluster-side burst builder for
+    unbounded feeds); the superstep run is two distributed jobs; the
+    state unpack is one Arrow mapInPandas with no shuffle; the dimension
+    joins broadcast. Balances ride exact integer cents end-to-end, so
+    the state-table path reproduces SQL's decimal arithmetic bit-for-bit
+    (one final double division both sides)."""
+    from stateflow_spark.entity import operator
+    from stateflow_spark.entity.model import EntityRef
+    from stateflow_spark.entity.table import state_table
+    from stateflow_spark.streaming.superstep import SuperstepRuntime
+
+    _nation_agg_class()
+    c = load(spark, sf_dir, "customer")
+    per_nation = (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                (F.col("c_acctbal").cast("decimal(38,2)") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+        .collect()  # dimension-cardinality rows (25) — the client role
+    )
+    rt = SuperstepRuntime(spark)
+    inits = [
+        operator.make_init_event("NationAgg", (str(r.c_nationkey),))
+        for r in per_nation
+    ]
+    invokes = [
+        operator.make_invoke_event(
+            EntityRef("NationAgg", str(r.c_nationkey)),
+            "absorb",
+            (int(r.cnt), int(r.cents)),
+        )
+        for r in per_nation
+    ]
+    res = rt.run(inits + invokes)
+    st = state_table(res.state_df, "NationAgg")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        st.withColumn("nk", F.col("nationkey").cast("bigint"))
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count_distinct("n_nationkey").alias("n_nations"),
+            F.sum("n_customers").alias("n_customers"),
+            (
+                F.sum("balance_cents").cast("double") / F.lit(100.0)
+            ).alias("total_balance"),
+        )
+    )
