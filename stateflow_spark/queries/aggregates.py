@@ -1421,3 +1421,88 @@ def profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~added & ~removed & ~changed).cast("bigint")
         ).alias("n_identical"),
     )
+
+
+_SKEW_KEYS = [
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+]
+
+
+def _skew_oracle() -> str:
+    branches = []
+    for name, tbl, col in _SKEW_KEYS:
+        branches.append(f"""
+    SELECT '{name}' AS join_key,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           CAST(MAX(c) * COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS skew_factor,
+           CAST(substr(MAX(lpad(CAST(c AS VARCHAR), 12, '0')
+                            || '|' || lpad(CAST(k AS VARCHAR), 20, '0')),
+                       14) AS BIGINT) AS hottest_key
+    FROM (SELECT {col} AS k, COUNT(*) AS c FROM {tbl} GROUP BY 1)
+        """)
+    return " UNION ALL ".join(f"({b})" for b in branches)
+
+
+@register(
+    "profile_join_skew",
+    oracle=_skew_oracle(),
+    tags=("agg", "profiling", "skew"),
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report across the schema's shuffle keys — the
+    diagnostic a pipeline runs BEFORE sizing a cluster: rows, distinct
+    keys, the hottest key and its row count, and the skew factor
+    (max-key rows ÷ mean rows per key; 1.0 = uniform, large = salting /
+    AQE-skew-join territory — the knob DEPLOY.md maps). Completes the
+    profiling trio: per-column stats, cross-table integrity, shuffle-key
+    skew.
+
+    Plan shape: one map-side-combinable (key, count) aggregate per
+    listed key, then a 1-row rollup — the shuffle carries distinct keys
+    only, and the rollup's hottest-key pick is an order-independent MAX
+    over a count-padded encoding (count desc, then key desc —
+    deterministic on ties). Exactness: integer counts; the skew factor
+    is one IEEE division of exact integer products."""
+    outs = []
+    for name, tbl, col in _SKEW_KEYS:
+        t = load(spark, sf_dir, tbl)
+        vc = t.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        enc = F.concat(
+            F.lpad(F.col("c").cast("string"), 12, "0"),
+            F.lit("|"),
+            F.lpad(F.col("k").cast("string"), 20, "0"),
+        )
+        outs.append(
+            vc.agg(
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("c").alias("max_key_rows"),
+                (
+                    (F.max("c") * F.count(F.lit(1))).cast("double")
+                    / F.sum("c").cast("double")
+                ).alias("skew_factor"),
+                F.substring(F.max(enc), 14, 20).cast("bigint").alias(
+                    "hottest_key"
+                ),
+            ).select(
+                F.lit(name).alias("join_key"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                "skew_factor",
+                "hottest_key",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

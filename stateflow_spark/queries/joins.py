@@ -483,3 +483,99 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("asof_date"),
         "attr_at_time",
     )
+
+
+@register(
+    "join_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+           FROM items),
+    isup AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s
+        FROM items GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT part_a, part_b, support
+        FROM pairs ORDER BY support DESC, part_a, part_b LIMIT 20
+    )
+    SELECT part_a, part_b, support,
+           CAST(support AS DOUBLE) / CAST(sa.s AS DOUBLE) AS conf_a_to_b,
+           CAST(support AS DOUBLE) / CAST(sb.s AS DOUBLE) AS conf_b_to_a,
+           CAST(support * nb.n AS DOUBLE)
+               / CAST(sa.s * sb.s AS DOUBLE) AS lift
+    FROM top
+    JOIN isup sa ON sa.l_partkey = part_a
+    JOIN isup sb ON sb.l_partkey = part_b, nb
+    """,
+    tags=("join", "basket", "association-rules"),
+)
+def join_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule readout over the top-20 co-ordered pairs:
+    confidence both directions (P(b|a), P(a|b)) and lift
+    (P(ab)/(P(a)·P(b)) — >1 means genuinely associated, not just both
+    popular) — the metrics a recommender/affinity pipeline reports on
+    top of raw co-occurrence counts (join_market_basket_pairs).
+
+    Plan shape: the pair pipeline is the array-native basket form (one
+    basket shuffle + one pair aggregate + TakeOrdered 20); item supports
+    are a second fact aggregate whose 20-pair consumers join it
+    BROADCAST-side after the top-k cut, so the metric joins touch 20
+    rows, not the pair space; the basket count is a 1-row broadcast.
+    Exactness: supports are int64, every metric is one IEEE division of
+    exact integer products (support·N ≤ 2^63 at any realistic scale)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    nb = F.broadcast(
+        items.agg(F.count_distinct("l_orderkey").alias("n"))
+    )
+    isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("xs")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(xs, (x, i) ->"
+                " transform(slice(xs, i + 2, size(xs)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    top = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+    sa = isup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
+    sb = isup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
+    return (
+        top.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(nb)
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (F.col("support").cast("double") / F.col("sa").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            (F.col("support").cast("double") / F.col("sb").cast("double")).alias(
+                "conf_b_to_a"
+            ),
+            (
+                (F.col("support") * F.col("n")).cast("double")
+                / (F.col("sa") * F.col("sb")).cast("double")
+            ).alias("lift"),
+        )
+    )
