@@ -1101,3 +1101,45 @@ def curation_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.col("lr")).alias("new_id"),
         )
     )
+
+
+@register(
+    "curation_quantile_normalize",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CUME_DIST() OVER (ORDER BY n_chars) AS pct_rank
+    FROM documents
+    """,
+    tags=("curation", "normalize", "cdf"),
+)
+def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (CDF) normalization of a per-document feature — the
+    rank-based feature transform an ML curation pipeline applies before
+    thresholding scores from incomparable sources: every doc's n_chars
+    maps to P(X ≤ x) over the corpus. The oracle is the declarative
+    one-window spec (CUME_DIST over a GLOBAL ORDER — a SinglePartition
+    corpus sort, the anti-pattern); the Spark plan is the distributed
+    form: one map-combinable (value, count) histogram aggregate, the
+    cumulative window over the ~|value domain| histogram (hundreds of
+    rows), and a broadcast value→cdf join back onto the corpus — the
+    same two-level machinery as agg_exact_percentiles, applied row-wise.
+    Exactness: cum and n are exact ints; pct_rank is one IEEE division
+    of bit-identical operands."""
+    d = load(spark, sf_dir, "documents")
+    vc = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = vc.select(
+        "n_chars",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    ).select(
+        "n_chars",
+        (F.col("cum").cast("double") / F.col("n").cast("double")).alias(
+            "pct_rank"
+        ),
+    )
+    return d.select("doc_id", "n_chars").join(F.broadcast(cdf), "n_chars").select(
+        "doc_id", "n_chars", "pct_rank"
+    )
