@@ -111,7 +111,8 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # text_memorization_audit, sim_bitext_mining, agg_winsorized_mean,
 # profile_table_diff, join_point_in_time_scd2,
 # entity_state_relational_join, join_association_rules,
-# profile_join_skew, curation_quantile_normalize. All
+# profile_join_skew, curation_quantile_normalize,
+# events_gap_detection, agg_srm_audit. All
 # post-freeze queries are local-oracle green at sf0.001 and sf0.01
 # (sf1/sf10 where noted in SCALING.md) and MUST lead the r7 prefix.
 _R06_PREFIX = [

@@ -1506,3 +1506,86 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "agg_srm_audit",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    asg AS (
+        SELECT user_id,
+               list_reduce(list_transform(range(1, 9),
+                   j -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1
+                        AS BIGINT)), (a, b) -> a * 16 + b) % 2 AS arm
+        FROM u
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_control,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treatment
+        FROM asg
+    )
+    SELECT n, n_control, n_treatment,
+           (CAST(n_control AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             * (CAST(n_control AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             / (CAST(n AS DOUBLE) / 2.0)
+           + (CAST(n_treatment AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             * (CAST(n_treatment AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             / (CAST(n AS DOUBLE) / 2.0) AS chi2,
+           (CAST(n_control AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             * (CAST(n_control AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             / (CAST(n AS DOUBLE) / 2.0)
+           + (CAST(n_treatment AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             * (CAST(n_treatment AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             / (CAST(n AS DOUBLE) / 2.0) > 3.841 AS srm_detected
+    FROM counts
+    """,
+    tags=("agg", "experiment", "srm"),
+)
+def agg_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit for a hash-based 50/50 experiment
+    assignment (arm = md5(user) % 2): the chi-square goodness-of-fit
+    readout every experimentation pipeline gates on BEFORE trusting an
+    A/B metric (a biased assignment invalidates agg_ab_test_zscore's
+    effect readout — these two rows are the pair). Deterministic
+    assignment means the audit itself is replayable: same hash, same
+    arms, same chi2 in both engines.
+
+    Plan shape: one distinct over users (map-combined), one md5 per
+    user, one global aggregate — 1-row output. Exactness: counts are
+    exact ints; chi2 is a fixed tree of IEEE ops on bit-identical
+    doubles, so even the boolean gate (χ² > 3.841, the 95% critical
+    value at df=1) hash-matches."""
+    e = load(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    counts = u.select(arm.alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_treatment"),
+    )
+    nd = F.col("n").cast("double")
+    exp = nd / F.lit(2.0)
+    chi2 = (
+        (F.col("n_control").cast("double") - exp)
+        * (F.col("n_control").cast("double") - exp)
+        / exp
+        + (F.col("n_treatment").cast("double") - exp)
+        * (F.col("n_treatment").cast("double") - exp)
+        / exp
+    )
+    return counts.select(
+        "n",
+        "n_control",
+        "n_treatment",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_detected"),
+    )

@@ -906,3 +906,77 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("le", 21, 20).cast("bigint").alias("last_touch_event_id"),
         F.expr("substring(le, 41)").alias("last_touch_type"),
     )
+
+
+@register(
+    "events_gap_detection",
+    oracle="""
+    WITH obs AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+        FROM events WHERE user_id < 20
+    ),
+    spans AS (
+        SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+            AS hour
+        FROM spans
+    ),
+    missing AS (
+        SELECT g.user_id, g.hour,
+               CAST(epoch(g.hour) AS BIGINT) / 3600
+                   - ROW_NUMBER() OVER (PARTITION BY g.user_id
+                                        ORDER BY g.hour) AS grp
+        FROM grid g LEFT JOIN obs o USING (user_id, hour)
+        WHERE o.hour IS NULL
+    )
+    SELECT user_id, MIN(hour) AS gap_start,
+           MAX(hour) + INTERVAL 1 HOUR AS gap_end,
+           CAST(COUNT(*) AS BIGINT) AS gap_hours
+    FROM missing GROUP BY user_id, grp
+    """,
+    tags=("events", "gaps", "monitoring"),
+)
+def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap report: for each monitored series (user_id < 20),
+    every maximal run of consecutive hours with ZERO events inside the
+    series' observed span — the feed-health monitor that pages before a
+    silent upstream outage poisons a training snapshot (the complement
+    of events_resample_ffill, which papers over the same holes).
+
+    Plan shape: observed hours dedup to one row per (series, hour); the
+    dense grid explodes from each series' span (bounded by TIME, not
+    event volume); missing hours are a LEFT ANTI-style null filter on
+    the grid join; consecutive runs collapse with the hour-index −
+    row_number gaps-and-islands trick (one window per series, same
+    shuffle as the grid join). At 100 TB the grid is |series| × span
+    hours — monitoring cardinality, independent of event count.
+    Exactness: pure integer/timestamp arithmetic."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    obs = e.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct()
+    spans = obs.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    missing = (
+        grid.join(obs, ["user_id", "hour"], "left_anti")
+    )
+    w = Window.partitionBy("user_id").orderBy("hour")
+    runs = missing.withColumn(
+        "grp",
+        (F.unix_timestamp("hour") / 3600).cast("bigint")
+        - F.row_number().over(w),
+    )
+    return runs.groupBy("user_id", "grp").agg(
+        F.min("hour").alias("gap_start"),
+        (F.max("hour") + F.expr("INTERVAL 1 HOUR")).alias("gap_end"),
+        F.count(F.lit(1)).alias("gap_hours"),
+    ).drop("grp")
