@@ -1234,9 +1234,16 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "events")
-    q = e.groupBy(
-        "event_type", F.col("value").cast("decimal(38,2)").alias("v")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # the histogram feeds BOTH the threshold branch and the clipped sums —
+    # materialize it once or the corpus scan + (type, value) shuffle runs
+    # twice (which would falsify the no-second-corpus-pass claim)
+    q = (
+        e.groupBy(
+            "event_type", F.col("value").cast("decimal(38,2)").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("v")
@@ -1295,7 +1302,10 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # itself is the oracle-checked artifact):
 #   - rows with md5(orderkey) % 19 == 0 get totalprice + 1.00 (changed)
 #   - rows with md5(orderkey) % 23 == 0 are dropped (removed)
-#   - every orderkey + 3,000,000 with % 31 == 0 is inserted (added)
+#   - every orderkey + 10^12 with % 31 == 0 is inserted (added) — the
+#     offset sits far above any reachable dense orderkey (10^12 rows of
+#     orders ≈ 100+ PB), so synthesized keys can never collide with real
+#     ones and fan out the full-outer join at large scale factors
 _DIFF_H = (
     "CAST(CONV(SUBSTRING(MD5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10)"
     " AS BIGINT)"
@@ -1322,7 +1332,7 @@ _DIFF_H_DUCK = (
                o_orderstatus
         FROM v1 WHERE {_DIFF_H_DUCK} % 23 <> 0
         UNION ALL
-        SELECT o_orderkey + 3000000, o_custkey, price, o_orderstatus
+        SELECT o_orderkey + 1000000000000, o_custkey, price, o_orderstatus
         FROM v1 WHERE {_DIFF_H_DUCK} % 31 = 0
     ),
     j AS (
@@ -1388,7 +1398,7 @@ def profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             v1.filter(F.col("h") % 31 == 0).select(
-                (F.col("o_orderkey") + 3000000).alias("o_orderkey"),
+                (F.col("o_orderkey") + 1000000000000).alias("o_orderkey"),
                 "o_custkey",
                 "price",
                 "o_orderstatus",

@@ -534,7 +534,10 @@ def join_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: supports are int64, every metric is one IEEE division of
     exact integer products (support·N ≤ 2^63 at any realistic scale)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
+    # the distinct item set feeds three branches (basket count, item
+    # supports, baskets) — materialize it once (dedup_triangle_stats'
+    # multi-branch convention) instead of re-scanning lineitem per branch
+    items = li.distinct().localCheckpoint()
     nb = F.broadcast(
         items.agg(F.count_distinct("l_orderkey").alias("n"))
     )

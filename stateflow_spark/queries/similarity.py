@@ -75,10 +75,6 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dec(col):
-    return col.cast("decimal(38,12)")
-
-
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, packed as an array<double> per label.
 
@@ -290,16 +286,13 @@ def sim_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Truncation has no ties; 64 terms ≤ 4·10¹² each stay exact in int64
     and the final sum is < 2⁵³ so the double emission is exact."""
     cent = F.broadcast(_centroids(spark, sf_dir))
-    sq_fx = _fx_fold(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, c: _fx((x - c) * (x - c)))
-    )
     return (
         _corpus(spark, sf_dir, with_label=True, fan_out=True)
         .join(cent, "label")
         .select(
             "vec_id",
             "label",
-            F.sqrt(sq_fx).alias("dist_to_centroid"),
+            F.sqrt(_sqdist_fx("v", "cv")).alias("dist_to_centroid"),
         )
     )
 
@@ -862,25 +855,9 @@ def sim_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         d = corpus.crossJoin(one)
-        # truncating fixed-point distances: a scale-12 rounding tie in
-        # the decimal cast would flip an argmin and corrupt every later
-        # iteration (the mean fix above has the full tie story)
-        def _sqdist_fx(a, b):
-            return (
-                F.aggregate(
-                    F.zip_with(
-                        F.col(a),
-                        F.col(b),
-                        lambda x, y: ((x - y) * (x - y) * F.lit(1e12)).cast(
-                            "bigint"
-                        ),
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, t: acc + t,
-                ).cast("double")
-                / F.lit(1e12)
-            )
-
+        # truncating fixed-point distances (shared _sqdist_fx): a
+        # scale-12 rounding tie in the decimal cast would flip an argmin
+        # and corrupt every later iteration
         dist_cols = [
             _sqdist_fx("v", f"c{c}").alias(f"d{c}")
             for c in range(1, _KM_K + 1)
@@ -1238,6 +1215,16 @@ def _fx_fold(arr) -> F.Column:
         F.aggregate(arr, F.lit(0).cast("bigint"), lambda a, x: a + x)
         .cast("double")
         / F.lit(1e12)
+    )
+
+
+def _sqdist_fx(a, b) -> F.Column:
+    """Tie-free squared L2 distance: truncating fixed-point terms (the
+    decimal-cast form diverges on scale-12 halfway points — see the
+    centroid-mean note in _centroids). Shared by sim_centroid_distance
+    and every k-means assignment step so the kernels cannot drift."""
+    return _fx_fold(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: _fx((x - y) * (x - y)))
     )
 
 
@@ -1958,9 +1945,9 @@ _MINE_MARGIN = 1.05
         SELECT sid,
                MAX(CASE WHEN rnk = 1 THEN tid END) AS best_tid,
                MAX(CASE WHEN rnk = 1 THEN cosine END) AS best_cos,
-               CAST(CAST(SUM(CASE WHEN rnk <= {_MINE_TOPK}
-                    THEN CAST(cosine AS DECIMAL(27,12)) END) AS VARCHAR)
-                    AS DOUBLE) AS topk_sum,
+               CAST(SUM(CASE WHEN rnk <= {_MINE_TOPK}
+                    THEN CAST(trunc(cosine * 1e12) AS BIGINT) END)
+                    AS DOUBLE) / 1e12 AS topk_sum,
                CAST(COUNT(CASE WHEN rnk <= {_MINE_TOPK} THEN 1 END)
                     AS BIGINT) AS topk_n
         FROM ranked GROUP BY sid
@@ -1987,7 +1974,9 @@ def sim_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard and the scoring runs through the IVF probe like
     sim_ivf_knn_join, margin unchanged); ranking and the top-4 mean
     share ONE window shuffle on src_id; the mean accumulates through
-    decimal so margin is one IEEE division of bit-identical operands.
+    TRUNCATING fixed point (a decimal cast of derived cosines is the
+    scale-12 tie hazard) so margin is one IEEE division of
+    bit-identical operands.
     Emits every source row with its margin and the accept decision, so
     the gate hashes the criterion itself, not just the survivors."""
     corpus = _corpus(spark, sf_dir, with_label=True)
@@ -2014,13 +2003,17 @@ def sim_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("sid").orderBy(F.col("cosine").desc(), "tid")
     ranked = scored.withColumn("rnk", F.row_number().over(w))
+    # truncating fixed-point top-k terms: the decimal cast of a DERIVED
+    # double (cosine) is the scale-12 tie hazard the centroid family was
+    # swept for (common.py) — trunc has no ties
     topk = F.when(
-        F.col("rnk") <= _MINE_TOPK, F.col("cosine").cast("decimal(27,12)")
+        F.col("rnk") <= _MINE_TOPK,
+        (F.col("cosine") * F.lit(1e12)).cast("bigint"),
     )
     folded = ranked.groupBy("sid").agg(
         F.max(F.when(F.col("rnk") == 1, F.col("tid"))).alias("best_tid"),
         F.max(F.when(F.col("rnk") == 1, F.col("cosine"))).alias("best_cos"),
-        F.sum(topk).cast("double").alias("topk_sum"),
+        (F.sum(topk).cast("double") / F.lit(1e12)).alias("topk_sum"),
         F.count(topk).alias("topk_n"),
     )
     margin = F.col("best_cos") / (
