@@ -1073,12 +1073,17 @@ def curation_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) is unique.
 
     100 TB shape: one shuffle to bucket-partition, one parallel window,
-    one broadcast of the offsets table."""
+    one SHUFFLE join of the offsets table back on (source, bkt) — NOT a
+    broadcast: the offsets table has ~|corpus|/512 rows (hundreds of
+    millions at 100 TB), far past broadcastable, and it shares the
+    (source, bkt) partitioning the local-rank window already produced,
+    so AQE plans it as a cheap co-partitioned join."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     # source-major coarse buckets: (source, doc_id div 512) tiles the
     # (source, doc_id) order, so concatenating buckets in key order IS
-    # the global order
-    bucketed = d.withColumn("bkt", (F.col("doc_id") / F.lit(512)).cast("bigint"))
+    # the global order. Integer `div`, not a double divide: floor(x/512.0)
+    # misbuckets doc_ids above 2^53 where double loses integer precision.
+    bucketed = d.withColumn("bkt", F.expr("doc_id div 512"))
     local_w = Window.partitionBy("source", "bkt").orderBy("doc_id")
     local = bucketed.withColumn("lr", F.row_number().over(local_w))
     counts = bucketed.groupBy("source", "bkt").agg(
@@ -1094,7 +1099,7 @@ def curation_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off"),
     )
     return (
-        local.join(F.broadcast(offsets), ["source", "bkt"])
+        local.join(offsets, ["source", "bkt"])
         .select(
             "doc_id",
             "source",

@@ -464,10 +464,15 @@ def _scd2_merge_fn(table: str):
     + batch rows) — independent of history volume for untouched keys.
     The table swap reuses the sink's crash-safe delete-then-rename."""
     from stateflow_spark.queries.windows import scd2_versions
-    from stateflow_spark.streaming.sinks import swap_parquet_dir
+    from stateflow_spark.storage import unpersist_local_checkpoint
+    from stateflow_spark.streaming.sinks import recover_parquet_dir, swap_parquet_dir
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # a crash mid-swap leaves the dimension only at table+'.old';
+        # without this the merge would silently rebuild from the current
+        # batch alone, permanently losing merged history (round-6 ADVICE)
+        recover_parquet_dir(table)
         batch = batch_df.localCheckpoint()
         obs = batch.select(
             F.col("o_custkey").alias("custkey"),
@@ -491,6 +496,9 @@ def _scd2_merge_fn(table: str):
         else:
             merged = scd2_versions(obs)
         swap_parquet_dir(merged, table, prefix=".scd2-")
+        # table is on disk — release the frozen batch so executor block
+        # storage stays O(1) in trigger count (round-6 ADVICE)
+        unpersist_local_checkpoint(batch)
 
     return merge
 

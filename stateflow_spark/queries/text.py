@@ -1430,6 +1430,13 @@ def _bpe_train(
             .limit(1)
             .localCheckpoint()
         )
+        if win.isEmpty():
+            # pair space exhausted (degenerate corpus of single-symbol
+            # words): crossJoin with the empty winner would silently empty
+            # the vocab for all later steps — stop here, keeping the last
+            # valid vocab so the APPLY path still tokenizes (round-6 ADVICE)
+            unpersist_local_checkpoint(win)
+            break
         merges.append(
             win.select(
                 F.lit(k).alias("step"),

@@ -35,29 +35,48 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame
 
 
+def recover_parquet_dir(path: str) -> None:
+    """Crash recovery for swap_parquet_dir tables: if a prior swap died
+    between its two renames, the table exists only at `path`+'.old' —
+    rename it back so readers see the pre-crash history instead of
+    silently treating the table as absent. Stateful callers (SCD-2
+    merge, upsert sink) MUST call this before checking/reading `path`:
+    their read happens before the swap, so recovery inside the swap
+    alone would be too late (round-6 ADVICE)."""
+    old = path + ".old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+
+
 def swap_parquet_dir(df: DataFrame, path: str, prefix: str = ".swap-") -> None:
     """Write `df` next to `path` and atomically swap it in — the shared
     crash-safe replace used by the upsert sink, storage.compact and the
     streaming SCD-2 merge (one implementation so the round-5 ENOTEMPTY
     fix cannot drift between copies).
 
-    A crash between the two renames leaves a populated `.old` and no
-    table at `path`; any such leftover is cleared FIRST so a wedged
-    prior swap cannot fail every later one with ENOTEMPTY (round-5
-    ADVICE). The brief table-less window between the renames is inherent
-    to dir-swap without renameat2(RENAME_EXCHANGE); callers are
-    re-runnable (micro-batches replay from the checkpoint, compaction is
-    offline maintenance)."""
+    Crash recovery (round-6 ADVICE): a crash between the two renames
+    leaves the table ONLY at `path`+'.old' — for stateful callers (the
+    SCD-2 merge, the upsert sink) that copy is the sole merged history,
+    and replaying the batch cannot rebuild it. So on entry, if `path` is
+    missing but `.old` exists, the `.old` copy is RESTORED (renamed
+    back), never deleted; `.old` is only cleared when `path` itself
+    exists (then it is a fully superseded leftover, and clearing it
+    first keeps the round-5 ENOTEMPTY fix). The brief table-less window
+    between the renames is inherent to dir-swap without
+    renameat2(RENAME_EXCHANGE); with this recovery the window is also
+    self-healing."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
+    old = path + ".old"
+    recover_parquet_dir(path)
+
     tmp = _tempfile.mkdtemp(prefix=prefix, dir=_os.path.dirname(path) or ".")
     out = _os.path.join(tmp, "data")
     df.write.mode("overwrite").parquet(out)
-    old = path + ".old"
-    _shutil.rmtree(old, ignore_errors=True)
     if _os.path.isdir(path):
+        _shutil.rmtree(old, ignore_errors=True)
         _os.rename(path, old)
     _os.rename(out, path)
     _shutil.rmtree(old, ignore_errors=True)
@@ -72,7 +91,10 @@ def upsert_parquet_sink(
     the same key)."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from stateflow_spark.storage import unpersist_local_checkpoint
+
         spark = batch_df.sparkSession
+        recover_parquet_dir(path)  # crash-left .old is the sole history
         batch_df = batch_df.localCheckpoint()  # freeze: inputs may vanish
         if os.path.isdir(path):
             stored = spark.read.parquet(path)
@@ -82,5 +104,8 @@ def upsert_parquet_sink(
         else:
             merged = batch_df
         swap_parquet_dir(merged, path, prefix=".upsert-")
+        # the table is on disk now — release the frozen batch's blocks so
+        # executor storage stays O(1) in trigger count
+        unpersist_local_checkpoint(batch_df)
 
     return merge

@@ -93,3 +93,31 @@ def test_upsert_sink_recovers_from_crashed_swap(spark, tmp_path):
     got = {(r.k, r.v) for r in spark.read.parquet(table).collect()}
     assert got == {(i, i * 10 + 1) for i in range(5)}
     assert not os.path.isdir(table + ".old")
+
+
+def test_crashed_swap_preserves_disjoint_history(spark, tmp_path):
+    """Round-6 ADVICE: when a crash leaves the table ONLY at `.old`, that
+    copy is the sole merged history — the next merge must RESTORE it, not
+    delete it. Keys present only in the pre-crash table must survive."""
+    from stateflow_spark.streaming.sinks import recover_parquet_dir
+
+    table = str(tmp_path / "t")
+    old_keys = spark.range(0, 5).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 10
+    )
+    sink = upsert_parquet_sink(table, ["k"])
+    sink(old_keys, 0)
+    # crash between the two renames: history survives only at .old
+    os.rename(table, table + ".old")
+    # next batch touches a DISJOINT key range — without recovery the
+    # merge sees no stored table and the old keys are gone forever
+    new_keys = spark.range(100, 103).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 10
+    )
+    sink(new_keys, 1)
+    got = {(r.k, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(i, i * 10) for i in list(range(5)) + [100, 101, 102]}
+    assert not os.path.isdir(table + ".old")
+    # recover is idempotent when the table is healthy
+    recover_parquet_dir(table)
+    assert os.path.isdir(table)

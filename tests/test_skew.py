@@ -234,3 +234,64 @@ def test_winnowing_posting_cap_bounds_expansion(spark, hot_passage_dir):
         spark, hot_passage_dir, posting_cap=HOT_N - 1
     ).collect()
     assert capped == []
+
+
+MEGA_BASKET = 200  # one pathological order with 200 distinct parts
+
+
+@pytest.fixture(scope="module")
+def mega_basket_dir(spark, tmp_path_factory):
+    """lineitem.parquet with one mega-basket (order 1: MEGA_BASKET
+    distinct parts) plus 50 normal 3-item orders — the shape the
+    market-basket cap exists for."""
+    d = tmp_path_factory.mktemp("skew_basket") / "sf-basket"
+    os.makedirs(d, exist_ok=True)
+    rows = [(1, 10_000 + p) for p in range(MEGA_BASKET)]
+    for o in range(2, 52):
+        rows += [(o, 100 + o), (o, 101 + o), (o, 102 + o)]
+    spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(str(d), "lineitem.parquet"))
+    return str(d)
+
+
+def _basket_pair_count(spark, sf_dir, cap):
+    """Total within-basket pair volume BEFORE the support aggregate — the
+    quantity a mega-basket inflates quadratically."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    xs = F.array_sort(F.collect_set("l_partkey"))
+    if cap is not None:
+        xs = F.slice(xs, 1, cap)
+    baskets = li.groupBy("l_orderkey").agg(xs.alias("xs"))
+    return baskets.select(
+        (F.size("xs") * (F.size("xs") - 1) / 2).cast("bigint").alias("np")
+    ).agg(F.sum("np")).collect()[0][0]
+
+
+def test_uncapped_mega_basket_is_quadratic(spark, mega_basket_dir):
+    n = _basket_pair_count(spark, mega_basket_dir, cap=None)
+    assert n == MEGA_BASKET * (MEGA_BASKET - 1) // 2 + 50 * 3
+
+
+def test_basket_cap_bounds_expansion(spark, mega_basket_dir):
+    """With the cap, the mega-basket contributes at most cap²/2 pairs —
+    the worst task's work is constant no matter how hot the hottest
+    basket is (the 100 TB guarantee join_market_basket_pairs documents)."""
+    from stateflow_spark.queries.joins import _BASKET_CAP
+
+    n = _basket_pair_count(spark, mega_basket_dir, cap=_BASKET_CAP)
+    assert n == _BASKET_CAP * (_BASKET_CAP - 1) // 2 + 50 * 3
+
+
+def test_basket_cap_keeps_normal_baskets_intact(spark, mega_basket_dir):
+    """Normal baskets (size ≤ cap) are untouched: their top-support pairs
+    come through the capped plan verbatim."""
+    from stateflow_spark.queries.joins import join_market_basket_pairs
+
+    out = join_market_basket_pairs(spark, mega_basket_dir).collect()
+    # every normal order o contributes pairs among {100+o, 101+o, 102+o};
+    # consecutive orders overlap: pair (101+o, 102+o) == (100+(o+1), 101+(o+1))
+    # appears in two orders -> support 2 rows exist and lead the top-20
+    assert out, "capped plan must still mine normal baskets"
+    top = out[0]
+    assert top.support == 2
