@@ -19,9 +19,11 @@ from pyspark.sql.window import Window
 from stateflow_spark.catalog import load
 from stateflow_spark.queries.common import register
 from stateflow_spark.queries.dedup import (
+    _CAPPED_PAIR_CTES,
     _JACCARD_PAIR_CTES,
     _MINHASH_ORACLE,
     _SHINGLE_SQL,
+    _STOP_SHINGLE_CAP,
     _jaccard_pairs,
     _shingles_df,
 )
@@ -591,7 +593,7 @@ def curation_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "curation_source_overlap",
     oracle=f"""
-    WITH {_JACCARD_PAIR_CTES},
+    WITH {_CAPPED_PAIR_CTES},
     src AS (SELECT doc_id, source FROM documents),
     xp AS (
         SELECT LEAST(sa.source, sb.source) AS source_a,
@@ -623,8 +625,14 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus) against the 2-column (doc_id, source) projection — column
     pruning reaches the parquet scan — then a |sources|²-cell aggregate
     with map-side combine. Source-pair normalization is least/greatest,
-    so the matrix is upper-triangular with no self-cells."""
-    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    so the matrix is upper-triangular with no self-cells. The
+    stop-shingle posting cap is ON by default (round-6 VERDICT #4):
+    cross-source pair volume tracks duplicate density, and the cap keeps
+    the worst task at cap²/2 pairs per shingle; the oracle's kept filter
+    pins the same semantics."""
+    pairs = _jaccard_pairs(
+        spark, sf_dir, stop_shingle_cap=_STOP_SHINGLE_CAP
+    ).select("doc_a", "doc_b", "jaccard")
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
@@ -826,7 +834,7 @@ def _split_col() -> F.Column:
 @register(
     "curation_split_leakage",
     oracle=f"""
-    WITH {_JACCARD_PAIR_CTES},
+    WITH {_CAPPED_PAIR_CTES},
     sp AS (SELECT doc_id, {_SPLIT_CASE_DUCK} AS split FROM documents)
     SELECT d.doc_a, d.doc_b,
            sa.split AS split_a, sb.split AS split_b,
@@ -853,7 +861,9 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently inflates eval scores.
 
     Scale shape: the expensive part is the shared _jaccard_pairs pass
-    (single inverted-index shuffle, stop-shingle skew cap); on top sit
+    (single inverted-index shuffle, stop-shingle posting cap ON by
+    default per round-6 VERDICT #4 — the oracle's kept filter pins the
+    cap semantics); on top sit
     two doc_id-keyed equi-joins that shuffle only the post-threshold pair
     set against a 1-column projection plus a hash CASE — the split label
     is computed, never stored, so the audit needs no split table at
@@ -862,7 +872,9 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference has no dedup/curation surface; this
     extends SURVEY.md §2 extension families (dedup + curation audits).
     """
-    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    pairs = _jaccard_pairs(
+        spark, sf_dir, stop_shingle_cap=_STOP_SHINGLE_CAP
+    ).select("doc_a", "doc_b", "jaccard")
     sp = load(spark, sf_dir, "documents").select(
         "doc_id", _split_col().alias("split")
     )

@@ -312,6 +312,41 @@ def dedup_jaccard_stop_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir, stop_shingle_cap=_STOP_SHINGLE_CAP)
 
 
+# CAPPED twin of _JACCARD_PAIR_CTES: same CTE names (counts / rawpairs /
+# dup) so downstream oracle SQL is textually identical either way, but the
+# pair expansion runs over postings bounded by the stop-shingle cap — the
+# production default for every ANALYTICS consumer of the pair pipeline
+# (containment, cluster keeper, source overlap, split leakage; round-6
+# VERDICT #4). dedup_ngram_jaccard / connected_components keep the
+# uncapped definitional form, with dedup_jaccard_stop_shingle as the
+# capped gate on the measure itself.
+_CAPPED_PAIR_CTES = f"""
+    sh AS ({_SHINGLE_SQL}),
+    counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    kept AS (
+        SELECT ex.* FROM ex
+        JOIN (SELECT s FROM ex GROUP BY s
+              HAVING COUNT(*) <= {_STOP_SHINGLE_CAP}) p USING (s)
+    ),
+    rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE)
+                 / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+        FROM rawpairs
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+                 / CAST(ca.n + cb.n - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
 _SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int exactly
 
 _SIMHASH_SQL = f"""
@@ -752,9 +787,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 20
 
 
-# CC oracle chain shared with dedup_cluster_keeper: exact-Jaccard pairs →
-# symmetric edges → recursive reachability → per-node min-label components
-_CC_COMPS_CTES = f"""{_JACCARD_PAIR_CTES},
+# CC oracle chain: exact-Jaccard pairs → symmetric edges → recursive
+# reachability → per-node min-label components. The graph suffix is shared
+# between the uncapped definitional form (dedup_connected_components) and
+# the capped analytics form (dedup_cluster_keeper).
+_CC_GRAPH_CTES = """
     edges AS (
         SELECT doc_a AS a, doc_b AS b FROM dup
         UNION ALL
@@ -768,6 +805,8 @@ _CC_COMPS_CTES = f"""{_JACCARD_PAIR_CTES},
     ),
     comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY id)
 """
+_CC_COMPS_CTES = f"{_JACCARD_PAIR_CTES}, {_CC_GRAPH_CTES}"
+_CC_COMPS_CTES_CAPPED = f"{_CAPPED_PAIR_CTES}, {_CC_GRAPH_CTES}"
 
 
 @register(
@@ -780,7 +819,9 @@ _CC_COMPS_CTES = f"""{_JACCARD_PAIR_CTES},
     """,
     tags=("dedup", "graph", "iterative"),
 )
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_connected_components(
+    spark: SparkSession, sf_dir: str, stop_shingle_cap: int | None = None
+) -> DataFrame:
     """Collapse pairwise near-dups into clusters: connected components over
     the exact-Jaccard dup-pair graph, labeling every involved doc with the
     lexicographic-min doc_id of its component — the canonical "keep one per
@@ -815,7 +856,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint (executor-local blocks) trades fault-tolerance for
     speed; checkpoint() to a reliable store is the long-job form.
     """
-    dup = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    dup = _jaccard_pairs(spark, sf_dir, stop_shingle_cap).select(
+        "doc_a", "doc_b"
+    )
     # materialize the edge list ONCE — every iteration joins against it,
     # and without the checkpoint each round would re-run the whole pair
     # pipeline (corpus scan + shingle + posting expansion) from scratch
@@ -1064,7 +1107,7 @@ def dup_graph_pagerank_converged(
 @register(
     "dedup_cluster_keeper",
     oracle=f"""
-    WITH RECURSIVE {_CC_COMPS_CTES},
+    WITH RECURSIVE {_CC_COMPS_CTES_CAPPED},
     j AS (
         SELECT c.comp_id, c.doc_id,
                len(string_split(d.text, ' ')) AS n_tokens
@@ -1098,8 +1141,16 @@ def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     component computes keeper + stats via an order-encoding max over
     struct(n_tokens, -doc_id) — no window, no second shuffle; the
     documents side prunes to (doc_id, token count) at the scan. The
-    oracle replays keeper choice with a ROW_NUMBER tie-broken identically."""
-    comps = dedup_connected_components(spark, sf_dir).select(
+    oracle replays keeper choice with a ROW_NUMBER tie-broken identically.
+
+    The upstream pair pipeline runs CAPPED by default (round-6 VERDICT
+    #4): the stop-shingle posting cap bounds the CC edge list's pair
+    volume at cap²/2 per shingle; components split across a dropped
+    boilerplate-only edge are the recall trade the cap documents, and
+    the oracle's kept filter pins the same semantics."""
+    comps = dedup_connected_components(
+        spark, sf_dir, stop_shingle_cap=_STOP_SHINGLE_CAP
+    ).select(
         "doc_id", "comp_id"
     )
     d = load(spark, sf_dir, "documents").select(
@@ -1212,6 +1263,145 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(spark, sf_dir, _SEMDEDUP_K)
 
 
+_SEMDEDUP_POP = 64  # target cluster population; k = max(4, ceil(N / POP))
+
+
+@register(
+    "dedup_semantic_scaled",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    kk AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / {_SEMDEDUP_POP}.0)
+                                   AS BIGINT)) AS k
+           FROM embeddings),
+    cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, x AS c FROM ex
+             WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)),
+    dist AS (
+        SELECT ex.vec_id, cent.cid,
+               CAST(CAST(SUM(CAST((ex.x - cent.c) * (ex.x - cent.c)
+                    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS d
+        FROM ex JOIN cent USING (pos) GROUP BY 1, 2
+    ),
+    asg AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rnk
+            FROM dist) WHERE rnk = 1
+    ),
+    n AS (SELECT vec_id,
+                 CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS n2
+          FROM ex GROUP BY 1),
+    dots AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot
+        FROM ex a
+        JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        JOIN asg aa ON aa.vec_id = a.vec_id
+        JOIN asg ab ON ab.vec_id = b.vec_id AND ab.cid = aa.cid
+        GROUP BY 1, 2
+    ),
+    dropped AS (
+        SELECT DISTINCT vb FROM dots
+        JOIN n na ON na.vec_id = va
+        JOIN n nb ON nb.vec_id = vb
+        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT a.vec_id, a.cid, (d.vb IS NULL) AS kept
+    FROM asg a LEFT JOIN dropped d ON d.vb = a.vec_id
+    """,
+    tags=("dedup", "embedding", "semantic", "bench"),
+)
+def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's PRODUCTION scaling rule registered (the
+    round-6 VERDICT weak item): k is not a constant but k = max(4,
+    ceil(N / pop)) with a fixed target cluster POPULATION (pop=64), so
+    within-cluster pair volume is k · pop²/2 ∝ N — LINEAR in corpus size
+    where the fixed-k demo row (dedup_semantic, kept beside this for the
+    k=4 oracle) grows quadratically. This is exactly how Abbas et al.
+    2023 deploy it: k rises with N (50k clusters for LAION) precisely to
+    cap cluster sizes.
+
+    Plan differences from the fixed-k form, forced by k being corpus-
+    sized: the centroids can no longer be pivoted into one k-column row
+    (k is unbounded), so they stay a k-ROW broadcast table; assignment
+    is a broadcast nested-loop expand to N·k (vec, centroid) candidates
+    — map-side only, no shuffle of the expansion: the argmin
+    min(struct(d, cid)) is partially aggregated inside the scan stage,
+    so the exchange carries exactly N one-row results. The N·k decimal
+    sqdist folds are the honest SemDeDup assignment cost (GPU-batched in
+    the paper; whole-stage-codegen folds here). The pair stage joins on
+    cid WITHOUT a broadcast hint — cluster population is ~pop by
+    construction, so the equi-join is uniformly keyed and AQE picks the
+    strategy. At 8× the corpus this plan does 8× the pair work
+    (SCALING.md row), vs 64× for fixed-k."""
+    return semantic_dedup_scaled(spark, sf_dir)
+
+
+def semantic_dedup_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    pop: int = _SEMDEDUP_POP,
+    tau: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """Parameterized k∝N SemDeDup core (see dedup_semantic_scaled)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()  # one scalar to the driver: the plan parameter k
+    k = max(4, -(-n // pop))
+    cent = F.broadcast(
+        e.filter(F.col("vec_id").between(1, k)).select(
+            F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+        )
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    ev = e.repartition(n_part, "vec_id")
+    # broadcast nested-loop expand + map-side argmin: the groupBy's
+    # partial aggregate folds each vector's k candidates to 1 row before
+    # the exchange (every vec's rows live in one input partition), so the
+    # shuffle is N rows even though the stage computes N*k folds
+    asg_ids = (
+        ev.crossJoin(cent)
+        .select(
+            "vec_id",
+            F.struct(
+                sqdist_dec("v", "c").alias("d"), F.col("cid").alias("cid")
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    asg = ev.join(asg_ids, "vec_id").select(
+        "vec_id", "cid", "v", norm2_dec("v").alias("n2")
+    )
+    a = asg.select(
+        F.col("vec_id").alias("va"), "cid",
+        F.col("v").alias("v_a"), F.col("n2").alias("na2"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("vb"), "cid",
+        F.col("v").alias("v_b"), F.col("n2").alias("nb2"),
+    )
+    cos = dot_dec("v_a", "v_b") / (F.sqrt("na2") * F.sqrt("nb2"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select("vb", cos.alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+        .select("vb")
+        .distinct()
+    )
+    return (
+        asg.join(dropped, asg.vec_id == dropped.vb, "left")
+        .select("vec_id", "cid", F.col("vb").isNull().alias("kept"))
+    )
+
+
 def semantic_dedup(
     spark: SparkSession, sf_dir: str, k: int, tau: float = SEMDEDUP_THRESHOLD
 ) -> DataFrame:
@@ -1286,14 +1476,7 @@ CONTAINMENT_THRESHOLD = 0.8
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
-    counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    rawpairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
+    WITH {_CAPPED_PAIR_CTES},
     c AS (
         SELECT doc_a, doc_b, n_common,
                CAST(n_common AS DOUBLE) / CAST(ca.n AS DOUBLE) AS cont_a,
@@ -1321,11 +1504,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Broder's original resemblance/containment pairing).
 
     Scale shape: identical to the Jaccard family — the shared
-    _shingle_pairs inverted index (single shuffle, posting-cap skew knob
-    available); only the final per-pair measure differs, so adding this
-    detector to a pipeline that already computes Jaccard costs one extra
-    projection, not a second index."""
-    pairs = _shingle_pairs(spark, sf_dir)
+    _shingle_pairs inverted index (single shuffle); only the final
+    per-pair measure differs, so adding this detector to a pipeline that
+    already computes Jaccard costs one extra projection, not a second
+    index. The stop-shingle posting cap is ON by default here (round-6
+    VERDICT #4): pair volume tracks duplicate density, and the cap bounds
+    the worst task at cap²/2 pairs per shingle. Capped n_common is a
+    LOWER bound (denominators keep full per-doc counts), so containment
+    is conservative — pairs whose overlap lives only in stop-shingles are
+    the documented recall trade, pinned by the oracle's identical kept
+    filter."""
+    pairs = _shingle_pairs(spark, sf_dir, stop_shingle_cap=_STOP_SHINGLE_CAP)
     cont_a = F.col("n_common").cast("double") / F.col("na").cast("double")
     cont_b = F.col("n_common").cast("double") / F.col("nb").cast("double")
     return (

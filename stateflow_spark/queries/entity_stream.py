@@ -7,18 +7,20 @@ batch fold; the superstep engine has `entity_flow_golden`. This query
 gives the continuous engine itself a hash-gated row: the events table is
 replayed as per-event InvokeStateful calls across MULTIPLE micro-batches
 of one long-running checkpointed query (state persists in the state store
-between batches), and the final state is read back through GET_STATE
-events — the engine's own API, not a side channel.
+between batches), and the final state is read back DISTRIBUTED via the
+Spark 4 state-store reader over the engine's checkpoint — the state IS a
+queryable table (the state_table posture; entity_state_relational_join
+is the superstep twin).
 
 Burst construction is CLUSTER-SIDE (round-5 VERDICT "Next round" #3): one
 Spark job maps the events table to serialized InvokeStateful rows (the
 engine's wire schema) and writes them hash-partitioned into 3 burst
 directories; the driver only renames each burst's finished files into the
 engine's source directory — the file-source analog of pointing a Kafka
-producer fleet at the ingress topic. The events table never reaches the
-driver; the only driver-side materializations are the distinct key set
-(bounded by key cardinality — it IS the GET_STATE readback working set)
-and the replies.
+producer fleet at the ingress topic. Inits are built the same way from
+the distinct keys (round-6 VERDICT #5). Neither the events table nor the
+key list ever reaches the driver; the only driver scalar is the key
+count (state-store sizing).
 
 Exactness: the entity folds integer ten-thousandths (each event's value
 quantized executor-side exactly like the oracle's CAST(value AS
@@ -38,7 +40,6 @@ from __future__ import annotations
 import decimal
 import os
 import tempfile
-import uuid
 from typing import Iterator
 
 import pandas as pd
@@ -83,6 +84,42 @@ def _units(v: float) -> int:
             _Q4, rounding=decimal.ROUND_HALF_UP
         ).scaleb(4)
     )
+
+
+def _serialize_inits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Executor-side: distinct keys → serialized InitClass rows. Same
+    wire-schema posture as _serialize_bursts — the driver never sees a
+    key."""
+    from stateflow_spark.entity import operator
+
+    _replay_class()  # executor workers have their own (empty) registry
+
+    for pdf in it:
+        rows = []
+        for uid in pdf["user_id"]:
+            e = operator.make_init_event("ReplayAccount", (str(uid),))
+            rows.append((e.entity, e.key, e.seq, e.to_bytes()))
+        if rows:
+            yield pd.DataFrame(rows, columns=["entity", "key", "seq", "blob"])
+
+
+def _state_to_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Executor-side: (key, pickled state blob) → final replay rows. The
+    balance arithmetic is byte-identical to the old GET_STATE readback:
+    float(Decimal(units).scaleb(-4)) is the correctly-rounded double of
+    the exact scaled-int fold, + 100.0 in IEEE double."""
+    import pickle
+
+    for pdf in it:
+        rows = []
+        for k, blob in zip(pdf["k"], pdf["blob"]):
+            s = pickle.loads(bytes(blob))
+            bal = 100.0 + float(decimal.Decimal(s["units"]).scaleb(-4))
+            rows.append((int(k), bal, s["n_reads"], s["n_updates"]))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["key", "balance", "n_reads", "n_updates"]
+            )
 
 
 def _serialize_bursts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -130,36 +167,61 @@ def _serialize_bursts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def entity_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every event in the events table dispatched per-event through the
-    continuous engine in 3 cluster-built bursts (≥3 micro-batches + init
-    + read), final per-key state read back via GET_STATE; must equal the
-    batch fold."""
-    from stateflow_spark.entity import operator
-    from stateflow_spark.entity.model import Event, EventType
+    continuous engine in 3 cluster-built bursts (≥3 micro-batches +
+    cluster-built inits), final per-key state read back DISTRIBUTED from
+    the engine's own checkpoint via the Spark 4 state-store reader; must
+    equal the batch fold.
+
+    No driver materialization proportional to keys OR events anywhere
+    (round-6 VERDICT #5): inits serialize cluster-side from the distinct
+    keys exactly like the bursts, and the readback is
+    spark.read.format("statestore") over the checkpoint — the state
+    lands as a DataFrame and unpacks via one Arrow-batched mapInPandas
+    (the state_table shape), never through per-key GET_STATE replies.
+    The only driver scalar is the key COUNT (state-store sizing). The
+    GET_STATE surface itself stays hash-gated by entity_get_state and
+    the superstep replays."""
     from stateflow_spark.streaming.stateful import StreamingEntityEngine
 
     _replay_class()
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    # the GET_STATE readback working set — bounded by key cardinality,
-    # NOT event volume (the only non-reply driver materialization)
-    keys = sorted(
-        r.user_id for r in ev.select("user_id").distinct().collect()
-    )
+    n_keys = ev.select("user_id").distinct().count()
 
     # state-store parallelism tracks the key set (the engine docstring's
     # sizing rule): 8 partitions is right for the sf0.01 key count but
     # starves the per-key Python operator at sf1+ (measured 7.6×/decade
     # fixed at 8), while tiny key sets pay per-partition state-commit
     # overhead every micro-batch if over-partitioned
-    n_part = min(32, max(8, len(keys) // 100))
+    n_part = min(32, max(8, n_keys // 100))
     eng = StreamingEntityEngine(
         spark,
         tempfile.mkdtemp(prefix="entity-stream-replay-"),
         shuffle_partitions=n_part,
     )
     try:
-        eng.send(
-            [operator.make_init_event("ReplayAccount", (str(k),)) for k in keys]
+        # inits built cluster-side (same staging-then-move pattern as the
+        # bursts below) — the driver never holds the key list
+        init_staging = os.path.join(eng.workdir, "inits")
+        (
+            ev.select("user_id")
+            .distinct()
+            .repartition(max(1, n_part // 4))
+            .mapInPandas(
+                _serialize_inits,
+                "entity STRING, key STRING, seq LONG, blob BINARY",
+            )
+            .write.mode("overwrite")
+            .parquet(init_staging)
         )
+        for j, name in enumerate(
+            sorted(
+                n for n in os.listdir(init_staging) if n.endswith(".parquet")
+            )
+        ):
+            os.replace(
+                os.path.join(init_staging, name),
+                os.path.join(eng.in_dir, f"init-{j}.parquet"),
+            )
         eng.start()
         eng.drain()
 
@@ -202,31 +264,21 @@ def entity_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                     os.path.join(eng.in_dir, f"burst-{i}-{j}.parquet"),
                 )
             eng.drain()
-
-        gets = {
-            (k, attr): Event(
-                str(uuid.uuid4()),
-                "ReplayAccount",
-                str(k),
-                EventType.GET_STATE,
-                {"attr": attr},
-            )
-            for k in keys
-            for attr in ("units", "n_reads", "n_updates")
-        }
-        eng.send(list(gets.values()))
-        eng.drain()
-        replies = eng.replies()
     finally:
         eng.stop()
 
-    def got(k, attr):
-        return replies[gets[(k, attr)].event_id].payload["result"]
-
-    out = []
-    for k in keys:
-        bal = 100.0 + float(decimal.Decimal(got(k, "units")).scaleb(-4))
-        out.append((k, bal, got(k, "n_reads"), got(k, "n_updates")))
-    return spark.createDataFrame(
-        out, "key BIGINT, balance DOUBLE, n_reads BIGINT, n_updates BIGINT"
+    # distributed readback: the engine's checkpoint IS a queryable state
+    # snapshot — one scan, one Arrow-batched unpack, zero driver rows
+    st = (
+        spark.read.format("statestore")
+        .load(eng.checkpoint)
+        .filter(F.col("key.entity") == "ReplayAccount")
+        .select(
+            F.col("key.key").alias("k"),
+            F.col("value.groupState.blob").alias("blob"),
+        )
+    )
+    return st.mapInPandas(
+        _state_to_rows,
+        "key BIGINT, balance DOUBLE, n_reads BIGINT, n_updates BIGINT",
     )
