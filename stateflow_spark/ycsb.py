@@ -269,12 +269,21 @@ def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
                     )
                 )
         t0 = time.perf_counter()
+        t0_wallclock = time.time()  # reply-file mtimes are epoch-clock
         eng.send(events)
         eng.drain()
         wall = time.perf_counter() - t0
         replies = eng.replies()
         n_ok = sum(1 for e in events if e.event_id in replies)
         assert n_ok == n_tasks, f"only {n_ok}/{n_tasks} replies"
+        # completion spread (micro-batch resolution, reply-file mtimes —
+        # the same capture the reference client's consumer thread does);
+        # p50/p99 of time-from-burst-start, round-6 VERDICT #7
+        lat = sorted(
+            eng.reply_times[e.event_id] - t0_wallclock for e in events
+        )
+        p50 = lat[len(lat) // 2]
+        p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
         if latency_csv:  # reference CSV shape: request_id, timestamp
             # completion timestamps at micro-batch resolution (reply-file
             # commit time), the streaming analog of kafka_client.py:78-91
@@ -288,6 +297,8 @@ def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
             "ops": n_tasks,
             "sec": round(wall, 4),
             "ops_per_sec": round(n_tasks / wall, 1),
+            "p50_s": round(p50, 3),
+            "p99_s": round(p99, 3),
         }
     finally:
         eng.stop()
