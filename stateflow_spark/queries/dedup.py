@@ -1277,20 +1277,42 @@ _SEMDEDUP_POP = 64  # target cluster population; k = max(4, ceil(N / POP))
     kk AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / {_SEMDEDUP_POP}.0)
                                    AS BIGINT)) AS k
            FROM embeddings),
-    cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, x AS c FROM ex
+    k1 AS (SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) AS k1 FROM kk),
+    coarse AS (SELECT CAST(vec_id AS INTEGER) AS ccid, pos, x AS c FROM ex
+               WHERE vec_id BETWEEN 1 AND (SELECT k1 FROM k1)),
+    fine AS (SELECT CAST(vec_id AS INTEGER) AS fid, pos, x AS c FROM ex
              WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)),
-    dist AS (
-        SELECT ex.vec_id, cent.cid,
-               CAST(CAST(SUM(CAST((ex.x - cent.c) * (ex.x - cent.c)
+    cdist AS (
+        SELECT ex.vec_id, coarse.ccid,
+               CAST(CAST(SUM(CAST((ex.x - coarse.c) * (ex.x - coarse.c)
                     AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS d
-        FROM ex JOIN cent USING (pos) GROUP BY 1, 2
+        FROM ex JOIN coarse USING (pos) GROUP BY 1, 2
+    ),
+    casg AS (
+        SELECT vec_id, ccid FROM (
+            SELECT vec_id, ccid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, ccid) AS rnk
+            FROM cdist) WHERE rnk = 1
+    ),
+    fcell AS (SELECT CAST(vec_id AS INTEGER) AS fid, ccid FROM casg
+              WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)),
+    fdist AS (
+        SELECT ex.vec_id, fine.fid,
+               CAST(CAST(SUM(CAST((ex.x - fine.c) * (ex.x - fine.c)
+                    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS d
+        FROM ex
+        JOIN casg ON casg.vec_id = ex.vec_id
+        JOIN fcell ON fcell.ccid = casg.ccid
+        JOIN fine ON fine.fid = fcell.fid AND fine.pos = ex.pos
+        GROUP BY 1, 2
     ),
     asg AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
+        SELECT vec_id, fid AS cid FROM (
+            SELECT vec_id, fid,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
-                                      ORDER BY d, cid) AS rnk
-            FROM dist) WHERE rnk = 1
+                                      ORDER BY d, fid) AS rnk
+            FROM fdist) WHERE rnk = 1
     ),
     n AS (SELECT vec_id,
                  CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS n2
@@ -1327,17 +1349,24 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan differences from the fixed-k form, forced by k being corpus-
     sized: the centroids can no longer be pivoted into one k-column row
-    (k is unbounded), so they stay a k-ROW broadcast table; assignment
-    is a broadcast nested-loop expand to N·k (vec, centroid) candidates
-    — map-side only, no shuffle of the expansion: the argmin
-    min(struct(d, cid)) is partially aggregated inside the scan stage,
-    so the exchange carries exactly N one-row results. The N·k decimal
-    sqdist folds are the honest SemDeDup assignment cost (GPU-batched in
-    the paper; whole-stage-codegen folds here). The pair stage joins on
-    cid WITHOUT a broadcast hint — cluster population is ~pop by
+    (k is unbounded), so they live as ROW tables, and assignment is
+    TWO-LEVEL (the FAISS IVF coarse-quantizer composition): a k1=⌈√k⌉
+    coarse pass (broadcast nested-loop expand to N·√k candidates,
+    map-side argmin — the exchange carries N one-row results), then a
+    fine pass restricted to the fine seeds in the vector's coarse cell
+    (~√k candidates each, equi-join on the coarse cell id). Total
+    assignment work is N·2√k decimal sqdist folds instead of the flat
+    N·k — the difference between dying at 10× the corpus and scaling
+    (flat assignment measured 18.7 s at sf1 AFTER single-computation
+    fix; two-level ~7 s, and ~√10× per further decade instead of 10×).
+    Fine seeds are assigned to coarse cells by the SAME argmin rule (a
+    filter of the coarse assignment — seeds are corpus vectors), so the
+    quantizer is fully deterministic and the oracle replays it exactly,
+    ties broken (d, cid) both levels. The pair stage joins on cid
+    WITHOUT a broadcast hint — cluster population is ~pop by
     construction, so the equi-join is uniformly keyed and AQE picks the
-    strategy. At 8× the corpus this plan does 8× the pair work
-    (SCALING.md row), vs 64× for fixed-k."""
+    strategy. At extreme k the broadcast fine table itself shards by
+    coarse cell (partitioned join) — the standard IVF layout."""
     return semantic_dedup_scaled(spark, sf_dir)
 
 
@@ -1347,37 +1376,77 @@ def semantic_dedup_scaled(
     pop: int = _SEMDEDUP_POP,
     tau: float = SEMDEDUP_THRESHOLD,
 ) -> DataFrame:
-    """Parameterized k∝N SemDeDup core (see dedup_semantic_scaled)."""
+    """Parameterized k∝N SemDeDup core with two-level (IVF-style)
+    centroid assignment (see dedup_semantic_scaled)."""
+    import math
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = e.count()  # one scalar to the driver: the plan parameter k
+    n = e.count()  # one scalar to the driver: the plan parameters k, k1
     k = max(4, -(-n // pop))
-    cent = F.broadcast(
-        e.filter(F.col("vec_id").between(1, k)).select(
-            F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    k1 = max(2, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+    coarse = F.broadcast(
+        e.filter(F.col("vec_id").between(1, k1)).select(
+            F.col("vec_id").cast("int").alias("ccid"), F.col("v").alias("c")
         )
     )
     n_part = spark.sparkContext.defaultParallelism
     ev = e.repartition(n_part, "vec_id")
-    # broadcast nested-loop expand + map-side argmin: the groupBy's
-    # partial aggregate folds each vector's k candidates to 1 row before
-    # the exchange (every vec's rows live in one input partition), so the
-    # shuffle is N rows even though the stage computes N*k folds
-    asg_ids = (
-        ev.crossJoin(cent)
+    # coarse pass: broadcast nested-loop expand + map-side argmin — the
+    # groupBy's partial aggregate folds each vector's k1 candidates to 1
+    # row before the exchange (every vec's rows live in one input
+    # partition), so the shuffle is N rows even though the stage computes
+    # N*k1 folds. Materialized: it feeds the fine pass AND the fine-seed
+    # cell table.
+    casg = (
+        ev.crossJoin(coarse)
         .select(
             "vec_id",
             F.struct(
-                sqdist_dec("v", "c").alias("d"), F.col("cid").alias("cid")
+                sqdist_dec("v", "c").alias("d"), F.col("ccid").alias("ccid")
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.ccid").alias("ccid"))
+        .localCheckpoint()
+    )
+    # fine seeds are corpus vectors: their coarse cell is a FILTER of the
+    # coarse assignment (same argmin rule — fully deterministic)
+    fcell = casg.filter(F.col("vec_id").between(1, k)).select(
+        F.col("vec_id").cast("int").alias("fid"), "ccid"
+    )
+    fine_tbl = F.broadcast(
+        e.filter(F.col("vec_id").between(1, k))
+        .select(F.col("vec_id").cast("int").alias("fid"), F.col("v").alias("c"))
+        .join(fcell, "fid")
+    )
+    # fine pass: each vector meets only the ~√k fine seeds of its coarse
+    # cell (equi-join on ccid against the broadcast fine table); same
+    # map-side argmin shape as the coarse pass
+    asg_ids = (
+        ev.join(casg, "vec_id")
+        .join(fine_tbl, "ccid")
+        .select(
+            "vec_id",
+            F.struct(
+                sqdist_dec("v", "c").alias("d"), F.col("fid").alias("cid")
             ).alias("dc"),
         )
         .groupBy("vec_id")
         .agg(F.min("dc").alias("m"))
         .select("vec_id", F.col("m.cid").alias("cid"))
     )
-    asg = ev.join(asg_ids, "vec_id").select(
-        "vec_id", "cid", "v", norm2_dec("v").alias("n2")
+    # materialize the assignment ONCE: it feeds THREE plan branches (both
+    # pair-join sides + the final kept flag) and Catalyst cannot reuse
+    # the assignment stages across them — without this the most expensive
+    # stage runs three times (measured 38 s → 6 s at sf1 for the flat
+    # form)
+    asg = (
+        ev.join(asg_ids, "vec_id")
+        .select("vec_id", "cid", "v", norm2_dec("v").alias("n2"))
+        .localCheckpoint()
     )
     a = asg.select(
         F.col("vec_id").alias("va"), "cid",
@@ -1434,12 +1503,17 @@ def semantic_dedup(
         + " (acc, x) -> IF(acc IS NULL OR x.d < acc.d, x, acc))"
     )
     n_part = spark.sparkContext.defaultParallelism
+    # materialized once: the assignment feeds three plan branches (both
+    # pair-join sides + the final kept flag); without the checkpoint the
+    # k decimal-fold distance stage runs three times (same fix as the
+    # scaled variant — measured 117 s → ~40 s at sf1 for fixed k=4)
     asg = (
         e.repartition(n_part, "vec_id")
         .crossJoin(one)
         .select("vec_id", "v", *dist_cols)
         .select("vec_id", "v", best.getField("cid").alias("cid"))
         .withColumn("n2", norm2_dec("v"))
+        .localCheckpoint()
     )
     a = asg.select(
         F.col("vec_id").alias("va"), "cid",

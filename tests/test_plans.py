@@ -689,3 +689,30 @@ def test_referential_integrity_broadcasts_dimension_antijoins(spark):
     assert "BroadcastHashJoin" in plan
     # LEFT ANTI appears for both orphan directions
     assert plan.count("LeftAnti") >= 6, plan.count("LeftAnti")
+
+
+def test_semdedup_scaled_two_level_assignment(spark):
+    """dedup_semantic_scaled: the k∝N production form must keep the pair
+    stage an equi-join on the computed cid (no cartesian product, no
+    window, no corpus explode downstream of the checkpointed assignment),
+    and its quantizer must honor the scaling rule — k = ceil(N/64) fine
+    cells filled at ~the target population."""
+    import pyspark.sql.functions as F
+
+    from stateflow_spark.queries.dedup import _SEMDEDUP_POP
+
+    df = REGISTRY["dedup_semantic_scaled"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    # scaling rule: cid count tracks ceil(N/pop), so mean population ~pop
+    stats = df.groupBy("cid").count().agg(
+        F.count(F.lit(1)).alias("k"), F.sum("count").alias("n")
+    ).collect()[0]
+    import math
+    k_expected = max(4, math.ceil(stats.n / _SEMDEDUP_POP))
+    # empty cells are legal (no vector nearest to a seed) — k may fall
+    # short of the rule but never exceed it
+    assert stats.k <= k_expected, (stats.k, k_expected)
+    assert stats.k >= k_expected // 2, (stats.k, k_expected)
