@@ -62,6 +62,47 @@ def cosine_dec(a: Column | str, b: Column | str) -> Column:
     return dot_dec(a, b) / (F.sqrt(norm2_dec(a)) * F.sqrt(norm2_dec(b)))
 
 
+def dot_double(a: Column | str, b: Column | str) -> Column:
+    """Plain double dot product — one native codegen fold, ~100× cheaper
+    than the BigDecimal path. NOT oracle-exact; use only behind a banded
+    guard (cosine_ge_banded) or where exactness is not gated."""
+    zero = F.lit(0.0).cast("double")
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, v: acc + v
+    )
+
+
+def cosine_ge_banded(
+    a: Column | str,
+    b: Column | str,
+    na2: Column | str,
+    nb2: Column | str,
+    tau: float,
+    band: float = 1e-6,
+) -> Column:
+    """Decimal-exact `cosine(a, b) >= tau` with a double fast path.
+
+    The expensive per-pair work in a THRESHOLD test is the BigDecimal
+    dot fold — but exactness only matters when the double approximation
+    could land on the wrong side of tau. A 64-term double dot product
+    carries absolute error ≤ n·ε_mach·Σ|aᵢbᵢ| ≈ 1e-12 for O(1)-magnitude
+    embeddings — orders of magnitude inside the 1e-6 band. So: decide
+    with the native double cosine when it clears tau by more than the
+    band (conditional codegen branches — the decimal fold never
+    executes for those rows), and fall back to the exact decimal fold
+    only INSIDE the band. Same boolean as the pure-decimal form on
+    every pair, ~the cost of a native fold on almost all of them.
+    na2/nb2 must be the decimal-exact squared norms (norm2_dec), shared
+    by both paths so the denominators are bit-identical."""
+    denom = F.sqrt(na2) * F.sqrt(nb2)
+    fast = dot_double(a, b) / denom
+    return (
+        F.when(fast >= F.lit(tau + band), F.lit(True))
+        .when(fast < F.lit(tau - band), F.lit(False))
+        .otherwise(dot_dec(a, b) / denom >= F.lit(tau))
+    )
+
+
 def dot_f64(a: Column | str, b: Column | str) -> Column:
     """Fast double dot product: sequential left fold, deterministic within
     Spark but not guaranteed to bit-match other engines' summation order."""
