@@ -2111,7 +2111,7 @@ def _lpa_oracle() -> str:
     iteration (neighbor-label counts -> deterministic argmax), so the
     label trajectory is replayed, not just the final shape."""
     sql = f"""
-    WITH {_JACCARD_PAIR_CTES},
+    WITH {_CAPPED_PAIR_CTES},
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM dup
         UNION ALL
@@ -2172,8 +2172,12 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus-sized; the vote argmax needs no window over the corpus.
     Fixed iterations keep it one Catalyst plan (the convergence-driven
     loop form with per-round localCheckpoint + release is CC's, same
-    skeleton)."""
-    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    skeleton). Like every analytics consumer of the pair pipeline (round-6
+    VERDICT #4) the edge source runs the stop-shingle posting cap by
+    default — the oracle's kept filter pins the cap semantics."""
+    pairs = _jaccard_pairs(
+        spark, sf_dir, stop_shingle_cap=_STOP_SHINGLE_CAP
+    ).select("doc_a", "doc_b")
     edges = (
         pairs.selectExpr("doc_a AS u", "doc_b AS v")
         .unionByName(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
