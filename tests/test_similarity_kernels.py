@@ -59,3 +59,46 @@ def test_kernels_match_numpy(spark):
         assert abs(r.sq - float(((va - vb) ** 2).sum())) < 1e-9
         ref = float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
         assert abs(r.cf - ref) < 1e-9
+
+
+def test_cosine_ge_banded_equals_pure_decimal(spark):
+    """The banded threshold must return EXACTLY the pure-decimal boolean
+    on every pair — including pairs engineered to land within the band
+    (scaled copies of one vector sit at cosine == 1.0; near-orthogonal
+    constructions probe the far side; random pairs cover the bulk)."""
+    import random
+
+    from stateflow_spark.functions.similarity import (
+        cosine_ge_banded,
+        dot_dec,
+        norm2_dec,
+    )
+
+    rng = random.Random(7)
+    vecs = []
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    for i in range(40):
+        if i % 4 == 0:  # exact scaled copy: cosine 1.0 (>= tau, any tau<1)
+            vecs.append((i, [x * (1 + i) for x in base]))
+        elif i % 4 == 1:  # sign-flipped: cosine -1.0
+            vecs.append((i, [-x for x in base]))
+        else:
+            vecs.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    a = df.selectExpr("id AS ida", "v AS va")
+    b = df.selectExpr("id AS idb", "v AS vb")
+    pairs = a.crossJoin(b).filter("ida < idb").select(
+        "ida", "idb",
+        F.col("va").alias("v_a"), F.col("vb").alias("v_b"),
+        norm2_dec("va").alias("na2"), norm2_dec("vb").alias("nb2"),
+    )
+    for tau in (0.30, 0.0, 0.99999, 1.0, -1.0):
+        exact = (
+            dot_dec("v_a", "v_b") / (F.sqrt("na2") * F.sqrt("nb2"))
+            >= F.lit(tau)
+        )
+        banded = cosine_ge_banded("v_a", "v_b", "na2", "nb2", tau)
+        diff = pairs.select(exact.alias("e"), banded.alias("b")).filter(
+            "e <> b"
+        )
+        assert diff.count() == 0, f"banded mismatch at tau={tau}"
