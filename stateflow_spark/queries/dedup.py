@@ -1534,12 +1534,14 @@ def semantic_dedup(
             F.col("v").alias("v_b"), F.col("n2").alias("nb2"),
         )
     )
-    cos = dot_dec("v_a", "v_b") / (F.sqrt("na2") * F.sqrt("nb2"))
+    # banded exact threshold (identical booleans to the pure-decimal
+    # form on every pair — see cosine_ge_banded + its property test), so
+    # this plan-only change leaves the hash-gated result untouched
+    hit = cosine_ge_banded("v_a", "v_b", "na2", "nb2", tau)
     dropped = (
         a.join(b, "cid")
         .filter(F.col("va") < F.col("vb"))
-        .select("vb", cos.alias("cosine"))
-        .filter(F.col("cosine") >= tau)
+        .filter(hit)
         .select("vb")
         .distinct()
     )
