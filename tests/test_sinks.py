@@ -121,3 +121,38 @@ def test_crashed_swap_preserves_disjoint_history(spark, tmp_path):
     # recover is idempotent when the table is healthy
     recover_parquet_dir(table)
     assert os.path.isdir(table)
+
+
+def test_scd2_merge_recovers_history_from_crashed_swap(spark, tmp_path):
+    """The round-6 medium ADVICE scenario end-to-end: the SCD-2 dimension
+    table is stranded at `.old` by a crash between the two renames; the
+    next micro-batch touches a DIFFERENT customer — without recovery the
+    merge would silently rebuild the dimension from that batch alone,
+    permanently losing the first customer's version history."""
+    import datetime
+
+    from stateflow_spark.queries.streaming_late import _scd2_merge_fn
+
+    table = str(tmp_path / "dim")
+    merge = _scd2_merge_fn(table)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "o_custkey long, o_orderdate date, o_orderkey long, "
+            "o_orderpriority string",
+        )
+
+    d = datetime.date
+    merge(batch([(1, d(1995, 1, 1), 10, "1-URGENT"),
+                 (1, d(1995, 6, 1), 11, "3-MEDIUM")]), 0)
+    assert spark.read.parquet(table).filter("custkey = 1").count() == 2
+
+    # crash between the two renames: history survives only at .old
+    os.rename(table, table + ".old")
+
+    merge(batch([(2, d(1996, 1, 1), 20, "2-HIGH")]), 1)
+    got = spark.read.parquet(table)
+    assert got.filter("custkey = 1").count() == 2  # history preserved
+    assert got.filter("custkey = 2").count() == 1
+    assert not os.path.isdir(table + ".old")
