@@ -1500,6 +1500,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     application are integer/string ops — the whole 6-step trajectory
     hash-gates against the generated per-step CTE oracle."""
     merges, _, _ = _bpe_train(spark, sf_dir, want_totals=False)
+    if not merges:  # degenerate corpus: pair space empty before step 1
+        return spark.createDataFrame(
+            [], "step INT, sym_a STRING, sym_b STRING, pair_count BIGINT"
+        )
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionByName(mdf)

@@ -735,3 +735,20 @@ def test_point_in_time_join_never_leaks_future_attributes(spark):
         assert f.attr_at_time == covering[0].attr_value, (f, covering[0])
         checked += 1
     assert checked == min(500, len(facts))
+
+
+def test_bpe_degenerate_corpus_stops_cleanly(spark, tmp_path):
+    """Round-6 ADVICE: a corpus of single-character words exhausts the
+    pair space before step 1 — the trainer must stop (empty merge table)
+    instead of crossJoining an empty winner and silently emptying the
+    vocab; the APPLY side must still tokenize every word."""
+    docs = [(i, "a b c a b", "en", "s", 9) for i in range(4)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    merges = REGISTRY["text_bpe_train_merges"].fn(spark, str(tmp_path)).collect()
+    assert merges == []
+    applied = REGISTRY["text_bpe_apply"].fn(spark, str(tmp_path)).collect()
+    assert len(applied) == 4  # every doc still tokenizes
