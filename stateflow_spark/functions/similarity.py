@@ -62,16 +62,6 @@ def cosine_dec(a: Column | str, b: Column | str) -> Column:
     return dot_dec(a, b) / (F.sqrt(norm2_dec(a)) * F.sqrt(norm2_dec(b)))
 
 
-def dot_double(a: Column | str, b: Column | str) -> Column:
-    """Plain double dot product — one native codegen fold, ~100× cheaper
-    than the BigDecimal path. NOT oracle-exact; use only behind a banded
-    guard (cosine_ge_banded) or where exactness is not gated."""
-    zero = F.lit(0.0).cast("double")
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, v: acc + v
-    )
-
-
 def cosine_ge_banded(
     a: Column | str,
     b: Column | str,
@@ -95,7 +85,7 @@ def cosine_ge_banded(
     na2/nb2 must be the decimal-exact squared norms (norm2_dec), shared
     by both paths so the denominators are bit-identical."""
     denom = F.sqrt(na2) * F.sqrt(nb2)
-    fast = dot_double(a, b) / denom
+    fast = dot_f64(a, b) / denom
     return (
         F.when(fast >= F.lit(tau + band), F.lit(True))
         .when(fast < F.lit(tau - band), F.lit(False))

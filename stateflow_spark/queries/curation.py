@@ -20,7 +20,6 @@ from stateflow_spark.catalog import load
 from stateflow_spark.queries.common import register
 from stateflow_spark.queries.dedup import (
     _CAPPED_PAIR_CTES,
-    _JACCARD_PAIR_CTES,
     _MINHASH_ORACLE,
     _SHINGLE_SQL,
     _STOP_SHINGLE_CAP,

@@ -1422,7 +1422,11 @@ def semantic_dedup_scaled(
     fcell = casg.filter(F.col("vec_id").between(1, k)).select(
         F.col("vec_id").cast("int").alias("fid"), "ccid"
     )
-    fine_tbl = F.broadcast(
+    # NOT broadcast-hinted: the fine table is corpus-proportional
+    # (k = ceil(N/64) rows) — the same reason curation_assign_ids dropped
+    # its offsets broadcast. AQE broadcasts it while it fits and falls
+    # back to a shuffle join (sharded by coarse cell) beyond that.
+    fine_tbl = (
         e.filter(F.col("vec_id").between(1, k))
         .select(F.col("vec_id").cast("int").alias("fid"), F.col("v").alias("c"))
         .join(fcell, "fid")
@@ -1453,6 +1457,9 @@ def semantic_dedup_scaled(
         .select("vec_id", "cid", "v", norm2_dec("v").alias("n2"))
         .localCheckpoint()
     )
+    # asg is materialized — the coarse assignment's corpus-sized blocks
+    # are dead weight now; release them (repo unpersist discipline)
+    unpersist_local_checkpoint(casg)
     a = asg.select(
         F.col("vec_id").alias("va"), "cid",
         F.col("v").alias("v_a"), F.col("n2").alias("na2"),

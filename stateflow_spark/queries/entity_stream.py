@@ -183,9 +183,14 @@ def entity_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the superstep replays."""
     from stateflow_spark.streaming.stateful import StreamingEntityEngine
 
+    from stateflow_spark.storage import unpersist_local_checkpoint
+
     _replay_class()
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    n_keys = ev.select("user_id").distinct().count()
+    # one scan + one distinct shuffle, materialized: the key count (state
+    # sizing) and the init build both read the checkpointed blocks
+    keys_df = ev.select("user_id").distinct().localCheckpoint()
+    n_keys = keys_df.count()
 
     # state-store parallelism tracks the key set (the engine docstring's
     # sizing rule): 8 partitions is right for the sf0.01 key count but
@@ -203,9 +208,7 @@ def entity_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bursts below) — the driver never holds the key list
         init_staging = os.path.join(eng.workdir, "inits")
         (
-            ev.select("user_id")
-            .distinct()
-            .repartition(max(1, n_part // 4))
+            keys_df.repartition(max(1, n_part // 4))
             .mapInPandas(
                 _serialize_inits,
                 "entity STRING, key STRING, seq LONG, blob BINARY",
@@ -213,6 +216,7 @@ def entity_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(init_staging)
         )
+        unpersist_local_checkpoint(keys_df)  # inits are on disk now
         for j, name in enumerate(
             sorted(
                 n for n in os.listdir(init_staging) if n.endswith(".parquet")
