@@ -1535,11 +1535,13 @@ def semantic_dedup(
         F.col("vec_id").alias("va"), "cid",
         F.col("v").alias("v_a"), F.col("n2").alias("na2"),
     )
-    b = F.broadcast(
-        asg.select(
-            F.col("vec_id").alias("vb"), "cid",
-            F.col("v").alias("v_b"), F.col("n2").alias("nb2"),
-        )
+    # NOT broadcast-hinted: asg is corpus-proportional — AQE broadcasts
+    # the checkpointed table while it fits and falls back to a
+    # cid-partitioned shuffle join beyond that (the 100 TB posture the
+    # docstring names); a hard hint would force a corpus-sized broadcast
+    b = asg.select(
+        F.col("vec_id").alias("vb"), "cid",
+        F.col("v").alias("v_b"), F.col("n2").alias("nb2"),
     )
     # banded exact threshold (identical booleans to the pure-decimal
     # form on every pair — see cosine_ge_banded + its property test), so
