@@ -598,7 +598,10 @@ def agg_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("set_bit").alias("n_set"))
     )
-    truth = F.broadcast(build.withColumn("has_urgent", F.lit(True)))
+    # no hint: the build/truth key set is corpus-proportional (the bloom
+    # exists precisely so this join is avoidable at scale; the truth join
+    # here is the accuracy audit) — AQE broadcasts it while it fits
+    truth = build.withColumn("has_urgent", F.lit(True))
     in_bloom = F.col("n_set") == _BLOOM_K
     return (
         hits.join(truth, "k", "left")

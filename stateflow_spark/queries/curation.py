@@ -101,7 +101,9 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = t.join(F.broadcast(boff), "bucket").select(
+    # no broadcast hint: boff is |corpus|/64 rows — corpus-proportional;
+    # AQE broadcasts it while it fits and shuffle-joins beyond that
+    c = t.join(boff, "bucket").select(
         "doc_id",
         "n_tokens",
         (F.col("offset") + F.sum("n_tokens").over(wrun) - F.col("n_tokens")).alias(
@@ -569,7 +571,10 @@ def curation_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(F.broadcast(n), "lang")
-        .join(F.broadcast(cum), ["lang", "score"])
+        # no hint on cum: the distinct (lang, score) table is bounded by
+        # the score DOMAIN, which a continuous production score makes
+        # corpus-proportional — AQE broadcasts it only while it fits
+        .join(cum, ["lang", "score"])
         .select(
             "doc_id",
             "lang",

@@ -761,16 +761,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-pair decimal folds (higher-order functions run interpreted, not
     # codegen) fan out across every core — a broadcast join alone would
     # inherit the scan's split count, and a single-file table would run
-    # the whole quadratic projection on one core. Build side: broadcast
-    # while the block table fits (local testing); at 100 TB the hint drops
-    # away and the same plan is a label-partitioned sort-merge join with
-    # AQE skew split.
+    # the whole quadratic projection on one core. Build side: NO hint —
+    # the block table is corpus-proportional, so AQE broadcasts it while
+    # it fits (local testing) and plans a label-partitioned sort-merge
+    # join with skew split beyond that (a hard hint would force a
+    # corpus-sized broadcast at 100 TB).
     n_part = spark.sparkContext.defaultParallelism
     a = e.repartition(n_part, "vec_id").select(
         F.col("vec_id").alias("vec_a"), "label",
         F.col("v").alias("va"), n2.alias("na2"))
-    b = F.broadcast(e.select(F.col("vec_id").alias("vec_b"), "label",
-                             F.col("v").alias("vb"), n2.alias("nb2")))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label",
+                 F.col("v").alias("vb"), n2.alias("nb2"))
     dot = fold(
         F.zip_with("va", "vb", lambda x, y: (x * y).cast("decimal(24,12)"))
     ).alias("dot")
