@@ -360,10 +360,13 @@ def curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the quality gate is an inline predicate (no join); the
     canonical set semi-joins on doc_id; the near-dup and contaminated
-    sets are SMALL by construction (bounded by dup pairs / hot docs) and
-    anti-join broadcast; language totals broadcast back over the final
-    aggregate. One pass over the corpus plus the bounded dedup/contam
-    side pipelines — the composition adds no shuffle beyond its parts."""
+    sets anti-join WITHOUT broadcast hints — they are bounded by dup-pair
+    volume / hot-doc count, which on a web-scale corpus can be a large
+    FRACTION of it (30-50% near-dup rates are normal), so AQE broadcasts
+    them only while they fit; language totals broadcast back over the
+    final aggregate. One pass over the corpus plus the bounded
+    dedup/contam side pipelines — the composition adds no shuffle beyond
+    its parts."""
     from stateflow_spark.queries.dedup import dedup_minhash_lsh
 
     d = load(spark, sf_dir, "documents")
@@ -395,8 +398,8 @@ def curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (round-5 ADVICE: keeping it contradicted the contamination gate)
         d.filter((F.col("doc_id") % 49 != 0) & quality)
         .join(canon, "doc_id", "left_semi")
-        .join(F.broadcast(dupb), "doc_id", "left_anti")
-        .join(F.broadcast(hot), "doc_id", "left_anti")
+        .join(dupb, "doc_id", "left_anti")
+        .join(hot, "doc_id", "left_anti")
         .select("lang", ntok.cast("bigint").alias("n_tokens"))
     )
     totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
