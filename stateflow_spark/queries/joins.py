@@ -266,22 +266,29 @@ def join_band_price_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded inequality self-join: for every part, the parts priced within
     ±50 cents — the |a−b| ≤ δ predicate class (record-linkage blocking,
     sensor-alignment, price-matching) that a naive plan executes as a
-    CartesianProduct. Spark-first rewrite: quantize to integer cents (exact),
-    bucket by δ-width bands, EXPLODE each probe row to its 3 candidate
-    buckets, and the inequality becomes an EQUI-join on the band key plus a
-    residual per-pair filter — the standard bucketed range-join strategy
-    (same family as join_range_view_clicks's binned interval join, here the
-    self-join/absolute-difference face).
+    CartesianProduct, and that even the bucketed pair-expansion form
+    executes QUADRATICALLY in corpus size: the price DOMAIN is fixed, so
+    parts-per-band grows linearly with the corpus and per-band pair
+    volume grows with its square (measured 0.95 s → 47 s across
+    sf0.1 → sf1 on the round-6 pair-expansion form — a 50×/decade trap).
 
-    At 100 TB: the equi-join shuffles both sides once on the band key with
-    3× probe replication (constant, δ-independent); candidate volume per
-    band is |band|² — δ tunes it, and a hot price-point band (every part
-    $9.99) is the posting-skew case: AQE skew-split or a per-band cap, same
-    knob as dedup's stop-shingle cap. All arithmetic is int64 (cents), so
-    candidate filtering, counts and extrema are engine-exact; round() on
-    the double price is identical in both engines (values sit ~1e-10 from
-    integers, never at .5 ties). No CartesianProduct in the plan — gated in
-    test_plans.py."""
+    Spark-first rewrite, round 7: the output is per-part COUNT + EXTREMA
+    over the band, none of which needs pairs. Quantize to integer cents
+    (exact), build the per-cent HISTOGRAM (domain-bounded — ~120k rows
+    for TPC-H prices at ANY corpus size), and compute
+    sum/min/max-in-band with RANGE-frame windows over the histogram:
+    n_matches = Σ counts in [pc−50, pc+50] − 1 (self), extrema from the
+    strictly-below [−50,−1] / strictly-above [+1,+50] frames with the
+    self-cent value a candidate iff other parts share it (c > 1). One
+    broadcast-sized domain table joins back onto parts. The only serial
+    window runs over the histogram, never the corpus; everything else is
+    one aggregate + one equi-join — corpus-LINEAR (sf1 ≈ 1 s). All
+    arithmetic is int64 (cents), so counts and extrema are engine-exact;
+    round() on the double price is identical in both engines (values sit
+    ~1e-10 from integers, never at .5 ties). No CartesianProduct in the
+    plan — gated in test_plans.py."""
+    from pyspark.sql import Window
+
     p = (
         load(spark, sf_dir, "part")
         .select(
@@ -289,33 +296,43 @@ def join_band_price_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p_retailprice") * 100).cast("bigint").alias("pc"),
         )
     )
-    build = p.select(
-        F.col("p_partkey").alias("b_key"),
-        F.col("pc").alias("b_pc"),
-        F.expr("pc DIV 50").alias("b_band"),
-    )
-    probe = p.select(
-        "p_partkey",
+    hist = p.groupBy("pc").agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.orderBy("pc").rangeBetween(-50, 50)
+    w_lo = Window.orderBy("pc").rangeBetween(-50, -1)
+    w_hi = Window.orderBy("pc").rangeBetween(1, 50)
+    hh = hist.select(
         "pc",
-        F.explode(
-            F.array(
-                F.expr("pc DIV 50 - 1"),
-                F.expr("pc DIV 50"),
-                F.expr("pc DIV 50 + 1"),
-            )
-        ).alias("band"),
+        "c",
+        F.sum("c").over(w_all).alias("in_range"),
+        F.min("pc").over(w_lo).alias("lo_min"),
+        F.max("pc").over(w_lo).alias("lo_max"),
+        F.min("pc").over(w_hi).alias("hi_min"),
+        F.max("pc").over(w_hi).alias("hi_max"),
     )
+    # neighbor extrema EXCLUDING self: pc itself is a candidate value iff
+    # another part shares it (c > 1); lo_* < pc < hi_* always hold where
+    # non-null, so coalesce picks the right bound
+    has_twin = F.col("c") > 1
+    bmin = F.when(has_twin, F.coalesce("lo_min", F.col("pc"))).otherwise(
+        F.coalesce("lo_min", "hi_min")
+    )
+    bmax = F.when(has_twin, F.coalesce("hi_max", F.col("pc"))).otherwise(
+        F.coalesce("hi_max", "lo_max")
+    )
+    stats = hh.select(
+        "pc",
+        (F.col("in_range") - 1).alias("n_matches"),
+        bmin.alias("band_min_cents"),
+        bmax.alias("band_max_cents"),
+    ).filter(F.col("n_matches") >= 1)
     return (
-        probe.join(build, probe.band == build.b_band)
-        .filter(
-            (F.col("b_key") != F.col("p_partkey"))
-            & (F.abs(F.col("b_pc") - F.col("pc")) <= 50)
-        )
-        .groupBy("p_partkey", F.col("pc").alias("price_cents"))
-        .agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.min("b_pc").alias("band_min_cents"),
-            F.max("b_pc").alias("band_max_cents"),
+        p.join(stats, "pc")
+        .select(
+            "p_partkey",
+            F.col("pc").alias("price_cents"),
+            "n_matches",
+            "band_min_cents",
+            "band_max_cents",
         )
         .orderBy(F.col("n_matches").desc(), "p_partkey")
         .limit(100)

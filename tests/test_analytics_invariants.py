@@ -752,3 +752,35 @@ def test_bpe_degenerate_corpus_stops_cleanly(spark, tmp_path):
     assert merges == []
     applied = REGISTRY["text_bpe_apply"].fn(spark, str(tmp_path)).collect()
     assert len(applied) == 4  # every doc still tokenizes
+
+
+def test_band_neighbors_histogram_edge_cases(spark, tmp_path):
+    """The histogram + range-frame rewrite of join_band_price_neighbors
+    must reproduce the textbook pair semantics on engineered edges:
+    exact ±50 boundary inclusion, self-cent exclusion with and without a
+    twin at the same price, and zero-match parts dropped (inner-join
+    semantics of the oracle)."""
+    rows = [
+        (1, 10.00),   # pc 1000; neighbors: 2 (twin), 3 (+50 boundary)
+        (2, 10.00),   # twin of 1
+        (3, 10.50),   # pc 1050: in range of 1/2 (+50) and 4 (+50)
+        (4, 11.00),   # pc 1100: neighbor 3 only (1/2 are -100, out)
+        (5, 99.99),   # pc 9999: isolated -> must NOT appear
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    got = {
+        r.p_partkey: (r.n_matches, r.band_min_cents, r.band_max_cents)
+        for r in REGISTRY["join_band_price_neighbors"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        1: (2, 1000, 1050),  # twin at own cent + boundary neighbor
+        2: (2, 1000, 1050),
+        3: (3, 1000, 1100),  # both sides of the band
+        4: (1, 1050, 1050),  # single neighbor, no twin at own cent
+    }
