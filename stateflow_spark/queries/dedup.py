@@ -772,6 +772,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("va"), n2.alias("na2"))
     b = e.select(F.col("vec_id").alias("vec_b"), "label",
                  F.col("v").alias("vb"), n2.alias("nb2"))
+    # two-phase threshold (round 7): the banded boolean decides every
+    # candidate pair with ONE native double fold (decimal only inside the
+    # 1e-6 band — provably the same boolean, see cosine_ge_banded), and
+    # the exact decimal cosine the output carries is recomputed ONLY for
+    # the surviving pairs. Same rows, same values; candidate-pair cost
+    # drops from a 64-term BigDecimal fold to a native fold (sf1
+    # 45.5 → 13.7 s; in-block pair volume stays the documented knob).
+    hit = cosine_ge_banded("va", "vb", "na2", "nb2", EMB_COSINE_THRESHOLD)
     dot = fold(
         F.zip_with("va", "vb", lambda x, y: (x * y).cast("decimal(24,12)"))
     ).alias("dot")
@@ -779,9 +787,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(hit)
         .select("vec_a", "vec_b", "na2", "nb2", dot)
         .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
 
@@ -988,8 +996,14 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a data-dependent round count cannot be replayed by a fixed CTE
     oracle without rounding away the very values the gate hashes."""
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
-        pairs.selectExpr("doc_b AS u", "doc_a AS v")
+    # materialize the edge list ONCE (the CC/LPA/triangles convention):
+    # it feeds nodes/deg plus one join per unrolled iteration, and
+    # without the checkpoint each branch re-runs the whole shingle-pair
+    # pipeline (measured 139.6 → 25.3 s at sf1)
+    edges = (
+        pairs.selectExpr("doc_a AS u", "doc_b AS v")
+        .unionByName(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+        .localCheckpoint()
     )
     nodes = edges.select(F.col("u").alias("node")).distinct()
     deg = edges.groupBy(F.col("u").alias("node")).agg(
