@@ -47,6 +47,13 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
 # stays covered every run by tests/test_oracle.py (the local net).
+# The round this prefix was pinned FOR: the stalest-first invariant is
+# checked against CORRECTNESS history from rounds BEFORE this one (the
+# history that existed at pin time) — otherwise the driver's own r7
+# stamps would instantly make the pinned prefix look "stale" and fail
+# the suite mid-round. The round-8 builder bumps this when re-pinning.
+PREFIX_PINNED_FOR_ROUND = 7
+
 CHANGED_THIS_ROUND = [
     # round-7 plan changes that need a fresh driver stamp: the market-
     # basket cap, the capped-by-default exact-Jaccard pair pipeline, and

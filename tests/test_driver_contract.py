@@ -67,12 +67,20 @@ def test_prefix_is_stalest_first():
     import re
     from pathlib import Path
 
-    from stateflow_spark.queries import CHANGED_THIS_ROUND
+    from stateflow_spark.queries import (
+        CHANGED_THIS_ROUND,
+        PREFIX_PINNED_FOR_ROUND,
+    )
 
     root = Path(__file__).resolve().parents[1]
     stamp: dict[str, int] = {}
     for f in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        if rnd >= PREFIX_PINNED_FOR_ROUND:
+            # stamps from the pin round onward are produced BY this
+            # prefix — judging the pin against them would make any
+            # correct prefix look stale the moment the driver stamps it
+            continue
         for name in json.load(open(f)):
             stamp[name] = max(stamp.get(name, 0), rnd)
 
