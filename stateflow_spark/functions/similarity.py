@@ -62,33 +62,63 @@ def cosine_dec(a: Column | str, b: Column | str) -> Column:
     return dot_dec(a, b) / (F.sqrt(norm2_dec(a)) * F.sqrt(norm2_dec(b)))
 
 
+_EPS_F64 = 2.220446049250313e-16  # IEEE-754 binary64 machine epsilon
+
+
 def cosine_ge_banded(
     a: Column | str,
     b: Column | str,
     na2: Column | str,
     nb2: Column | str,
     tau: float,
-    band: float = 1e-6,
+    band: float | None = None,
 ) -> Column:
     """Decimal-exact `cosine(a, b) >= tau` with a double fast path.
 
     The expensive per-pair work in a THRESHOLD test is the BigDecimal
     dot fold — but exactness only matters when the double approximation
-    could land on the wrong side of tau. A 64-term double dot product
-    carries absolute error ≤ n·ε_mach·Σ|aᵢbᵢ| ≈ 1e-12 for O(1)-magnitude
-    embeddings — orders of magnitude inside the 1e-6 band. So: decide
-    with the native double cosine when it clears tau by more than the
-    band (conditional codegen branches — the decimal fold never
-    executes for those rows), and fall back to the exact decimal fold
-    only INSIDE the band. Same boolean as the pure-decimal form on
-    every pair, ~the cost of a native fold on almost all of them.
-    na2/nb2 must be the decimal-exact squared norms (norm2_dec), shared
-    by both paths so the denominators are bit-identical."""
+    could land on the wrong side of tau: decide with the native double
+    cosine when it clears tau by more than the band (conditional
+    codegen branches — the decimal fold never executes for those rows),
+    and fall back to the exact decimal fold only INSIDE the band. Same
+    boolean as the pure-decimal form on every pair, ~the cost of a
+    native fold on almost all of them. na2/nb2 must be the
+    decimal-exact squared norms (norm2_dec), shared by both paths so
+    the denominators are bit-identical.
+
+    Band derivation (round-8 ADVICE — the old fixed 1e-6 constant was
+    justified only for 64-dim O(1)-magnitude vectors): the band is
+    computed PER ROW from the array length and the shared denominator.
+    Both paths divide by the SAME denom (built from the shared
+    decimal-exact norms), so the band only needs to cover the
+    NUMERATOR divergence |dot_f64 − dot_dec| / denom. Two terms:
+    (1) float fold error — sequential summation of n products has
+    |fl(dot) − dot| ≤ γ_n·Σ|aᵢbᵢ| (Higham, Accuracy and Stability of
+    Numerical Algorithms, §3.1; γ_n ≈ n·u, u = ε/2), and Cauchy–Schwarz
+    gives Σ|aᵢbᵢ| ≤ √(Σaᵢ²·Σbᵢ²) = denom, so this term / denom ≤ n·u
+    for ANY magnitudes; (2) decimal lane quantization — dot_dec rounds
+    every product to scale 12 (decimal(24,12)), up to 5e-13 absolute
+    per term, so ≤ n·5e-13 / denom (this term DOMINATES and is
+    norm-dependent: measured 9.8e-14 on 64-dim unit-ish vectors where
+    n·u alone is 7e-15 — the reason a fixed ε-scaled band is wrong).
+    Division/sqrt rounding adds ~4u·|cos|. Default band:
+    4 · n · (u + 5e-13/denom) — a ≥3.9× margin over the worst case,
+    valid for every dimension and magnitude that doesn't overflow the
+    decimal lanes, pinned by the high-dim/large-magnitude kernel test.
+    Pass an explicit float to override."""
     denom = F.sqrt(na2) * F.sqrt(nb2)
     fast = dot_f64(a, b) / denom
+    if band is None:
+        band_c = (
+            F.size(a).cast("double")
+            * F.lit(4.0)
+            * (F.lit(_EPS_F64 / 2) + F.lit(5e-13) / denom)
+        )
+    else:
+        band_c = F.lit(float(band))
     return (
-        F.when(fast >= F.lit(tau + band), F.lit(True))
-        .when(fast < F.lit(tau - band), F.lit(False))
+        F.when(fast >= F.lit(tau) + band_c, F.lit(True))
+        .when(fast < F.lit(tau) - band_c, F.lit(False))
         .otherwise(dot_dec(a, b) / denom >= F.lit(tau))
     )
 

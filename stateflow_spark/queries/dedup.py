@@ -194,10 +194,17 @@ _JACCARD_PAIR_CTES = f"""
     WITH {_JACCARD_PAIR_CTES}
     SELECT doc_a, doc_b, n_common, jaccard FROM dup
     """,
-    tags=("dedup", "jaccard"),
+    tags=("dedup", "jaccard", "demo"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ threshold, via an inverted
+    """DEMO ROW — the ONE registered uncapped definitional form of the
+    exact-Jaccard pair pipeline (round-8 policy: every other consumer —
+    stop_shingle gate, containment, keeper, overlap, leakage, LPA, CC,
+    PageRank, triangles, incremental index — runs the stop-shingle-capped
+    production posture). Pair volume here is quadratic in duplicate
+    density; at 100 TB use dedup_jaccard_stop_shingle.
+
+    Near-dup pairs by exact 3-gram Jaccard ≥ threshold, via an inverted
     index WITHOUT a join: group the exploded shingles by value, expand doc
     pairs inside each posting list (docs are sorted, so doc_a < doc_b), and
     count pair occurrences — n_common. The per-doc shingle count rides the
@@ -819,14 +826,13 @@ _CC_GRAPH_CTES = """
     ),
     comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY id)
 """
-_CC_COMPS_CTES = f"{_JACCARD_PAIR_CTES}, {_CC_GRAPH_CTES}"
 _CC_COMPS_CTES_CAPPED = f"{_CAPPED_PAIR_CTES}, {_CC_GRAPH_CTES}"
 
 
 @register(
     "dedup_connected_components",
     oracle=f"""
-    WITH RECURSIVE {_CC_COMPS_CTES}
+    WITH RECURSIVE {_CC_COMPS_CTES_CAPPED}
     SELECT doc_id, comp_id,
            COUNT(*) OVER (PARTITION BY comp_id) AS comp_size
     FROM comps
@@ -834,7 +840,9 @@ _CC_COMPS_CTES_CAPPED = f"{_CAPPED_PAIR_CTES}, {_CC_GRAPH_CTES}"
     tags=("dedup", "graph", "iterative"),
 )
 def dedup_connected_components(
-    spark: SparkSession, sf_dir: str, stop_shingle_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stop_shingle_cap: int | None = _STOP_SHINGLE_CAP,
 ) -> DataFrame:
     """Collapse pairwise near-dups into clusters: connected components over
     the exact-Jaccard dup-pair graph, labeling every involved doc with the
@@ -869,6 +877,16 @@ def dedup_connected_components(
     test every distributed CC implementation pays). On a cluster,
     localCheckpoint (executor-local blocks) trades fault-tolerance for
     speed; checkpoint() to a reliable store is the long-job form.
+
+    Round 8: the upstream pair pipeline runs CAPPED by default
+    (stop_shingle_cap=_STOP_SHINGLE_CAP), matching cluster_keeper /
+    containment / overlap — pair volume is quadratic in duplicate
+    density and the uncapped edge list dominated the sf1 wall (30.6 s
+    vs 1.3-2.4 s for its capped siblings). Components split across a
+    dropped boilerplate-only edge are the documented recall trade; the
+    oracle's kept-postings filter pins identical semantics. Pass
+    stop_shingle_cap=None for the uncapped definitional graph (the
+    dedup_ngram_jaccard demo row keeps that form registered).
     """
     dup = _jaccard_pairs(spark, sf_dir, stop_shingle_cap).select(
         "doc_a", "doc_b"
@@ -937,11 +955,12 @@ _PR_DAMP = 0.85
 
 
 def _pr_oracle() -> str:
-    """Generated 3-iteration PageRank oracle over the exact-Jaccard pair
-    graph — one CTE layer per iteration, decimal-exact contribution sums,
-    so the trajectory (not just the fixpoint shape) is replayed."""
+    """Generated 3-iteration PageRank oracle over the CAPPED exact-Jaccard
+    pair graph (stop-shingle posting cap, round 8) — one CTE layer per
+    iteration, decimal-exact contribution sums, so the trajectory (not
+    just the fixpoint shape) is replayed."""
     sql = f"""
-    WITH {_JACCARD_PAIR_CTES},
+    WITH {_CAPPED_PAIR_CTES},
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM dup
         UNION ALL
@@ -994,8 +1013,15 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested on planted hub/pendant graphs and on this dup graph
     (tests/test_dedup_planted.py); it stays out of the registry because
     a data-dependent round count cannot be replayed by a fixed CTE
-    oracle without rounding away the very values the gate hashes."""
-    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    oracle without rounding away the very values the gate hashes.
+
+    Round 8: ranks the CAPPED dup graph (stop_shingle_cap, same cap
+    semantics as connected_components/cluster_keeper — the oracle's
+    kept filter pins it); the uncapped pair volume is quadratic in dup
+    density and dominated this row's sf1 wall."""
+    pairs = _jaccard_pairs(
+        spark, sf_dir, stop_shingle_cap=_STOP_SHINGLE_CAP
+    ).select("doc_a", "doc_b")
     # materialize the edge list ONCE (the CC/LPA/triangles convention):
     # it feeds nodes/deg plus one join per unrolled iteration, and
     # without the checkpoint each branch re-runs the whole shingle-pair
@@ -1114,8 +1140,11 @@ def dup_graph_pagerank_converged(
     spark: SparkSession, sf_dir: str, tol: float = 1e-6
 ) -> DataFrame:
     """Convergence-driven PageRank over the symmetrized exact-Jaccard
-    dup-pair graph — the production twin of ``dedup_pagerank``."""
-    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    dup-pair graph — the production twin of ``dedup_pagerank`` (capped
+    pair pipeline, like every production graph consumer)."""
+    pairs = _jaccard_pairs(
+        spark, sf_dir, stop_shingle_cap=_STOP_SHINGLE_CAP
+    ).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -1250,10 +1279,16 @@ _SEMDEDUP_K = 4  # quantizer granularity; seeds = vec_id 1..k
     SELECT a.vec_id, a.cid, (d.vb IS NULL) AS kept
     FROM asg a LEFT JOIN dropped d ON d.vb = a.vec_id
     """,
-    tags=("dedup", "embedding", "semantic"),
+    tags=("dedup", "embedding", "semantic", "demo"),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): quantize embeddings onto k computed
+    """DEMO ROW — fixed-k quadratic demonstration (k=_SEMDEDUP_K=4
+    centroids regardless of N, so within-cluster pair volume grows
+    (N/k)² ≈ 33×/decade; measured 33.2 s at sf1). Do NOT run this form
+    at scale: the production posture is ``dedup_semantic_scaled`` below
+    (k ∝ N two-level assignment, ~3-7×/decade measured).
+
+    SemDeDup (Abbas et al. 2023): quantize embeddings onto k computed
     centroids (one deterministic assignment step from fixed seeds — the
     k-means front-end; sim_kmeans_iterations shows the full Lloyd loop),
     then within each cluster prune every vector that has a smaller-id
@@ -1646,7 +1681,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_triangle_stats",
     oracle=f"""
-    WITH {_JACCARD_PAIR_CTES},
+    WITH {_CAPPED_PAIR_CTES},
     tri AS (
         SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
         FROM dup e1
@@ -1696,9 +1731,13 @@ def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     it feeds five plan branches (e1/e2/e3 + both degree legs) and the
     exchanges land on different keys, so Catalyst cannot reuse them —
     without the checkpoint each branch re-runs the whole shingle-pair
-    pipeline (measured 14×/decade at sf1; 1.9× with it)."""
+    pipeline (measured 14×/decade at sf1; 1.9× with it).
+
+    Round 8: runs over the CAPPED dup graph (stop-shingle posting cap,
+    oracle-pinned) — the uncapped edge list's pair volume is quadratic
+    in dup density and triangle joins cube it."""
     dup = (
-        _jaccard_pairs(spark, sf_dir)
+        _jaccard_pairs(spark, sf_dir, stop_shingle_cap=_STOP_SHINGLE_CAP)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )

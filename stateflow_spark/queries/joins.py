@@ -165,7 +165,15 @@ def join_range_view_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BASKET_CAP = 5  # bites on the test corpus (TPC-H baskets reach 7 items)
+# Production skew cap: bounds the worst task at cap²/2 ≈ 5k pairs while
+# leaving every ordinary basket intact (TPC-H baskets top out at 7 items;
+# real retail baskets at ~dozens). Round-8 ADVICE: the previous cap of 5
+# truncated NORMAL baskets, biasing support toward low part keys on
+# non-pathological data — a skew cap should only bite pathological rows.
+# Cap semantics (the deterministic lowest-part-keys keep-rule) are
+# exercised in tests via the parameterized `cap` argument
+# (tests/test_skew.py plants a 200-item mega-basket).
+_BASKET_CAP = 100
 
 
 @register(
@@ -196,7 +204,9 @@ _BASKET_CAP = 5  # bites on the test corpus (TPC-H baskets reach 7 items)
     """,
     tags=("join", "basket", "cooccurrence", "bench"),
 )
-def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_market_basket_pairs(
+    spark: SparkSession, sf_dir: str, cap: int = _BASKET_CAP
+) -> DataFrame:
     """Market-basket pair mining: the 20 most-co-ordered part pairs
     (support = number of orders containing both). The oracle is the
     textbook self-join; the Spark plan is ARRAY-NATIVE instead — one
@@ -210,21 +220,21 @@ def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Skew bound (round-6 VERDICT): the pair expansion is quadratic in
     basket size, so a pathological 100k-item basket would make ~5×10⁹
-    pairs in ONE task. Each basket is therefore capped to its
-    _BASKET_CAP lowest part keys BEFORE expansion — the same bounded-
-    skew posture as dedup_jaccard_stop_shingle's posting cap, keeping
-    the worst task's work ≤ cap²/2 regardless of the hottest basket.
-    CAP=5 drops real items on this corpus (TPC-H baskets reach 7), so
-    the hash gate pins the cap semantics, and both engines express the
-    same deterministic keep-rule (lowest part keys). At 100 TB the
-    (part_a, part_b) key space is wide and uniform — no skew handling
-    needed past this cap. tests/test_skew.py measures the capped vs
-    unbounded expansion on a planted mega-basket."""
+    pairs in ONE task. Each basket is therefore capped to its ``cap``
+    lowest part keys BEFORE expansion — the same bounded-skew posture
+    as dedup_jaccard_stop_shingle's posting cap, keeping the worst
+    task's work ≤ cap²/2 regardless of the hottest basket. The
+    production default (_BASKET_CAP=100, round-8 ADVICE) only bites
+    pathological baskets — ordinary TPC-H baskets (≤7 items) pass
+    through untouched, so support counts are unbiased on normal data;
+    cap semantics (deterministic lowest-part-keys keep-rule, shared
+    by the oracle) are exercised via the parameterized ``cap`` in
+    tests/test_skew.py against a planted 200-item mega-basket. At
+    100 TB the (part_a, part_b) key space is wide and uniform — no
+    skew handling needed past this cap."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
-        F.slice(
-            F.array_sort(F.collect_set("l_partkey")), 1, _BASKET_CAP
-        ).alias("xs")
+        F.slice(F.array_sort(F.collect_set("l_partkey")), 1, cap).alias("xs")
     )
     pairs = baskets.select(
         F.explode(

@@ -169,8 +169,14 @@ def run_local(
         "sec": round(wall, 4),
         "ops_per_sec": round(n_tasks / wall, 1),
         "p50_ms": round(lats[len(lats) // 2], 4),
-        "p99_ms": round(lats[int(len(lats) * 0.99)], 4),
+        "p99_ms": round(lats[_nearest_rank(lats, 0.99)], 4),
     }
+
+
+def _nearest_rank(sorted_vals, q: float) -> int:
+    """Nearest-rank percentile index: ceil(q·n) - 1 (round-8 ADVICE —
+    int(n·q) overshoots by one sample; for n=100 it reported the max)."""
+    return max(0, math.ceil(q * len(sorted_vals)) - 1)
 
 
 def run_superstep(spark, mix: str, n_tasks: int = N_TASKS,
@@ -283,7 +289,7 @@ def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
             eng.reply_times[e.event_id] - t0_wallclock for e in events
         )
         p50 = lat[len(lat) // 2]
-        p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+        p99 = lat[_nearest_rank(lat, 0.99)]
         if latency_csv:  # reference CSV shape: request_id, timestamp
             # completion timestamps at micro-batch resolution (reply-file
             # commit time), the streaming analog of kafka_client.py:78-91

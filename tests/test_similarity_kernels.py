@@ -102,3 +102,47 @@ def test_cosine_ge_banded_equals_pure_decimal(spark):
             "e <> b"
         )
         assert diff.count() == 0, f"banded mismatch at tau={tau}"
+
+
+def test_cosine_ge_banded_high_dim_large_magnitude(spark):
+    """Round-8 ADVICE: the band must stay valid beyond 64-dim O(1)
+    vectors. 512-dim vectors with O(1e3) entries push the double fold's
+    absolute error ~7 orders of magnitude above the 64-dim O(1) case;
+    the size-derived band is magnitude-free (the Cauchy–Schwarz bound
+    divides out the norms), so the boolean must still equal the pure
+    decimal on every pair — including exact scaled copies pinned at
+    cosine == 1.0 with tau = 1.0, the adversarial in-band case."""
+    import random
+
+    from stateflow_spark.functions.similarity import (
+        cosine_ge_banded,
+        dot_dec,
+        norm2_dec,
+    )
+
+    rng = random.Random(13)
+    dim = 512
+    base = [rng.uniform(-1000.0, 1000.0) for _ in range(dim)]
+    vecs = []
+    for i in range(16):
+        if i % 3 == 0:  # scaled copy: cosine exactly 1.0
+            vecs.append((i, [x * (i + 2) for x in base]))
+        else:
+            vecs.append((i, [rng.uniform(-1000.0, 1000.0) for _ in range(dim)]))
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    a = df.selectExpr("id AS ida", "v AS va")
+    b = df.selectExpr("id AS idb", "v AS vb")
+    pairs = a.crossJoin(b).filter("ida < idb").select(
+        F.col("va").alias("v_a"), F.col("vb").alias("v_b"),
+        norm2_dec("va").alias("na2"), norm2_dec("vb").alias("nb2"),
+    )
+    for tau in (1.0, 0.30, -0.05):
+        exact = (
+            dot_dec("v_a", "v_b") / (F.sqrt("na2") * F.sqrt("nb2"))
+            >= F.lit(tau)
+        )
+        banded = cosine_ge_banded("v_a", "v_b", "na2", "nb2", tau)
+        diff = pairs.select(exact.alias("e"), banded.alias("b")).filter(
+            "e <> b"
+        )
+        assert diff.count() == 0, f"banded mismatch at tau={tau} (dim={dim})"

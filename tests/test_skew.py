@@ -295,3 +295,24 @@ def test_basket_cap_keeps_normal_baskets_intact(spark, mega_basket_dir):
     assert out, "capped plan must still mine normal baskets"
     top = out[0]
     assert top.support == 2
+
+
+def test_basket_cap_keep_rule_parameterized(spark, tmp_path):
+    """Cap SEMANTICS under a cap small enough to truncate (round-8
+    ADVICE: the registered default of 100 only bites pathological
+    baskets, so the deterministic lowest-part-keys keep-rule is pinned
+    here via the parameterized cap instead). One 6-item basket, cap=3:
+    the keep set is exactly the 3 LOWEST part keys {1,2,3} and the
+    output is exactly their C(3,2) pairs — nothing from the truncated
+    tail, and the keep-rule is ordered, not arbitrary."""
+    from stateflow_spark.queries.joins import join_market_basket_pairs
+
+    rows = [(1, p) for p in (6, 2, 4, 1, 5, 3)]  # shuffled insert order
+    spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG").coalesce(
+        1
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+    out = join_market_basket_pairs(spark, str(tmp_path), cap=3).collect()
+    got = {(r.part_a, r.part_b, r.support) for r in out}
+    assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 1)}
