@@ -23,7 +23,7 @@ backs the LLM-pipeline similarity family (SURVEY.md §2 extensions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _ACC = "decimal(30,12)"
@@ -143,3 +143,68 @@ def norm2_f64(a: Column | str) -> Column:
 def cosine_f64(a: Column | str, b: Column | str) -> Column:
     """Fast double cosine similarity for ANN candidate scoring."""
     return dot_f64(a, b) / (F.sqrt(norm2_f64(a)) * F.sqrt(norm2_f64(b)))
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """All (id_a, id_b, hamming) pairs whose bit signatures are within
+    ``max_hamming``, via band blocking — the shared machinery behind
+    SimHash near-dup pairs (dedup_simhash_pairs) and the perceptual-hash
+    image near-dup row (multimodal_phash_neardup).
+
+    Pigeonhole guarantee: two signatures within hamming ``max_hamming``
+    agree EXACTLY on at least one of ``n_bands`` contiguous bit bands
+    whenever ``n_bands > max_hamming`` (asserted) — so blocking on
+    (band_idx, band_value) has recall exactly 1, never all-pairs.
+
+    Zero-join form: group each (band, band_val) bucket, expand the
+    ordered pairs inside the collected array with the Hamming distance
+    computed in place (bit_count of xor — JVM codegen). One shuffle of
+    (id, sig) rows ×n_bands; a self-join form would recompute the whole
+    upstream signature pipeline on both branches (ReuseExchange does not
+    fire across renamed self-join branches). A pair within the threshold
+    can agree on several bands → byte-identical rows; distinct after the
+    hamming filter has shrunk the set. Bucket lists are small when the
+    band-value space (2^band_bits per band) is wide relative to the
+    corpus; hot buckets (mass-duplicated signatures) are an AQE-skew /
+    upstream-exact-dedup concern, same posture as dedup_simhash_pairs."""
+    assert n_bands > max_hamming, (
+        f"pigeonhole needs n_bands > max_hamming ({n_bands} <= {max_hamming})"
+    )
+    bands = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(sig >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
+    )
+    pairs = (
+        bands.groupBy("band", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        """
+                        transform(ds, (x, i) ->
+                            transform(slice(ds, i + 2, size(ds) - i - 1),
+                                      y -> struct(
+                                          x.id AS id_a, y.id AS id_b,
+                                          bit_count(x.sig ^ y.sig)
+                                              AS hamming)))
+                        """
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()

@@ -32,93 +32,99 @@ from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 
-# Round-7 prefix (the driver stamps the first ~50 registered queries).
+# Round-8 prefix (the driver stamps the first ~50 registered queries).
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 37 round-6 late-batch
-#       registrations + dedup_semantic_scaled (new this round) = 38;
+#   (a) every query with NO driver stamp ever — the 3 round-8 multimodal
+#       additions (phash, phash near-dup, cross-modal retrieval);
 #   (b) every query whose plan/results changed this round
-#       (CHANGED_THIS_ROUND below) = 5;
-#   (c) the remaining 7 slots fill with the STALEST stamps — r03 rows
-#       (window/setops/aggregates families); the other 9 r03 rows are the
-#       round-8 rotation front, followed by the 33 r04 rows.
+#       (CHANGED_THIS_ROUND below) = 8;
+#   (c) the remaining 39 slots fill with the STALEST stamps — all 9 r03
+#       rows (window/setops/aggregates) and 30 of the 31 remaining r04
+#       rows (text_token_stats, same r04 tier, rotates next round —
+#       tier-splitting is allowed: nothing OUTSIDE the prefix is strictly
+#       staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
 # stays covered every run by tests/test_oracle.py (the local net).
 # The round this prefix was pinned FOR: the stalest-first invariant is
 # checked against CORRECTNESS history from rounds BEFORE this one (the
-# history that existed at pin time) — otherwise the driver's own r7
+# history that existed at pin time) — otherwise the driver's own r8
 # stamps would instantly make the pinned prefix look "stale" and fail
-# the suite mid-round. The round-8 builder bumps this when re-pinning.
-PREFIX_PINNED_FOR_ROUND = 7
+# the suite mid-round. The round-9 builder bumps this when re-pinning.
+PREFIX_PINNED_FOR_ROUND = 8
 
 CHANGED_THIS_ROUND = [
-    # round-7 plan changes that need a fresh driver stamp: the market-
-    # basket cap, the capped-by-default exact-Jaccard pair pipeline, and
-    # the statestore-reader replay readback
+    # capped-by-default pair pipelines (round-7 VERDICT #2): results change
+    "dedup_connected_components",
+    "dedup_pagerank",
+    "dedup_triangle_stats",
+    # production basket cap (round-8 ADVICE): plan changes, same results
+    # on non-pathological corpora
     "join_market_basket_pairs",
-    "dedup_containment",
-    "dedup_cluster_keeper",
-    "curation_source_overlap",
-    "entity_stream_replay",
-]
-_R07_PREFIX = [
-    # (a) never driver-stamped (round-6 late batch + round-7 additions)
-    "text_bpe_train_merges",
-    "text_bpe_apply",
-    "text_bpe_compression",
-    "text_quality_classifier",
-    "text_keyword_extraction",
-    "text_memorization_audit",
-    "text_ngram_lm_score",
-    "text_source_drift",
-    "sim_pq_adc_topk",
-    "sim_ivfpq_topk",
-    "sim_hard_negatives",
-    "sim_bitext_mining",
-    "scd2_dimension_versions",
-    "stream_scd2_merge",
-    "join_point_in_time_scd2",
-    "join_association_rules",
-    "join_band_price_neighbors",
-    "dedup_incremental_index",
-    "dedup_label_propagation",
+    # banded-cosine band now derived per row (round-8 ADVICE): plan
+    # changes, booleans provably identical
+    "dedup_embedding_cosine",
+    "dedup_semantic",
     "dedup_semantic_scaled",
-    "curation_split_leakage",
-    "curation_shuffle_shards",
-    "curation_length_buckets",
-    "curation_assign_ids",
-    "curation_quantile_normalize",
-    "agg_ab_test_zscore",
-    "agg_exact_percentiles",
-    "agg_table_checksum",
-    "agg_winsorized_mean",
-    "agg_srm_audit",
-    "profile_table_stats",
-    "profile_table_diff",
-    "profile_join_skew",
-    "profile_referential_integrity",
-    "events_markov_transitions",
-    "events_attribution",
-    "events_gap_detection",
-    "entity_state_relational_join",
+    # banded-Hamming blocking extracted to the shared helper
+    "dedup_simhash_pairs",
+]
+_R08_PREFIX = [
+    # (a) never driver-stamped (round-8 multimodal additions)
+    "multimodal_phash",
+    "multimodal_phash_neardup",
+    "multimodal_crossmodal_retrieval",
     # (b) changed this round
     *CHANGED_THIS_ROUND,
-    # (c) stalest-stamp fill (r03)
-    "window_running_total",
-    "window_rank_customers_by_balance",
-    "window_lag_lead_events",
-    "setops_intersect",
-    "setops_except",
-    "agg_rollup_region_nation",
-    "agg_distinct_counts",
+    # (c) stalest-stamp fill: all 9 r03 rows...
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "agg_pandas_udaf_median",
+    "agg_variance_exact",
+    "setops_except_all",
+    "setops_intersect_all",
+    "setops_union_all_counts",
+    "window_distribution_functions",
+    "window_range_frame",
+    # ...then 30 of the 31 remaining r04 rows
+    "dedup_simhash",
+    "entity_find_class",
+    "entity_flow_golden",
+    "entity_get_state",
+    "entity_init_class",
+    "entity_invoke_fold",
+    "entity_update_state",
+    "events_dedup_first",
+    "events_funnel",
+    "events_hourly_tumbling",
+    "events_json_payload",
+    "events_session_windows",
+    "events_sliding_window",
+    "events_topk_users",
+    "events_type_pivot",
+    "join_asof_click_view",
+    "join_full_outer_part_sales",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "scalar_function_zoo",
+    "stream_hourly_tumbling",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "stream_stream_join",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_length_histogram",
+    "text_quality_score",
+    "text_rolling_fingerprint",
 ]
-assert len(_R07_PREFIX) == 50, len(_R07_PREFIX)
-assert len(set(_R07_PREFIX)) == 50
-assert set(_R07_PREFIX) <= set(REGISTRY), set(_R07_PREFIX) - set(REGISTRY)
-_order = _R07_PREFIX + [n for n in REGISTRY if n not in set(_R07_PREFIX)]
+assert len(_R08_PREFIX) == 50, len(_R08_PREFIX)
+assert len(set(_R08_PREFIX)) == 50
+assert set(_R08_PREFIX) <= set(REGISTRY), set(_R08_PREFIX) - set(REGISTRY)
+_order = _R08_PREFIX + [n for n in REGISTRY if n not in set(_R08_PREFIX)]
 assert set(_order) == set(REGISTRY) and len(_order) == len(REGISTRY)
 _by_name = dict(REGISTRY)
 REGISTRY.clear()

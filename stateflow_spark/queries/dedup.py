@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from stateflow_spark.catalog import load
 from stateflow_spark.functions.similarity import (
+    banded_hamming_pairs,
     cosine_ge_banded,
     dot_dec,
     norm2_dec,
@@ -448,48 +449,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scans and 16 s at sf0.1; this form is one corpus pass and one
     (band, band_val) shuffle of 16-byte rows. Bucket lists are small by
     construction (4096 buckets per band), so the O(k²) in-array expansion
-    is on tiny k."""
+    is on tiny k. The blocking machinery is the shared
+    banded_hamming_pairs (functions/similarity.py, round 8) — the same
+    engine behind multimodal_phash_neardup."""
     sh = _simhash_df(spark, sf_dir)
-    n_bands, band_bits = 5, 12
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[F.lit(i) for i in range(n_bands)])
-        ).alias("band"),
-    ).withColumn(
-        "band_val",
-        F.expr(f"(simhash >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
+    pairs = banded_hamming_pairs(
+        sh, "doc_id", "simhash", n_bands=5, band_bits=12, max_hamming=4
     )
-    pairs = (
-        bands.groupBy("band", "band_val")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
-                "ds"
-            )
-        )
-        .filter(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        """
-                        transform(ds, (x, i) ->
-                            transform(slice(ds, i + 2, size(ds) - i - 1),
-                                      y -> struct(
-                                          x.doc_id AS doc_a, y.doc_id AS doc_b,
-                                          bit_count(x.simhash ^ y.simhash)
-                                              AS hamming)))
-                        """
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.*")
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
     )
-    # a pair within hamming 4 can agree on several bands → byte-identical
-    # rows; distinct after the filter has shrunk the set
-    return pairs.filter(F.col("hamming") <= 4).distinct()
 
 
 _N_PERM, _N_BANDS = 16, 4

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stateflow_spark.catalog import load
+from stateflow_spark.functions.similarity import banded_hamming_pairs
 from stateflow_spark.queries.common import register
 
 
@@ -53,9 +54,11 @@ _HEXB = (
     "(CAST(strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1 AS BIGINT)"
     " * 16 + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)"
 )
+_FEAT_EXPRS = [
+    _HEXB.format(a=2 * i + 1, b=2 * i + 2) + " / 256.0" for i in range(8)
+]
 _FEAT_SQL = ", ".join(
-    _HEXB.format(a=2 * i + 1, b=2 * i + 2) + f" / 256.0 AS feat_{i}"
-    for i in range(8)
+    e + f" AS feat_{i}" for i, e in enumerate(_FEAT_EXPRS)
 )
 
 
@@ -115,3 +118,244 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return frame_sample(blobs)
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-dup + cross-modal retrieval (round 8)
+# --------------------------------------------------------------------------
+
+_PHASH_BITS = 60  # fits a signed 64-bit int; same budget as SimHash
+_PHASH_MAX_HAMMING = 3
+_PHASH_BANDS, _PHASH_BAND_BITS = 4, 15  # pigeonhole: 4 bands > hamming 3
+
+# 60-bit base hash of one visual word, DuckDB-replayable: first 15 hex
+# chars of md5 parsed to a bigint (the _SIMHASH_SQL construction).
+_WORD_HASH_SQL = (
+    "list_reduce(list_transform(range(1, 16),"
+    " j -> CAST(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1"
+    " AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+_PHASH_SQL = f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ), bk AS (
+            SELECT doc_id, {_WORD_HASH_SQL} % {_PHASH_BITS} AS bucket
+            FROM words
+        ), bits AS (
+            SELECT doc_id, bucket, CAST(COUNT(*) % 2 AS BIGINT) AS bit
+            FROM bk GROUP BY doc_id, bucket
+        )
+        SELECT doc_id,
+               CAST(SUM(bit * (CAST(1 AS BIGINT) << bucket)) AS BIGINT)
+                 AS phash
+        FROM bits GROUP BY doc_id
+"""
+
+
+def _phash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 60-bit perceptual hash of the decoded payload.
+
+    The stub 'decode' treats the payload's token stream as the media's
+    bag of visual words (a real image pipeline would emit SIFT/patch
+    descriptors from the decoded pixels — see functions/multimodal.py for
+    where that mapInPandas stage slots in; the stub extraction is
+    expressible natively, so it stays JVM-side). The signature is a
+    histogram-parity sketch: hash every visual word into one of 60
+    buckets and take each bucket's occurrence-count parity as a bit —
+    the bag-of-features analog of aHash's block-mean bits. Locality:
+    changing k word occurrences flips at most k (expected ~k) bits, so
+    near-identical media land within a small Hamming radius while
+    unrelated media differ in ~30 of 60 bits (measured: 33 corpus pairs
+    within hamming 3 at sf0.01, ~125k total pairs — no random
+    collisions). Plan: one explode + ONE hash aggregate per doc (the
+    two-level groupBy folds to partial aggregates map-side); the
+    repartition parallelizes per-token md5 from a single parquet split,
+    on the same key the aggregate needs."""
+    n_part = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+        % _PHASH_BITS
+    )
+    bits = (
+        words.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg((F.count(F.lit(1)) % 2).alias("bit"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.expr(
+            "CAST(SUM(bit * shiftleft(CAST(1 AS BIGINT),"
+            " CAST(bucket AS INT))) AS BIGINT)"
+        ).alias("phash")
+    )
+
+
+@register(
+    "multimodal_phash",
+    oracle=f"{_PHASH_SQL}",
+    tags=("multimodal", "phash", "dedup"),
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload 60-bit perceptual hash (histogram-parity sketch over
+    the stub-decoded visual words) — the signature stage of
+    multimodal_phash_neardup, value-pinned on its own."""
+    return _phash_df(spark, sf_dir)
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH ph AS ({_PHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAX_HAMMING}
+    """,
+    tags=("multimodal", "phash", "dedup"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over binary payloads (hamming ≤ 3
+    of 60 bits) — image-style near-duplicate detection where the media
+    bytes, not the text semantics, define similarity. Blocking reuses
+    the shared banded_hamming_pairs machinery (4 bands × 15 bits;
+    pigeonhole recall exactly 1 at hamming ≤ 3, never all-pairs; the
+    oracle checks the same set by brute force at oracle scale). At
+    100 TB: one corpus pass for signatures, one (band, band_val)
+    shuffle of 16-byte rows; mass-duplicated payloads concentrate in
+    one bucket — run exact dedup first (multimodal_binary_metadata's
+    content_hash) exactly as an image pipeline dedups byte-identical
+    files before perceptual matching."""
+    ph = _phash_df(spark, sf_dir)
+    pairs = banded_hamming_pairs(
+        ph,
+        "doc_id",
+        "phash",
+        n_bands=_PHASH_BANDS,
+        band_bits=_PHASH_BAND_BITS,
+        max_hamming=_PHASH_MAX_HAMMING,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+# the decimal-sum → VARCHAR → DOUBLE round trip (see queries/common.py
+# oracle_dsum rationale) over the 8 shared positions
+_XMODAL_DOT = (
+    "CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+)
+
+
+@register(
+    "multimodal_crossmodal_retrieval",
+    oracle=f"""
+    WITH cap AS (
+        SELECT doc_id, [{", ".join(_FEAT_EXPRS)}] AS cv
+        FROM documents WHERE doc_id < 20
+    ),
+    cex AS (
+        SELECT doc_id, generate_subscripts(cv, 1) AS pos, unnest(cv) AS x
+        FROM cap
+    ),
+    iex AS (
+        SELECT vec_id, pos, y FROM (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS y
+            FROM embeddings
+        ) WHERE pos <= 8
+    ),
+    qn AS (
+        SELECT doc_id,
+               CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR)
+                    AS DOUBLE) AS qn2
+        FROM cex GROUP BY doc_id
+    ),
+    vn AS (
+        SELECT vec_id,
+               CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS VARCHAR)
+                    AS DOUBLE) AS vn2
+        FROM iex GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT c.doc_id, i.vec_id, {_XMODAL_DOT.replace("x * y", "c.x * i.y")} AS dot
+        FROM cex c JOIN iex i USING (pos)
+        GROUP BY c.doc_id, i.vec_id
+    ),
+    scored AS (
+        SELECT d.doc_id AS qid, d.vec_id,
+               d.dot / (sqrt(qn.qn2) * sqrt(vn.vn2)) AS cosine
+        FROM dots d
+        JOIN qn ON qn.doc_id = d.doc_id
+        JOIN vn ON vn.vec_id = d.vec_id
+    )
+    SELECT qid, vec_id AS neighbor_id, cosine, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, vec_id
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("multimodal", "crossmodal", "retrieval"),
+)
+def multimodal_crossmodal_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal retrieval: caption features → image-embedding space,
+    top-3 cosine neighbors per caption — the CLIP-style caption↔image
+    lookup a multimodal curation pipeline runs (e.g. to mine
+    caption-image training pairs or audit alt-text). The caption side
+    runs the REAL multimodal decode stage (Arrow-batched mapInPandas,
+    functions/multimodal.py decode_features — its stub features are
+    md5-derived, so DuckDB replays them bit-for-bit); the 'projection
+    head' aligning the 64-dim image embeddings to the 8-dim caption
+    features is a deterministic slice-to-8 stub (a real one is a learned
+    matmul — same shape, still one array op per row).
+
+    Plan shape = sim_knn_join's: the 20-caption block (features + norms,
+    post-decode) broadcasts; each embedding row scores all captions via
+    per-pair decimal folds inside the broadcast nested-loop projection;
+    a per-qid top-k window ranks. One corpus pass, no pos-explosion, no
+    norm re-joins. At 100 TB the caption block stays driver-small by
+    construction (a retrieval batch), and the corpus side scales
+    linearly — the IVF-pruned form (sim_ivf_knn_join) is the posture
+    when the query side grows too."""
+    from stateflow_spark.functions.multimodal import FEAT_COLS, decode_features
+    from stateflow_spark.functions.similarity import dot_dec, norm2_dec
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    blobs = d.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        ).alias("meta"),
+    )
+    qv = decode_features(blobs).select(
+        F.col("doc_id").alias("qid"), F.array(*FEAT_COLS).alias("qv")
+    )
+    qblock = F.broadcast(qv.withColumn("qn2", norm2_dec("qv")))
+    probe = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("v"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("vn2", norm2_dec("v"))
+    )
+    scored = probe.crossJoin(qblock).select(
+        "qid",
+        "vec_id",
+        (dot_dec("v", "qv") / (F.sqrt("vn2") * F.sqrt("qn2"))).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+    )

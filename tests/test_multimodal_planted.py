@@ -1,0 +1,144 @@
+"""Planted-semantics tests for the round-8 multimodal rows: perceptual-
+hash near-dup must recall exactly the planted near-identical payloads,
+and cross-modal retrieval must rank a planted matching embedding first.
+Ground truth is constructed, not replayed (the oracle gates pin the
+arithmetic; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401  (parity w/ siblings)
+
+from stateflow_spark.queries import REGISTRY
+
+
+def _write_documents(spark, path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(path / "documents.parquet")
+    )
+
+
+@pytest.fixture(scope="module")
+def phash_planted(spark, tmp_path_factory):
+    """d1 base payload, d2 == d1 (identical media), d3 = d1 with ONE
+    visual word changed (flips ≤ 2 parity bits), d4 = d1 with THREE
+    words changed (≤ 6 flips — outside hamming 3 unless buckets
+    collide), d5-d12 unrelated payloads (~30/60 expected bit distance)."""
+    rng = random.Random(21)
+    vocab = [f"w{i}" for i in range(800)]
+    base = [rng.choice(vocab) for _ in range(80)]
+    one = list(base)
+    one[7] = "edited-one"
+    three = list(base)
+    three[3], three[33], three[63] = "eA", "eB", "eC"
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(base)),
+        (3, " ".join(one)),
+        (4, " ".join(three)),
+    ] + [
+        (i, " ".join(rng.choice(vocab) for _ in range(80)))
+        for i in range(5, 13)
+    ]
+    d = tmp_path_factory.mktemp("phash_planted")
+    _write_documents(spark, d, rows)
+    return str(d)
+
+
+def test_phash_identical_payloads_hamming_zero(spark, phash_planted):
+    ph = {
+        r.doc_id: r.phash
+        for r in REGISTRY["multimodal_phash"].fn(spark, phash_planted).collect()
+    }
+    assert ph[1] == ph[2]  # identical media → identical signature
+    assert ph[1] != ph[5]
+
+
+def test_phash_locality_bounds_bit_flips(spark, phash_planted):
+    """One changed word occurrence = one removed + one added bucket hit →
+    at most 2 parity flips; three changed words → at most 6."""
+    ph = {
+        r.doc_id: r.phash
+        for r in REGISTRY["multimodal_phash"].fn(spark, phash_planted).collect()
+    }
+    assert bin(ph[1] ^ ph[3]).count("1") <= 2
+    assert bin(ph[1] ^ ph[4]).count("1") <= 6
+
+
+def test_phash_neardup_recall_and_precision(spark, phash_planted):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in REGISTRY["multimodal_phash_neardup"]
+        .fn(spark, phash_planted)
+        .collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical media
+    assert (1, 3) in pairs and (2, 3) in pairs  # one-word edit in radius
+    # precision: nothing pairs with the unrelated payloads
+    assert all(a <= 4 and b <= 4 for a, b in pairs), pairs
+
+
+def test_phash_banding_matches_bruteforce(spark, phash_planted):
+    """The banded blocking must return EXACTLY the brute-force hamming ≤ 3
+    set (pigeonhole recall 1) — checked on the planted corpus."""
+    ph = {
+        r.doc_id: r.phash
+        for r in REGISTRY["multimodal_phash"].fn(spark, phash_planted).collect()
+    }
+    ids = sorted(ph)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(ph[a] ^ ph[b]).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["multimodal_phash_neardup"]
+        .fn(spark, phash_planted)
+        .collect()
+    }
+    assert banded == brute
+
+
+def _stub_features(text: str) -> list[float]:
+    """Replicates functions/multimodal.fake_decode_features on the utf-8
+    payload of ``text`` — the caption-side stub the query runs."""
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    return [b / 256.0 for b in digest[:8]]
+
+
+def test_crossmodal_planted_match_ranks_first(spark, tmp_path_factory):
+    """Plant ONE embedding whose first 8 dims are exactly 2× the caption's
+    stub features (cosine exactly 1 up to decimal rounding) among decoys:
+    retrieval must rank it 1 for that caption. Feature values k/256 and
+    their doubles are exact in float32, so the plant survives the
+    parquet float round-trip."""
+    rng = random.Random(5)
+    d = tmp_path_factory.mktemp("xmodal_planted")
+    rows = [(1, "caption alpha bravo"), (2, "another caption entirely")]
+    _write_documents(spark, d, rows)
+    feats = _stub_features(rows[0][1])
+    planted_vec = [2.0 * f for f in feats] + [0.0] * 56
+    embs = [(100, planted_vec, 0)] + [
+        (200 + i, [rng.uniform(-1, 1) for _ in range(64)], 1)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    out = (
+        REGISTRY["multimodal_crossmodal_retrieval"].fn(spark, str(d)).collect()
+    )
+    top = {r.qid: r for r in out if r.rnk == 1}
+    assert top[1].neighbor_id == 100
+    assert abs(top[1].cosine - 1.0) < 1e-9
