@@ -64,10 +64,15 @@ class MethodDesc:
     writes: set[str]  # self attrs written
     returns_hint: str
     node: ast.FunctionDef = field(repr=False)
+    # the method LOADS an entity-typed own-state attribute (self.acc where
+    # acc: Acc) — set by link_descriptors; such methods flow-compile even
+    # without entity-typed params (round-8 VERDICT #8: calls/aliases
+    # through stored refs)
+    entity_attr_loads: bool = False
 
     @property
     def linked(self) -> bool:
-        return any(p.entity for p in self.params)
+        return any(p.entity for p in self.params) or self.entity_attr_loads
 
 
 @dataclass
@@ -76,6 +81,11 @@ class ClassDesc:
     state_hints: dict[str, str]  # attr -> hint ("NoType" if none)
     methods: dict[str, MethodDesc]
     tree: ast.ClassDef = field(repr=False)
+    # class-body literal defaults (``tier: str = "basic"``) — the declared
+    # per-attribute UPGRADE value used when rehydrating state persisted by
+    # an older class version that lacked the attribute (round-8 schema
+    # evolution; see wrapper.upgrade_state)
+    state_defaults: dict[str, object] = field(default_factory=dict)
 
     def spark_state_schema(self) -> StructType:
         """StructType per state attribute; unmapped hints (lists, entity
@@ -172,7 +182,26 @@ def extract_class_desc(cls: type) -> ClassDesc:
     assert isinstance(cdef, ast.ClassDef)
 
     hints: dict[str, str] = {}
+    defaults: dict[str, object] = {}
     methods: dict[str, MethodDesc] = {}
+
+    # class-body annotated literals declare state attributes WITH an
+    # explicit default — the schema-evolution contract: state persisted
+    # before the attribute existed rehydrates to this value (the reference
+    # fixes schemas at decoration time, SURVEY §1.3, and has no upgrade
+    # path; a Spark checkpoint must survive a class gaining an attribute)
+    for item in cdef.body:
+        if isinstance(item, ast.AnnAssign) and item.value is not None:
+            if not isinstance(item.target, ast.Name):
+                continue
+            try:
+                defaults[item.target.id] = ast.literal_eval(item.value)
+            except ValueError as ex:
+                raise TypeError(
+                    f"{cls.__name__}.{item.target.id}: class-body defaults "
+                    "must be literals — they are replayed on state upgrade"
+                ) from ex
+            hints[item.target.id] = _hint_str(item.annotation)
 
     for item in cdef.body:
         if isinstance(item, ast.AsyncFunctionDef):
@@ -226,14 +255,33 @@ def extract_class_desc(cls: type) -> ClassDesc:
             node=item,
         )
 
-    return ClassDesc(name=cls.__name__, state_hints=hints, methods=methods, tree=cdef)
+    return ClassDesc(
+        name=cls.__name__,
+        state_hints=hints,
+        methods=methods,
+        tree=cdef,
+        state_defaults=defaults,
+    )
 
 
 def link_descriptors(descs: dict[str, ClassDesc]) -> None:
     """Second pass once all classes are registered: mark entity-typed params
-    (reference stateflow/core.py:112-118 + method_descriptor.py:125-143)."""
+    (reference stateflow/core.py:112-118 + method_descriptor.py:125-143),
+    and mark methods that LOAD an entity-typed own-state attribute (they
+    flow-compile too — calls through stored refs and their aliases)."""
     names = set(descs)
     for d in descs.values():
-        for m in d.methods.values():
+        ent_attrs = {a for a, h in d.state_hints.items() if h in names}
+        for mname, m in d.methods.items():
             for p in m.params:
                 p.entity, p.is_entity_list = _parse_param_hint(p.hint, names)
+            if mname.startswith("__"):
+                continue  # __init__/__key__ run eagerly, never as flows
+            m.entity_attr_loads = any(
+                isinstance(n, ast.Attribute)
+                and isinstance(n.ctx, ast.Load)
+                and isinstance(n.value, ast.Name)
+                and n.value.id == "self"
+                and n.attr in ent_attrs
+                for n in ast.walk(m.node)
+            )

@@ -87,6 +87,12 @@ class FlowState:
     # invalidate the parent's cached snapshots when a child flow returns
     # (reference invalidation semantics: split_analyze.py:666-781)
     written: set = field(default_factory=set)
+    # need expression → ref, recorded at the partition that COULD evaluate
+    # it (the flow owner) so a REQUEST_STATE hop partition can serve
+    # `self.attr` needs without the owner's state (round-8 stored-ref
+    # flows); refreshed on every owner-side resolution, so a flow that
+    # reassigns the stored ref mid-run never reads a stale mapping
+    resolved_needs: dict[str, EntityRef] = field(default_factory=dict)
 
 
 @dataclass
@@ -148,7 +154,9 @@ class Interpreter:
         ns: dict[str, Any] = {}
         for k, v in flow.ns.items():
             ns[k] = wrap(v, flow.cache, _methods_of)
-        ns["self"] = SelfProxy(self_state, _methods_of(flow.entity))
+        ns["self"] = SelfProxy(
+            self_state, _methods_of(flow.entity), flow.cache, _methods_of
+        )
         return ns
 
     def _writeback(self, flow: FlowState, ns: dict) -> None:
@@ -168,9 +176,19 @@ class Interpreter:
             val = eval(_code(need_src, "eval"), ns)  # noqa: S307 - compiler-generated source
         except NameError:
             return None  # name defined later in this fragment's own exec
+        except AttributeError:
+            # a `self.attr` need evaluated where self state is absent (a
+            # partition that owns only the FETCHED side): fall back to the
+            # ref the OWNER recorded when it resolved this need and hopped
+            # here (round-8 stored-ref flows); genuine missing-attribute
+            # errors still surface when the fragment itself executes
+            val = flow.resolved_needs.get(need_src)
+            if val is None:
+                return None
         ref = unwrap(val)
         if not isinstance(ref, EntityRef):
             return None
+        flow.resolved_needs[need_src] = ref
         if (ref.entity, ref.key) in flow.cache:
             return None
         return ref
@@ -203,14 +221,24 @@ class Interpreter:
         return {a: st[a] for a in attrs if a in st}
 
     def _fetch_owned(self, flow: FlowState, needs: list[str]) -> None:
-        """Load locally-owned missing states into the flow cache (no self
-        state required: need expressions never reference `self`)."""
+        """Load locally-owned missing states into the flow cache. Needs may
+        reference `self` (stored-ref reads like self.backing.balance,
+        round 8) — resolve them against the owned self state when this
+        partition has it, else defer to the owner's _ensure_needs pass."""
+        self_state: dict = {}
+        if self.store.owns(flow.self_ref):
+            st = self.store.get(flow.self_ref)
+            if st is not None:
+                self_state = wrapper.upgrade_state(
+                    get_entity_type(flow.self_ref.entity).desc, st
+                )
         for src in needs:
-            ref = self._resolve_need(flow, src, {})
+            ref = self._resolve_need(flow, src, self_state)
             if ref is not None and self.store.owns(ref):
                 st = self.store.get(ref)
                 if st is None:
                     raise FlowError(f"entity {ref} does not exist (state read)")
+                st = wrapper.upgrade_state(get_entity_type(ref.entity).desc, st)
                 flow.cache[(ref.entity, ref.key)] = self._snapshot(flow, ref, st)
 
     def _ensure_needs(
@@ -226,6 +254,7 @@ class Interpreter:
                 st = self.store.get(ref)
                 if st is None:
                     raise FlowError(f"entity {ref} does not exist (state read)")
+                st = wrapper.upgrade_state(get_entity_type(ref.entity).desc, st)
                 flow.cache[(ref.entity, ref.key)] = self._snapshot(flow, ref, st)
             else:
                 return ref
@@ -319,6 +348,9 @@ class Interpreter:
             self_state = self.store.get(flow.self_ref)
             if self_state is None:
                 raise FlowError(f"flow owner {flow.self_ref} does not exist")
+            self_state = wrapper.upgrade_state(
+                get_entity_type(flow.self_ref.entity).desc, self_state
+            )
         else:
             # any unexpected self.* access raises AttributeError → error
             # reply; the compiler guarantees none exists

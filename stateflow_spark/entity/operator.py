@@ -63,6 +63,11 @@ def handle(event: Event, store: StateStore) -> HandleResult:
         return res
 
     state = store.get(ref)
+    if state is not None:
+        # schema-evolution upgrade: state persisted by an older class
+        # version rehydrates with newly-declared attrs default-filled
+        # (wrapper.upgrade_state; no-op unless attrs are missing)
+        state = wrapper.upgrade_state(et.desc, state)
 
     if event.event_type == EventType.FIND_CLASS:
         if state is None:

@@ -92,14 +92,21 @@ class RefListProxy(list):
 
 
 class SelfProxy:
-    """Mutable view of the flow owner's own state dict (write-through)."""
+    """Mutable view of the flow owner's own state dict (write-through).
+    Entity-ref values (stored refs like self.backing) wrap into cache-
+    backed EntityProxy on read, so `self.backing.balance` reads fetched
+    state exactly like a parameter ref does (round-8 stored-ref support);
+    without a cache/methods_of (legacy call form) refs return raw."""
 
-    __slots__ = ("_state", "_dirty", "_methods")
+    __slots__ = ("_state", "_dirty", "_methods", "_cache", "_methods_of")
 
-    def __init__(self, state: dict, methods: set[str]):
+    def __init__(self, state: dict, methods: set[str], cache=None,
+                 methods_of=None):
         object.__setattr__(self, "_state", state)
         object.__setattr__(self, "_dirty", False)
         object.__setattr__(self, "_methods", methods)
+        object.__setattr__(self, "_cache", cache)
+        object.__setattr__(self, "_methods_of", methods_of)
 
     def __getattr__(self, attr: str) -> Any:
         if attr in self._methods:
@@ -109,7 +116,10 @@ class SelfProxy:
             )
         if attr not in self._state:
             raise AttributeError(f"self has no state attribute {attr!r}")
-        return self._state[attr]
+        v = self._state[attr]
+        if self._cache is not None and isinstance(v, (EntityRef, list)):
+            return wrap(v, self._cache, self._methods_of)
+        return v
 
     def __setattr__(self, attr: str, value: Any):
         # unwrap: exec-namespace values may be (or contain) entity proxies;

@@ -425,3 +425,137 @@ def test_nested_flow_invalidates_parent_cache(rt):
     assert out == 1  # before=0, after=1 → 0*100 + 1
     assert rt.get_attr(c2, "x") == 1
     assert rt.get_attr(sink, "balance") == 1
+
+
+# --- state schema evolution (round 8) ---------------------------------------
+
+
+def test_upgrade_state_semantics():
+    """upgrade_state fills missing attrs (declared default > hint zero >
+    None), preserves unknown newer-version attrs, and is a no-op (same
+    object) when nothing is missing."""
+    from stateflow_spark.entity.descriptors import ClassDesc
+    from stateflow_spark.entity.wrapper import upgrade_state
+
+    desc = ClassDesc(
+        name="X",
+        state_hints={
+            "a": "int", "b": "str", "c": "float", "d": "bool",
+            "e": "List[int]", "f": "NoType", "g": "int",
+        },
+        methods={},
+        tree=None,
+        state_defaults={"g": 42},
+    )
+    old = {"a": 5, "zz_newer": "keep-me"}
+    up = upgrade_state(desc, old)
+    assert up == {
+        "a": 5, "b": "", "c": 0.0, "d": False, "e": [], "f": None,
+        "g": 42, "zz_newer": "keep-me",
+    }
+    full = {k: 1 for k in desc.state_hints}
+    assert upgrade_state(desc, full) is full  # no copy on the hot path
+
+
+def test_invoke_preserves_newer_version_attrs():
+    """A rolled-back (older) class version invoking on newer-version state
+    must not destroy attributes it does not know about."""
+    from stateflow_spark.entity.registry import get_entity_type
+    from stateflow_spark.entity.wrapper import invoke
+
+    et = get_entity_type("User")
+    state = {"username": "u", "balance": 10, "future_attr": [1, 2]}
+    result, new_state = invoke(et.cls, et.desc, state, "update_balance", (5,))
+    assert new_state["balance"] == 15
+    assert new_state["future_attr"] == [1, 2]
+
+
+def test_class_body_default_must_be_literal():
+    """Non-literal class-body defaults fail loud at decoration time — they
+    are replayed on state upgrade and must be deterministic."""
+    import pytest
+
+    from stateflow_spark.entity.registry import entity
+
+    with pytest.raises(TypeError, match="must be literals"):
+        @entity
+        class BadDefault:
+            start: int = 2 + int("3")  # not a literal
+
+            def __init__(self):
+                self.start = 0
+
+            def __key__(self):
+                return "k"
+
+
+# --- calls through entity-typed own-state attributes (round-8 VERDICT #8) ---
+
+
+@entity
+class Wallet:
+    def __init__(self, name: str, backing: "B"):
+        self.name: str = name
+        self.backing: B = backing
+        self.spent: int = 0
+
+    def pay_direct(self, x: int) -> int:
+        self.backing.add_balance(-x)
+        self.spent += x
+        return self.spent
+
+    def pay_via_alias(self, x: int) -> int:
+        b = self.backing
+        b.add_balance(-x)
+        self.spent += x
+        return self.spent
+
+    def backing_balance_plus(self, x: int) -> int:
+        # attribute READ through the stored ref (REQUEST_STATE need)
+        return self.backing.balance + x
+
+    def __key__(self):
+        return self.name
+
+
+def test_stored_ref_call_direct():
+    """self.backing.add_balance(...) — an external call through an
+    entity-typed OWN-STATE attribute (no entity-typed param) must flow-
+    compile and route to the backing entity."""
+    rt = LocalRuntime()
+    b = rt.create(B, "wallet-b1")
+    w = rt.create(Wallet, "w1", b)
+    rt.invoke(b, "set_balance", 100)
+    assert rt.invoke(w, "pay_direct", 30) == 30
+    assert rt.get_attr(b, "balance") == 70
+    assert rt.get_attr(w, "spent") == 30
+
+
+def test_stored_ref_call_via_alias():
+    """x = self.backing; x.m() — the single-assignment alias resolves at
+    compile time to the same flow (round-8 VERDICT #8)."""
+    rt = LocalRuntime()
+    b = rt.create(B, "wallet-b2")
+    w = rt.create(Wallet, "w2", b)
+    rt.invoke(b, "set_balance", 50)
+    assert rt.invoke(w, "pay_via_alias", 20) == 20
+    assert rt.get_attr(b, "balance") == 30
+
+
+def test_stored_ref_state_read():
+    """Reading an attribute through the stored ref is a REQUEST_STATE
+    need on `self.backing`, resolved through the flow owner's state."""
+    rt = LocalRuntime()
+    b = rt.create(B, "wallet-b3")
+    w = rt.create(Wallet, "w3", b)
+    rt.invoke(b, "set_balance", 7)
+    assert rt.invoke(w, "backing_balance_plus", 3) == 10
+
+
+def test_stored_ref_methods_are_flow_compiled():
+    """The linked flag must fire WITHOUT entity-typed params: all three
+    Wallet methods compile to flows (the old behavior ran them through
+    wrapper.invoke and crashed with \"'EntityRef' object has no attribute\")."""
+    et = get_entity_type("Wallet")
+    assert set(et.flows) >= {"pay_direct", "pay_via_alias",
+                             "backing_balance_plus"}

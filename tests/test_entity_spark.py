@@ -208,3 +208,36 @@ def test_superstep_releases_prior_checkpoints(spark):
     assert res.collect_state()[("User", "ckpt-u")]["balance"] == 41
     assert res2.collect_state()[("User", "ckpt-u")]["balance"] == 32
     assert base.collect_state()[("User", "ckpt-u")]["balance"] == 50
+
+
+def test_superstep_stored_ref_flow(spark):
+    """Round-8 stored-ref flows on the DISTRIBUTED runtime: the wallet and
+    its backing account live at different keys, so pay_via_alias must hop
+    wallet→backing→wallet and the read method must REQUEST_STATE across
+    partitions — the serialization + routing paths LocalRuntime skips."""
+    from tests.test_entity_local import Wallet  # registers the class
+
+    init_b = operator.make_init_event("B", ("ss-wb1",))
+    rt = SuperstepRuntime(spark)
+    res = rt.run([init_b])
+    bref = res.result_of(init_b)
+    init_w = operator.make_init_event("Wallet", ("ss-w1", bref))
+    res = rt.run([init_w], state_df=res.state_df)
+    wref = res.result_of(init_w)
+
+    res = rt.run(
+        [operator.make_invoke_event(bref, "set_balance", (100,))],
+        state_df=res.state_df,
+    )
+    pay = operator.make_invoke_event(wref, "pay_via_alias", (30,))
+    res = rt.run([pay], state_df=res.state_df)
+    assert res.result_of(pay) == 30
+    assert res.supersteps >= 2  # the call hopped to the backing key
+
+    read = operator.make_invoke_event(wref, "backing_balance_plus", (5,))
+    res = rt.run([read], state_df=res.state_df)
+    assert res.result_of(read) == 75  # 100 - 30 + 5
+
+    state = res.collect_state()
+    assert state[("B", "ss-wb1")]["balance"] == 70
+    assert state[("Wallet", "ss-w1")]["spent"] == 30

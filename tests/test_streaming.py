@@ -523,3 +523,86 @@ def test_stream_static_enrich_broadcasts_dimension(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_streaming_engine_state_schema_evolution(spark, tmp_path):
+    """Round-8 VERDICT #7: production state stores must survive an entity
+    class GAINING an attribute across a checkpoint restart. Run v1 of a
+    class, persist state, stop; register v2 (new ``loyalty`` attribute
+    with a class-body declared default + a method using it) and restart
+    from the same checkpoint: the old state rehydrates with the default
+    filled, old attributes intact, and the new method works."""
+    import uuid
+
+    from stateflow_spark.entity.model import Event, EventType
+    from stateflow_spark.entity.registry import entity
+
+    class EvoUserV1:
+        def __init__(self, username: str):
+            self.username: str = username
+            self.balance: int = 0
+
+        def update_balance(self, x: int):
+            self.balance += x
+
+        def __key__(self):
+            return self.username
+
+    class EvoUserV2:
+        loyalty: int = 7  # declared upgrade default (schema evolution)
+
+        def __init__(self, username: str):
+            self.username: str = username
+            self.balance: int = 0
+            self.loyalty: int = 7
+
+        def update_balance(self, x: int):
+            self.balance += x
+
+        def redeem(self, n: int) -> int:
+            self.loyalty += n
+            return self.loyalty
+
+        def __key__(self):
+            return self.username
+
+    # both versions register under ONE entity name, like a code deploy
+    EvoUserV1.__name__ = "EvoUser"
+    EvoUserV2.__name__ = "EvoUser"
+
+    workdir = str(tmp_path / "evo_engine")
+    entity(EvoUserV1)
+    eng1 = StreamingEntityEngine(spark, workdir)
+    init = operator.make_init_event("EvoUser", ("evo-u1",))
+    eng1.send([init])
+    eng1.start()
+    eng1.drain()
+    ref = eng1.replies()[init.event_id].payload["result"]
+    eng1.send([operator.make_invoke_event(ref, "update_balance", (55,))])
+    eng1.drain()
+    eng1.stop()
+
+    entity(EvoUserV2)  # the deploy: same name, one more attribute
+    eng2 = StreamingEntityEngine(spark, workdir)
+    g_bal = Event(str(uuid.uuid4()), "EvoUser", "evo-u1", EventType.GET_STATE,
+                  {"attr": "balance"})
+    g_loy = Event(str(uuid.uuid4()), "EvoUser", "evo-u1", EventType.GET_STATE,
+                  {"attr": "loyalty"})
+    redeem = operator.make_invoke_event(ref, "redeem", (5,))
+    eng2.send([g_bal, g_loy])
+    eng2.start()
+    try:
+        eng2.drain()
+        assert eng2.replies()[g_bal.event_id].payload["result"] == 55
+        assert eng2.replies()[g_loy.event_id].payload["result"] == 7
+        eng2.send([redeem])
+        eng2.drain()
+        assert eng2.replies()[redeem.event_id].payload["result"] == 12
+        # the upgraded value persisted: read it back
+        g2 = Event(str(uuid.uuid4()), "EvoUser", "evo-u1",
+                   EventType.GET_STATE, {"attr": "loyalty"})
+        eng2.send([g2])
+        eng2.drain()
+        assert eng2.replies()[g2.event_id].payload["result"] == 12
+    finally:
+        eng2.stop()
