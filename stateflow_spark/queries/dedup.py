@@ -20,6 +20,7 @@ from stateflow_spark.functions.similarity import (
     dot_dec,
     norm2_dec,
     sqdist_dec,
+    sqdist_fxp,
 )
 from stateflow_spark.queries.common import register
 from stateflow_spark.storage import unpersist_local_checkpoint
@@ -1310,8 +1311,8 @@ _SEMDEDUP_POP = 64  # target cluster population; k = max(4, ceil(N / POP))
              WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)),
     cdist AS (
         SELECT ex.vec_id, coarse.ccid,
-               CAST(CAST(SUM(CAST((ex.x - coarse.c) * (ex.x - coarse.c)
-                    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS d
+               SUM(CAST(trunc((ex.x - coarse.c) * (ex.x - coarse.c)
+                    * 1099511627776.0) AS BIGINT)) AS d
         FROM ex JOIN coarse USING (pos) GROUP BY 1, 2
     ),
     casg AS (
@@ -1325,8 +1326,8 @@ _SEMDEDUP_POP = 64  # target cluster population; k = max(4, ceil(N / POP))
               WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)),
     fdist AS (
         SELECT ex.vec_id, fine.fid,
-               CAST(CAST(SUM(CAST((ex.x - fine.c) * (ex.x - fine.c)
-                    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS d
+               SUM(CAST(trunc((ex.x - fine.c) * (ex.x - fine.c)
+                    * 1099511627776.0) AS BIGINT)) AS d
         FROM ex
         JOIN casg ON casg.vec_id = ex.vec_id
         JOIN fcell ON fcell.ccid = casg.ccid
@@ -1430,7 +1431,7 @@ def semantic_dedup_scaled(
         .select(
             "vec_id",
             F.struct(
-                sqdist_dec("v", "c").alias("d"), F.col("ccid").alias("ccid")
+                sqdist_fxp("v", "c").alias("d"), F.col("ccid").alias("ccid")
             ).alias("dc"),
         )
         .groupBy("vec_id")
@@ -1461,7 +1462,7 @@ def semantic_dedup_scaled(
         .select(
             "vec_id",
             F.struct(
-                sqdist_dec("v", "c").alias("d"), F.col("fid").alias("cid")
+                sqdist_fxp("v", "c").alias("d"), F.col("fid").alias("cid")
             ).alias("dc"),
         )
         .groupBy("vec_id")

@@ -398,17 +398,6 @@ _REP_MAX_TOP_TRIGRAM = 0.09
 _REP_MAX_DUP_5GRAM = 0.10
 
 
-def _gram_struct(n: int) -> str:
-    """SQL expr: array<struct<n,g>> of the doc's n-grams; empty when the
-    doc is shorter than n tokens (filter, never sequence(1, k<1) — Spark's
-    sequence DESCENDS when stop < start, which would fabricate grams)."""
-    return f"""
-    transform(filter(sequence(1, size(t)), i -> i <= size(t) - {n} + 1),
-              i -> named_struct('n', {n},
-                                'g', array_join(slice(t, i, {n}), ' ')))
-    """
-
-
 @register(
     "text_repetition_filter",
     oracle=f"""
@@ -503,7 +492,24 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", F.split("text", " ").alias("t"))
 
     def gram_sorted(n: int) -> str:
-        return f"sort_array(transform({_gram_struct(n)}, s -> s.g))"
+        # round-8 kernel fix: build gram strings by DIRECT indexed concat
+        # (element_at + concat) instead of the previous slice +
+        # array_join + named_struct + unwrap chain — same strings, same
+        # sorted order, same oracle, but no per-gram array slice or
+        # struct allocation. Measured at sf10: the build stage fell
+        # 23.8 s → 3.6 s, the whole query 32.9 → 6.5 s (sf1 3.84 → 1.30).
+        # The IF guard replaces the old filter form (Spark's sequence
+        # DESCENDS when stop < start, which would fabricate grams).
+        if n == 1:
+            return "sort_array(t)"
+        cat = "concat(" + ", ' ', ".join(
+            f"element_at(t, i + {j})" for j in range(n)
+        ) + ")"
+        return (
+            f"sort_array(if(size(t) >= {n},"
+            f" transform(sequence(1, size(t) - {n} + 1), i -> {cat}),"
+            " array()))"
+        )
 
     def scan(arr: str) -> str:
         # one pass over the sorted gram array: top = longest equal run

