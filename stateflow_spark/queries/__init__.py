@@ -39,12 +39,12 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 #   (a) every query with NO driver stamp ever — the 3 round-8 multimodal
 #       additions (phash, phash near-dup, cross-modal retrieval);
 #   (b) every query whose plan/results changed this round
-#       (CHANGED_THIS_ROUND below) = 8;
-#   (c) the remaining 39 slots fill with the STALEST stamps — all 9 r03
-#       rows (window/setops/aggregates) and 30 of the 31 remaining r04
-#       rows (text_token_stats, same r04 tier, rotates next round —
-#       tier-splitting is allowed: nothing OUTSIDE the prefix is strictly
-#       staler than any fill row).
+#       (CHANGED_THIS_ROUND below) = 9;
+#   (c) the remaining 38 slots fill with the STALEST stamps — all 9 r03
+#       rows (window/setops/aggregates) and 29 of the 31 remaining r04
+#       rows (text_token_stats + text_rolling_fingerprint, same r04
+#       tier, rotate next round — tier-splitting is allowed: nothing
+#       OUTSIDE the prefix is strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
@@ -71,6 +71,9 @@ CHANGED_THIS_ROUND = [
     "dedup_semantic_scaled",
     # banded-Hamming blocking extracted to the shared helper
     "dedup_simhash_pairs",
+    # direct-concat gram builder + pushdown barrier (same results, new
+    # plan; sf1 35.8 → 1.4 s)
+    "text_memorization_audit",
 ]
 _R08_PREFIX = [
     # (a) never driver-stamped (round-8 multimodal additions)
@@ -89,7 +92,7 @@ _R08_PREFIX = [
     "setops_union_all_counts",
     "window_distribution_functions",
     "window_range_frame",
-    # ...then 30 of the 31 remaining r04 rows
+    # ...then 29 of the 31 remaining r04 rows
     "dedup_simhash",
     "entity_find_class",
     "entity_flow_golden",
@@ -119,7 +122,6 @@ _R08_PREFIX = [
     "text_lang_id",
     "text_length_histogram",
     "text_quality_score",
-    "text_rolling_fingerprint",
 ]
 assert len(_R08_PREFIX) == 50, len(_R08_PREFIX)
 assert len(set(_R08_PREFIX)) == 50

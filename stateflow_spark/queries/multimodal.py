@@ -218,27 +218,89 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over binary payloads (hamming ≤ 3
     of 60 bits) — image-style near-duplicate detection where the media
-    bytes, not the text semantics, define similarity. Blocking reuses
-    the shared banded_hamming_pairs machinery (4 bands × 15 bits;
-    pigeonhole recall exactly 1 at hamming ≤ 3, never all-pairs; the
-    oracle checks the same set by brute force at oracle scale). At
-    100 TB: one corpus pass for signatures, one (band, band_val)
-    shuffle of 16-byte rows; mass-duplicated payloads concentrate in
-    one bucket — run exact dedup first (multimodal_binary_metadata's
-    content_hash) exactly as an image pipeline dedups byte-identical
-    files before perceptual matching."""
+    bytes, not the text semantics, define similarity.
+
+    Blocking runs over DISTINCT SIGNATURES, not documents: mass-
+    duplicated media collapse to one signature row each (the "exact
+    dedup first" an image pipeline always does, built into the plan),
+    then the shared banded_hamming_pairs machinery (4 bands × 15 bits;
+    pigeonhole recall exactly 1 at hamming ≤ 3) pairs the distinct
+    signatures, and doc pairs expand back from the per-signature doc
+    lists — within-signature pairs at hamming 0, cross-signature pairs
+    at the signature distance. Output is IDENTICAL to banding the raw
+    doc table (every doc pair within hamming 3; oracle brute-forces
+    that definition), but in-bucket pair work is quadratic in distinct
+    signatures instead of documents: at sf1 the corpus has 50 k docs
+    but 4,986 distinct signatures (10× replication), and the raw-doc
+    form expanded 104 M in-bucket candidates (22.8 s) where this form's
+    buckets hold signature rows only (1.9 s, flat into sf10). The
+    signature-group table is localCheckpoint'd once — it feeds the band
+    pairs, the within-group expansion, and both doc-list joins.
+
+    At 100 TB: one corpus pass for signatures, one signature-keyed
+    exchange to group, one (band, band_val) shuffle of distinct
+    16-byte signature rows; low-entropy corpora (small vocabularies,
+    near-constant media) concentrate DISTINCT signatures in few buckets
+    — that residual is bounded by signature-space entropy, and the
+    within-bucket expansion stays in-array."""
     ph = _phash_df(spark, sf_dir)
-    pairs = banded_hamming_pairs(
-        ph,
-        "doc_id",
+    groups = (
+        ph.groupBy("phash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .localCheckpoint()
+    )
+    # hamming-0 pairs: all doc pairs sharing one signature (in-array)
+    within = (
+        groups.filter(F.size("docs") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(docs, (x, i) ->
+                        transform(slice(docs, i + 2, size(docs) - i - 1),
+                                  y -> struct(x AS doc_a, y AS doc_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", F.lit(0).alias("hamming"))
+    )
+    # cross-signature pairs: band the DISTINCT signatures (xor = 0 is
+    # impossible between distinct values, so these are disjoint from
+    # `within`), then expand each signature pair's doc-list cross
+    # product, normalizing pair order
+    sig_pairs = banded_hamming_pairs(
+        groups.select("phash"),
+        "phash",
         "phash",
         n_bands=_PHASH_BANDS,
         band_bits=_PHASH_BAND_BITS,
         max_hamming=_PHASH_MAX_HAMMING,
     )
-    return pairs.select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    cross = (
+        sig_pairs.join(
+            groups.select(F.col("phash").alias("id_a"), F.col("docs").alias("da")),
+            "id_a",
+        )
+        .join(
+            groups.select(F.col("phash").alias("id_b"), F.col("docs").alias("db")),
+            "id_b",
+        )
+        .select(
+            "hamming",
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(da, x ->
+                        transform(db, y -> struct(least(x, y) AS doc_a,
+                                                  greatest(x, y) AS doc_b))))
+                    """
+                )
+            ).alias("p"),
+        )
+        .select("p.doc_a", "p.doc_b", "hamming")
     )
+    return within.unionByName(cross)
 
 
 # the decimal-sum → VARCHAR → DOUBLE round trip (see queries/common.py

@@ -1709,19 +1709,35 @@ def text_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic) with strings recovered for the top-k only — same plan,
     1/6 the shuffle bytes; kept as strings here so the DuckDB oracle
     pins the census end-to-end."""
-    d = load(spark, sf_dir, "documents")
-    toks_once = d.select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).select(
-        "doc_id",
-        F.expr(
-            """
-            array_distinct(CASE WHEN size(toks) < 8
-                THEN CAST(array() AS ARRAY<STRING>)
-                ELSE transform(sequence(1, size(toks) - 7),
-                     i -> concat_ws(' ', slice(toks, i, 8))) END)
-            """
-        ).alias("grams"),
+    # round-8 kernel fix (the repetition-filter finding): grams by direct
+    # indexed concat — the slice+concat_ws form allocated a sliced array
+    # per gram. Needs the _shingles_df barrier: the explode below makes
+    # InferFiltersFromGenerate add a size(grams) > 0 filter, and pushdown
+    # substitutes the FULL gram expression (with toks = split(text)
+    # inlined) below the exchange — 8 element_at references per gram then
+    # re-split the whole document 8× (measured sf0.1 4.5 → 18.2 s
+    # WITHOUT the barrier; 2.9 s with it). The keyed-aggregate barrier
+    # pins toks as a materialized attribute pushdown cannot substitute.
+    n_part = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    cat8 = "concat(" + ", ' ', ".join(
+        f"element_at(toks, i + {j})" for j in range(8)
+    ) + ")"
+    toks_once = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .groupBy("doc_id")
+        .agg(F.first("toks").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"""
+                array_distinct(CASE WHEN size(toks) < 8
+                    THEN CAST(array() AS ARRAY<STRING>)
+                    ELSE transform(sequence(1, size(toks) - 7),
+                         i -> {cat8}) END)
+                """
+            ).alias("grams"),
+        )
     )
     return (
         toks_once.select("doc_id", F.explode("grams").alias("gram"))
