@@ -213,7 +213,7 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ph a JOIN ph b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAX_HAMMING}
     """,
-    tags=("multimodal", "phash", "dedup"),
+    tags=("multimodal", "phash", "dedup", "bench"),
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over binary payloads (hamming ≤ 3
@@ -359,7 +359,7 @@ _XMODAL_DOT = (
         FROM scored
     ) WHERE rnk <= 3
     """,
-    tags=("multimodal", "crossmodal", "retrieval"),
+    tags=("multimodal", "crossmodal", "retrieval", "bench"),
 )
 def multimodal_crossmodal_retrieval(
     spark: SparkSession, sf_dir: str
