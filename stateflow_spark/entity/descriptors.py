@@ -64,10 +64,16 @@ class MethodDesc:
     writes: set[str]  # self attrs written
     returns_hint: str
     node: ast.FunctionDef = field(repr=False)
-    # the method LOADS an entity-typed own-state attribute (self.acc where
-    # acc: Acc) — set by link_descriptors; such methods flow-compile even
-    # without entity-typed params (round-8 VERDICT #8: calls/aliases
-    # through stored refs)
+    # the method INTERACTS with an entity-typed own-state attribute as an
+    # entity — calls a method on it or reads one of its attributes,
+    # directly (self.acc.add(x), self.acc.balance) or through an alias
+    # (a = self.acc; a.add(x)) — set by link_descriptors; such methods
+    # flow-compile even without entity-typed params (round-8 VERDICT #8).
+    # Merely LOADING the ref (returning it, passing it to a helper,
+    # comparing it) does NOT trigger flow compilation: those uses operate
+    # on the plain EntityRef and run fine through wrapper.invoke, and
+    # flow fragments execute in a synthetic namespace without the
+    # method's module globals (a helper call would NameError).
     entity_attr_loads: bool = False
 
     @property
@@ -264,6 +270,41 @@ def extract_class_desc(cls: type) -> ClassDesc:
     )
 
 
+def _is_entity_self_attr(node: ast.expr, ent_attrs: set[str]) -> bool:
+    return (
+        isinstance(node, ast.Attribute)
+        and isinstance(node.value, ast.Name)
+        and node.value.id == "self"
+        and node.attr in ent_attrs
+    )
+
+
+def _interacts_with_entity_attrs(
+    fn: ast.FunctionDef, ent_attrs: set[str]
+) -> bool:
+    """True when the method treats an entity-typed own-state attribute AS
+    an entity: an attribute access (method call or state read) through
+    `self.<attr>` or through a name assigned from it. A bare load of the
+    ref does not count — see MethodDesc.entity_attr_loads."""
+    if not ent_attrs:
+        return False
+    aliases = {
+        t.id
+        for n in ast.walk(fn)
+        if isinstance(n, ast.Assign) and len(n.targets) == 1
+        for t in n.targets
+        if isinstance(t, ast.Name) and _is_entity_self_attr(n.value, ent_attrs)
+    }
+    for n in ast.walk(fn):
+        if isinstance(n, ast.Attribute) and isinstance(n.ctx, ast.Load):
+            v = n.value
+            if _is_entity_self_attr(v, ent_attrs):
+                return True
+            if isinstance(v, ast.Name) and v.id in aliases:
+                return True
+    return False
+
+
 def link_descriptors(descs: dict[str, ClassDesc]) -> None:
     """Second pass once all classes are registered: mark entity-typed params
     (reference stateflow/core.py:112-118 + method_descriptor.py:125-143),
@@ -277,11 +318,6 @@ def link_descriptors(descs: dict[str, ClassDesc]) -> None:
                 p.entity, p.is_entity_list = _parse_param_hint(p.hint, names)
             if mname.startswith("__"):
                 continue  # __init__/__key__ run eagerly, never as flows
-            m.entity_attr_loads = any(
-                isinstance(n, ast.Attribute)
-                and isinstance(n.ctx, ast.Load)
-                and isinstance(n.value, ast.Name)
-                and n.value.id == "self"
-                and n.attr in ent_attrs
-                for n in ast.walk(m.node)
+            m.entity_attr_loads = _interacts_with_entity_attrs(
+                m.node, ent_attrs
             )

@@ -417,6 +417,13 @@ class Interpreter:
             self_state = self.store.get(flow.self_ref) if owns_self else None
             if needs_self and self_state is None:
                 raise FlowError(f"flow owner {flow.self_ref} does not exist")
+            if self_state is not None:
+                # schema-evolution upgrade, same as Exec/Branch/Return's
+                # path — Call target/arg expressions may read an
+                # attribute the stored (older-version) state lacks
+                self_state = wrapper.upgrade_state(
+                    get_entity_type(flow.self_ref.entity).desc, self_state
+                )
             self_state = self_state or {}
             hop = self._ensure_needs(flow, instr.needs, self_state)
             if hop is not None:

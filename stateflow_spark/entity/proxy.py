@@ -91,12 +91,82 @@ class RefListProxy(list):
             yield self._wrap(v)
 
 
+class RefListView:
+    """WRITE-THROUGH view of a list living inside the owner's state dict.
+
+    SelfProxy must not hand out a RefListProxy for list state:
+    RefListProxy is a list SUBCLASS, so constructing one copies the
+    elements and an in-place mutation (`self.seen.append(x)`) would land
+    on the copy and silently vanish from persisted state (round-8 review
+    finding). This view aliases the backing list — reads wrap EntityRefs
+    into cache-backed proxies, writes unwrap and mutate the backing list
+    itself, so the state dict (and its write-through persistence) sees
+    every mutation exactly as the pre-round-8 raw-list behavior did."""
+
+    __slots__ = ("_backing", "_cache", "_methods_of")
+
+    def __init__(self, backing: list, cache, methods_of):
+        self._backing = backing
+        self._cache = cache
+        self._methods_of = methods_of
+
+    def _wrap(self, v):
+        if isinstance(v, EntityRef):
+            return EntityProxy(v, self._cache, self._methods_of(v.entity))
+        return v
+
+    def __getitem__(self, i):
+        v = self._backing[i]
+        if isinstance(i, slice):
+            return [self._wrap(x) for x in v]
+        return self._wrap(v)
+
+    def __setitem__(self, i, v):
+        self._backing[i] = unwrap(v)
+
+    def __delitem__(self, i):
+        del self._backing[i]
+
+    def __len__(self):
+        return len(self._backing)
+
+    def __iter__(self):
+        for v in self._backing:
+            yield self._wrap(v)
+
+    def __contains__(self, v):
+        return unwrap(v) in self._backing
+
+    def __eq__(self, other):
+        return self._backing == unwrap(other)
+
+    def append(self, v):
+        self._backing.append(unwrap(v))
+
+    def extend(self, vs):
+        self._backing.extend(unwrap(v) for v in vs)
+
+    def insert(self, i, v):
+        self._backing.insert(i, unwrap(v))
+
+    def remove(self, v):
+        self._backing.remove(unwrap(v))
+
+    def pop(self, i=-1):
+        return self._wrap(self._backing.pop(i))
+
+    def __repr__(self):
+        return f"view:{self._backing!r}"
+
+
 class SelfProxy:
     """Mutable view of the flow owner's own state dict (write-through).
     Entity-ref values (stored refs like self.backing) wrap into cache-
     backed EntityProxy on read, so `self.backing.balance` reads fetched
     state exactly like a parameter ref does (round-8 stored-ref support);
-    without a cache/methods_of (legacy call form) refs return raw."""
+    list state wraps into the write-through RefListView (in-place
+    mutations reach the state dict); without a cache/methods_of (legacy
+    call form) values return raw."""
 
     __slots__ = ("_state", "_dirty", "_methods", "_cache", "_methods_of")
 
@@ -117,8 +187,11 @@ class SelfProxy:
         if attr not in self._state:
             raise AttributeError(f"self has no state attribute {attr!r}")
         v = self._state[attr]
-        if self._cache is not None and isinstance(v, (EntityRef, list)):
-            return wrap(v, self._cache, self._methods_of)
+        if self._cache is not None:
+            if isinstance(v, EntityRef):
+                return EntityProxy(v, self._cache, self._methods_of(v.entity))
+            if isinstance(v, list):
+                return RefListView(v, self._cache, self._methods_of)
         return v
 
     def __setattr__(self, attr: str, value: Any):
@@ -141,6 +214,10 @@ def unwrap(value: Any) -> Any:
     """exec-namespace value → serializable ns value."""
     if isinstance(value, EntityProxy):
         return value._ref
+    if isinstance(value, RefListView):
+        # the backing list already holds plain values (writes unwrap on
+        # the way in); copy so the ns value doesn't alias state
+        return list(value._backing)
     if isinstance(value, RefListProxy):
         return [unwrap(v) for v in list.__iter__(value)]
     if isinstance(value, list):

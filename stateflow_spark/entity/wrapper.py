@@ -4,6 +4,7 @@ invoke :113-149, state diff :98-104)."""
 
 from __future__ import annotations
 
+import copy
 from typing import Any
 
 from stateflow_spark.entity.descriptors import ClassDesc
@@ -50,7 +51,10 @@ def upgrade_state(desc: ClassDesc, state: dict) -> dict:
     out = dict(state)
     for a in missing:
         if a in desc.state_defaults:
-            out[a] = desc.state_defaults[a]
+            # deep-copied: a mutable declared default ([] / {}) must not
+            # be shared across upgraded entities or alias the ClassDesc
+            # (one entity's append would leak into every other upgrade)
+            out[a] = copy.deepcopy(desc.state_defaults[a])
         else:
             hint = desc.state_hints[a]
             if hint in _HINT_ZERO:

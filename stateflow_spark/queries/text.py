@@ -398,6 +398,30 @@ _REP_MAX_TOP_TRIGRAM = 0.09
 _REP_MAX_DUP_5GRAM = 0.10
 
 
+def _gram_concat_expr(arr: str, n: int) -> str:
+    """SQL expr: array of the space-joined n-grams of token array ``arr``,
+    built by DIRECT indexed concat — the round-8 gram kernel shared by
+    text_repetition_filter and text_memorization_audit. element_at +
+    concat allocates no per-gram sliced array (the slice + array_join /
+    concat_ws forms cost 6× more at sf10); the IF guard avoids Spark's
+    descending sequence() when the doc is shorter than n (which would
+    fabricate grams). NOTE for callers: if the token array is an inlined
+    expression (e.g. split(text)) and a generator/filter gets pushed
+    below the projection, every element_at reference re-evaluates it —
+    pin the array behind a keyed-aggregate barrier first (see
+    _shingles_df and text_memorization_audit)."""
+    if n == 1:
+        return arr
+    cat = "concat(" + ", ' ', ".join(
+        f"element_at({arr}, i + {j})" for j in range(n)
+    ) + ")"
+    return (
+        f"if(size({arr}) >= {n},"
+        f" transform(sequence(1, size({arr}) - {n} + 1), i -> {cat}),"
+        f" CAST(array() AS ARRAY<STRING>))"
+    )
+
+
 @register(
     "text_repetition_filter",
     oracle=f"""
@@ -492,24 +516,13 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", F.split("text", " ").alias("t"))
 
     def gram_sorted(n: int) -> str:
-        # round-8 kernel fix: build gram strings by DIRECT indexed concat
-        # (element_at + concat) instead of the previous slice +
-        # array_join + named_struct + unwrap chain — same strings, same
-        # sorted order, same oracle, but no per-gram array slice or
-        # struct allocation. Measured at sf10: the build stage fell
-        # 23.8 s → 3.6 s, the whole query 32.9 → 6.5 s (sf1 3.84 → 1.30).
-        # The IF guard replaces the old filter form (Spark's sequence
-        # DESCENDS when stop < start, which would fabricate grams).
-        if n == 1:
-            return "sort_array(t)"
-        cat = "concat(" + ", ' ', ".join(
-            f"element_at(t, i + {j})" for j in range(n)
-        ) + ")"
-        return (
-            f"sort_array(if(size(t) >= {n},"
-            f" transform(sequence(1, size(t) - {n} + 1), i -> {cat}),"
-            " array()))"
-        )
+        # round-8 kernel fix: the shared direct-indexed-concat builder
+        # (_gram_concat_expr) instead of the previous slice + array_join
+        # + named_struct + unwrap chain — same strings, same sorted
+        # order, same oracle, but no per-gram array slice or struct
+        # allocation. Measured at sf10: the build stage fell 23.8 →
+        # 3.6 s, the whole query 32.9 → 6.5 s (sf1 3.84 → 1.30).
+        return f"sort_array({_gram_concat_expr('t', n)})"
 
     def scan(arr: str) -> str:
         # one pass over the sorted gram array: top = longest equal run
@@ -1720,9 +1733,6 @@ def text_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins toks as a materialized attribute pushdown cannot substitute.
     n_part = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
-    cat8 = "concat(" + ", ' ', ".join(
-        f"element_at(toks, i + {j})" for j in range(8)
-    ) + ")"
     toks_once = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .groupBy("doc_id")
@@ -1730,12 +1740,7 @@ def text_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                f"""
-                array_distinct(CASE WHEN size(toks) < 8
-                    THEN CAST(array() AS ARRAY<STRING>)
-                    ELSE transform(sequence(1, size(toks) - 7),
-                         i -> {cat8}) END)
-                """
+                f"array_distinct({_gram_concat_expr('toks', 8)})"
             ).alias("grams"),
         )
     )

@@ -168,7 +168,7 @@ def run_local(
         "ops": n_tasks,
         "sec": round(wall, 4),
         "ops_per_sec": round(n_tasks / wall, 1),
-        "p50_ms": round(lats[len(lats) // 2], 4),
+        "p50_ms": round(lats[_nearest_rank(lats, 0.5)], 4),
         "p99_ms": round(lats[_nearest_rank(lats, 0.99)], 4),
     }
 
@@ -288,7 +288,7 @@ def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
         lat = sorted(
             eng.reply_times[e.event_id] - t0_wallclock for e in events
         )
-        p50 = lat[len(lat) // 2]
+        p50 = lat[_nearest_rank(lat, 0.5)]
         p99 = lat[_nearest_rank(lat, 0.99)]
         if latency_csv:  # reference CSV shape: request_id, timestamp
             # completion timestamps at micro-batch resolution (reply-file

@@ -559,3 +559,115 @@ def test_stored_ref_methods_are_flow_compiled():
     et = get_entity_type("Wallet")
     assert set(et.flows) >= {"pay_direct", "pay_via_alias",
                              "backing_balance_plus"}
+
+
+# --- round-8 review regressions ---------------------------------------------
+
+
+def _fmt_ref(r):
+    """Module-level helper a wrapper-path method may call (flows exec in a
+    synthetic namespace without module globals — see entity_attr_loads)."""
+    return f"{r.entity}:{r.key}"
+
+
+@entity
+class Ledger:
+    fee: int = 2  # declared schema-evolution default
+
+    def __init__(self, name: str, backing: "B"):
+        self.name: str = name
+        self.backing: B = backing
+        self.entries: list = []
+        self.count: int = 0
+        self.fee: int = 2
+
+    def pay_fee(self) -> int:
+        # schema-evolved attr read INSIDE a Call argument expression
+        self.backing.add_balance(self.fee)
+        return self.fee
+
+    def log_spend(self, x: int) -> int:
+        # in-place list mutation on own state INSIDE a flow (the method
+        # is flow-compiled because of the external call below)
+        self.entries.append(x)
+        self.backing.add_balance(-x)
+        self.count += 1
+        return self.count
+
+    def describe(self) -> str:
+        # bare load of the stored ref passed to a MODULE helper: must NOT
+        # flow-compile (runs via wrapper.invoke with real globals)
+        return _fmt_ref(self.backing)
+
+    def __key__(self):
+        return self.name
+
+
+def test_flow_list_state_inplace_mutation_persists():
+    """Round-8 review: SelfProxy list reads are a WRITE-THROUGH view —
+    self.entries.append(x) inside a flow must reach persisted state (a
+    list-copy proxy silently dropped it)."""
+    rt = LocalRuntime()
+    b = rt.create(B, "ledger-b1")
+    led = rt.create(Ledger, "led1", b)
+    assert rt.invoke(led, "log_spend", 5) == 1
+    assert rt.invoke(led, "log_spend", 7) == 2
+    assert rt.get_attr(led, "entries") == [5, 7]
+    assert rt.get_attr(b, "balance") == -12
+
+
+def test_bare_ref_load_stays_on_wrapper_path():
+    """Round-8 review: merely loading a stored ref (passing it to a module
+    helper) must NOT force flow compilation — flows exec without module
+    globals and would NameError."""
+    et = get_entity_type("Ledger")
+    assert "describe" not in et.flows
+    assert "log_spend" in et.flows
+    rt = LocalRuntime()
+    b = rt.create(B, "ledger-b2")
+    led = rt.create(Ledger, "led2", b)
+    assert rt.invoke(led, "describe") == "B:ledger-b2"
+
+
+def test_upgrade_state_defaults_not_shared():
+    """Round-8 review: mutable declared defaults must be deep-copied per
+    upgraded entity — never aliased across entities or to the ClassDesc."""
+    from stateflow_spark.entity.descriptors import ClassDesc
+    from stateflow_spark.entity.wrapper import upgrade_state
+
+    desc = ClassDesc(
+        name="X", state_hints={"tags": "list"}, methods={}, tree=None,
+        state_defaults={"tags": []},
+    )
+    s1 = upgrade_state(desc, {})
+    s2 = upgrade_state(desc, {})
+    s1["tags"].append("a")
+    assert s2["tags"] == []
+    assert desc.state_defaults["tags"] == []
+
+
+def test_call_args_see_schema_evolved_attr():
+    """Round-8 review: Call target/arg evaluation must apply the state
+    upgrade too — a flow calling other.add(self.fee) where `fee` is a
+    newly-declared attribute must see the declared default on old state."""
+    from stateflow_spark.entity.registry import entity as ent
+    from stateflow_spark.entity.registry import get_entity_type as gette
+
+    rt = LocalRuntime()
+    b = rt.create(B, "ledger-b3")
+    led = rt.create(Ledger, "led3", b)
+    # simulate old-version state: remove `count` from the persisted dict
+    key = ("Ledger", "led3")
+    st = dict(rt.store.data[key])
+    del st["count"]
+    rt.store.data[key] = st
+    # simulate old-version state: fee (declared default 2) + count missing
+    st = dict(rt.store.data[key])
+    del st["fee"]
+    rt.store.data[key] = st
+    # pay_fee's Call ARGUMENT reads self.fee — the Call-phase eval must
+    # apply the upgrade (the Exec/Return paths already did)
+    assert rt.invoke(led, "pay_fee") == 2
+    assert rt.get_attr(b, "balance") == 2
+    # and the Exec path: count default-fills to 0 then increments
+    assert rt.invoke(led, "log_spend", 3) == 1
