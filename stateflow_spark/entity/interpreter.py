@@ -145,13 +145,36 @@ def _methods_of(entity: str) -> set[str]:
     return {m for m in et.desc.methods if not m.startswith("__")}
 
 
+@lru_cache(maxsize=256)
+def _module_globals(entity: str) -> dict:
+    """The defining module's globals for an entity class — flow fragments
+    exec with these as their namespace BASE, so split methods can call
+    module-level helpers and use module imports exactly like the
+    un-split method could (round-8 review: fragments previously saw a
+    synthetic namespace and NameError'd on any helper; the reference's
+    split functions keep their module context the same way). Works on
+    executors too: the engines cloudpickle the registry with the
+    defining module registered by-value, so each method's __globals__
+    travels with the class. Cached per entity (the dict object itself is
+    the live module dict — copied into each exec namespace, never
+    mutated here)."""
+    et = get_entity_type(entity)
+    for v in vars(et.cls).values():
+        if callable(v) and hasattr(v, "__globals__"):
+            return v.__globals__
+    return {}
+
+
 class Interpreter:
     def __init__(self, store: StateStore):
         self.store = store
 
     # -- namespace plumbing -------------------------------------------------
     def _exec_ns(self, flow: FlowState, self_state: dict) -> dict:
-        ns: dict[str, Any] = {}
+        # module globals first (helpers/imports available to fragments),
+        # flow variables overlay (shadowing a global with a local works
+        # like plain Python)
+        ns: dict[str, Any] = dict(_module_globals(flow.entity))
         for k, v in flow.ns.items():
             ns[k] = wrap(v, flow.cache, _methods_of)
         ns["self"] = SelfProxy(
@@ -160,7 +183,14 @@ class Interpreter:
         return ns
 
     def _writeback(self, flow: FlowState, ns: dict) -> None:
+        gbase = _module_globals(flow.entity)
         for k, v in ns.items():
+            if k in gbase and v is gbase[k]:
+                # an untouched module global (incl. __name__/__doc__ and
+                # friends) — keep it OUT of the flow's serialized
+                # namespace; compiler temps (__call1, ...) never collide
+                # because they are fragment-assigned fresh objects
+                continue
             if k == "self" or k.startswith("__"):
                 if k.startswith("__") and not k.startswith("__builtins"):
                     flow.ns[k] = unwrap(v)

@@ -45,6 +45,11 @@ class EntityProxy:
                 "flow compiler should have hoisted it"
             )
         st = self._cache.get((self._ref.entity, self._ref.key))
+        if attr in ("entity", "key") and (st is None or attr not in st):
+            # ref IDENTITY, not state (EntityRef's own fields) — serve it
+            # without a fetch, unless the class genuinely declares a state
+            # attribute with that name (then fetched state wins)
+            return getattr(self._ref, attr)
         if st is None:
             raise StateNotFetched(self._ref, attr)
         if attr not in st:

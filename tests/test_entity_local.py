@@ -581,6 +581,12 @@ class Ledger:
         self.count: int = 0
         self.fee: int = 2
 
+    def spend_described(self, x: int) -> str:
+        # module helper used INSIDE a flow fragment (the external call
+        # forces flow compilation; fragments exec with module globals)
+        self.backing.add_balance(-x)
+        return _fmt_ref(self.backing) + f"/{x}"
+
     def pay_fee(self) -> int:
         # schema-evolved attr read INSIDE a Call argument expression
         self.backing.add_balance(self.fee)
@@ -614,6 +620,20 @@ def test_flow_list_state_inplace_mutation_persists():
     assert rt.invoke(led, "log_spend", 7) == 2
     assert rt.get_attr(led, "entries") == [5, 7]
     assert rt.get_attr(b, "balance") == -12
+
+
+def test_flow_fragments_see_module_globals():
+    """Round-8: flow fragments exec with the entity module's globals as
+    their namespace base — split methods can call module-level helpers
+    exactly like the un-split method could; untouched globals stay out
+    of the serialized flow namespace."""
+    et = get_entity_type("Ledger")
+    assert "spend_described" in et.flows  # external call → flow-compiled
+    rt = LocalRuntime()
+    b = rt.create(B, "ledger-b9")
+    led = rt.create(Ledger, "led9", b)
+    assert rt.invoke(led, "spend_described", 4) == "B:ledger-b9/4"
+    assert rt.get_attr(b, "balance") == -4
 
 
 def test_bare_ref_load_stays_on_wrapper_path():
