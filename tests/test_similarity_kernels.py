@@ -146,3 +146,45 @@ def test_cosine_ge_banded_high_dim_large_magnitude(spark):
             "e <> b"
         )
         assert diff.count() == 0, f"banded mismatch at tau={tau} (dim={dim})"
+
+
+def test_sqdist_fxp_matches_duckdb_trunc(spark):
+    """Round-8 fixed-point distance kernel: Spark's
+    ((x−y)²·2^40) cast to bigint must equal DuckDB's
+    CAST(trunc((x−y)²·2^40) AS BIGINT) summed, on adversarial values —
+    negative diffs, magnitudes spanning 2^-20..2^10, and products whose
+    scaled value sits just under/over an integer boundary."""
+    import duckdb
+
+    from stateflow_spark.functions.similarity import sqdist_fxp
+
+    import random
+    rng = random.Random(99)
+    rows = []
+    for i in range(200):
+        dim = 8
+        a = [rng.uniform(-1000, 1000) * (2.0 ** rng.randint(-20, 0))
+             for _ in range(dim)]
+        b = [rng.uniform(-1000, 1000) * (2.0 ** rng.randint(-20, 0))
+             for _ in range(dim)]
+        rows.append((i, a, b))
+    # exact-integer-boundary probes: (x-y)^2 * 2^40 == k exactly, and
+    # k ± 1 ulp on either side
+    rows.append((900, [2.0 ** -20] * 8, [0.0] * 8))  # diff^2*2^40 == 1.0
+    rows.append((901, [3.0 * 2.0 ** -20] * 8, [0.0] * 8))  # == 9.0
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = {
+        r.id: r.d
+        for r in df.select("id", sqdist_fxp("a", "b").alias("d")).collect()
+    }
+    con = duckdb.connect()
+    for i, a, b in rows:
+        (want,) = con.execute(
+            """
+            SELECT SUM(CAST(trunc((x - y) * (x - y) * 1099511627776.0)
+                       AS BIGINT))
+            FROM (SELECT unnest(?::DOUBLE[]) AS x, unnest(?::DOUBLE[]) AS y)
+            """,
+            [a, b],
+        ).fetchone()
+        assert got[i] == want, (i, got[i], want)
