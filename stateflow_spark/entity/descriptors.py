@@ -284,23 +284,42 @@ def _interacts_with_entity_attrs(
 ) -> bool:
     """True when the method treats an entity-typed own-state attribute AS
     an entity: an attribute access (method call or state read) through
-    `self.<attr>` or through a name assigned from it. A bare load of the
-    ref does not count — see MethodDesc.entity_attr_loads."""
+    `self.<attr>` or through a name assigned from it — including
+    annotated assignments and alias CHAINS (x = self.acc; y = x), to a
+    flow-insensitive fixpoint, matching the compiler's own propagation
+    (_Types.note_stmt). A bare load of the ref does not count — see
+    MethodDesc.entity_attr_loads."""
     if not ent_attrs:
         return False
-    aliases = {
-        t.id
-        for n in ast.walk(fn)
-        if isinstance(n, ast.Assign) and len(n.targets) == 1
-        for t in n.targets
-        if isinstance(t, ast.Name) and _is_entity_self_attr(n.value, ent_attrs)
-    }
+
+    def _alias_source(v: ast.expr, aliases: set[str]) -> bool:
+        return _is_entity_self_attr(v, ent_attrs) or (
+            isinstance(v, ast.Name) and v.id in aliases
+        )
+
+    aliases: set[str] = set()
+    while True:  # fixpoint over alias chains; bounded by #names
+        added = False
+        for n in ast.walk(fn):
+            t = None
+            if isinstance(n, ast.Assign) and len(n.targets) == 1:
+                t, v = n.targets[0], n.value
+            elif isinstance(n, ast.AnnAssign) and n.value is not None:
+                t, v = n.target, n.value
+            else:
+                continue
+            if (
+                isinstance(t, ast.Name)
+                and t.id not in aliases
+                and _alias_source(v, aliases)
+            ):
+                aliases.add(t.id)
+                added = True
+        if not added:
+            break
     for n in ast.walk(fn):
         if isinstance(n, ast.Attribute) and isinstance(n.ctx, ast.Load):
-            v = n.value
-            if _is_entity_self_attr(v, ent_attrs):
-                return True
-            if isinstance(v, ast.Name) and v.id in aliases:
+            if _alias_source(n.value, aliases):
                 return True
     return False
 

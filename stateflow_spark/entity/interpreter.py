@@ -155,12 +155,16 @@ def _module_globals(entity: str) -> dict:
     split functions keep their module context the same way). Works on
     executors too: the engines cloudpickle the registry with the
     defining module registered by-value, so each method's __globals__
-    travels with the class. Cached per entity (the dict object itself is
-    the live module dict — copied into each exec namespace, never
-    mutated here)."""
+    travels with the class. Sourced from functions DEFINED IN the
+    class's own module (a class attribute aliasing a foreign-module
+    function must not donate the wrong globals). Cached per entity;
+    registry.entity()/clear_registry() clear the cache on
+    re-registration (a name may rebind to a class from another module)."""
+    import inspect
+
     et = get_entity_type(entity)
     for v in vars(et.cls).values():
-        if callable(v) and hasattr(v, "__globals__"):
+        if inspect.isfunction(v) and v.__module__ == et.cls.__module__:
             return v.__globals__
     return {}
 
@@ -185,11 +189,15 @@ class Interpreter:
     def _writeback(self, flow: FlowState, ns: dict) -> None:
         gbase = _module_globals(flow.entity)
         for k, v in ns.items():
-            if k in gbase and v is gbase[k]:
+            if k in gbase and v is gbase[k] and k not in flow.ns:
                 # an untouched module global (incl. __name__/__doc__ and
                 # friends) — keep it OUT of the flow's serialized
-                # namespace; compiler temps (__call1, ...) never collide
-                # because they are fragment-assigned fresh objects
+                # namespace. The `k not in flow.ns` guard matters: a
+                # fragment reassigning a flow local that shadows a global
+                # to a value IDENTITY-equal to the global (interned ints,
+                # None, small strings) must still overwrite the stale
+                # flow.ns entry, or later fragments would resurrect the
+                # old shadow (round-8 review #1)
                 continue
             if k == "self" or k.startswith("__"):
                 if k.startswith("__") and not k.startswith("__builtins"):

@@ -28,6 +28,16 @@ class UnhoistedCall(FlowError):
     pass
 
 
+def _declares_state_attr(entity: str, attr: str) -> bool:
+    """Does the entity class declare a state attribute named ``attr``?
+    Lazy registry lookup (registry imports nothing from this module's
+    consumers); unknown entity types answer False."""
+    from stateflow_spark.entity.registry import _REGISTRY
+
+    et = _REGISTRY.get(entity)
+    return et is not None and attr in et.desc.state_hints
+
+
 class EntityProxy:
     """Read-only view of another entity's fetched state."""
 
@@ -45,10 +55,16 @@ class EntityProxy:
                 "flow compiler should have hoisted it"
             )
         st = self._cache.get((self._ref.entity, self._ref.key))
-        if attr in ("entity", "key") and (st is None or attr not in st):
+        if (
+            attr in ("entity", "key")
+            and (st is None or attr not in st)
+            and not _declares_state_attr(self._ref.entity, attr)
+        ):
             # ref IDENTITY, not state (EntityRef's own fields) — serve it
-            # without a fetch, unless the class genuinely declares a state
-            # attribute with that name (then fetched state wins)
+            # without a fetch. Guarded: a class that genuinely declares a
+            # state attribute named `entity`/`key` keeps the LOUD
+            # StateNotFetched path (round-8 review #5 — silently serving
+            # the ref field would substitute wrong data)
             return getattr(self._ref, attr)
         if st is None:
             raise StateNotFetched(self._ref, attr)
@@ -160,6 +176,40 @@ class RefListView:
     def pop(self, i=-1):
         return self._wrap(self._backing.pop(i))
 
+    # the rest of the list surface a flow fragment may reasonably use on
+    # own state (round-8 review #3 — the view must not narrow the API the
+    # raw backing list offered)
+    def sort(self, *, key=None, reverse=False):
+        self._backing.sort(key=key, reverse=reverse)
+
+    def reverse(self):
+        self._backing.reverse()
+
+    def clear(self):
+        self._backing.clear()
+
+    def index(self, v, *args):
+        return self._backing.index(unwrap(v), *args)
+
+    def count(self, v):
+        return self._backing.count(unwrap(v))
+
+    def __iadd__(self, vs):
+        self.extend(vs)
+        return self
+
+    def __add__(self, other):
+        return list(self._backing) + [unwrap(v) for v in other]
+
+    def __radd__(self, other):
+        return [unwrap(v) for v in other] + list(self._backing)
+
+    def __bool__(self):
+        return bool(self._backing)
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
     def __repr__(self):
         return f"view:{self._backing!r}"
 
@@ -195,7 +245,13 @@ class SelfProxy:
         if self._cache is not None:
             if isinstance(v, EntityRef):
                 return EntityProxy(v, self._cache, self._methods_of(v.entity))
-            if isinstance(v, list):
+            if isinstance(v, list) and any(
+                isinstance(x, EntityRef) for x in v
+            ):
+                # only ref-CARRYING lists need the view (element reads
+                # must proxy); ref-free lists return the raw backing —
+                # the full list API, write-through, exactly the
+                # pre-round-8 behavior (review #3)
                 return RefListView(v, self._cache, self._methods_of)
         return v
 

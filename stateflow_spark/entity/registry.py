@@ -36,7 +36,20 @@ def entity(cls: type) -> type:
         raise TypeError(f"{cls.__name__} needs a __key__() method")
     _REGISTRY[cls.__name__] = EntityType(cls=cls, desc=desc)
     _linked = False
+    _clear_interpreter_caches()
     return cls
+
+
+def _clear_interpreter_caches() -> None:
+    """A (re)registration may bind an entity name to a class from a
+    different module — drop the interpreter's per-entity module-globals
+    cache so flow fragments never exec with a stale module's helpers
+    (round-8 review #4). Lazy import: interpreter imports this module."""
+    import sys
+
+    interp = sys.modules.get("stateflow_spark.entity.interpreter")
+    if interp is not None:
+        interp._module_globals.cache_clear()
 
 
 def get_registry() -> dict[str, EntityType]:
@@ -68,3 +81,4 @@ def clear_registry() -> None:
     global _linked
     _REGISTRY.clear()
     _linked = False
+    _clear_interpreter_caches()

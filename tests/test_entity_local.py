@@ -670,9 +670,6 @@ def test_call_args_see_schema_evolved_attr():
     """Round-8 review: Call target/arg evaluation must apply the state
     upgrade too — a flow calling other.add(self.fee) where `fee` is a
     newly-declared attribute must see the declared default on old state."""
-    from stateflow_spark.entity.registry import entity as ent
-    from stateflow_spark.entity.registry import get_entity_type as gette
-
     rt = LocalRuntime()
     b = rt.create(B, "ledger-b3")
     led = rt.create(Ledger, "led3", b)
@@ -691,3 +688,115 @@ def test_call_args_see_schema_evolved_attr():
     assert rt.get_attr(b, "balance") == 2
     # and the Exec path: count default-fills to 0 then increments
     assert rt.invoke(led, "log_spend", 3) == 1
+
+
+def test_self_proxy_list_wrapping_rules():
+    """Round-8 review #3: ref-free list state returns the RAW backing list
+    (full API, write-through); ref-carrying lists return a RefListView
+    whose mutations unwrap and reach the backing; element reads proxy."""
+    from stateflow_spark.entity.model import EntityRef
+    from stateflow_spark.entity.proxy import (
+        EntityProxy, RefListView, SelfProxy,
+    )
+
+    def methods_of(e):
+        return set()
+
+    cache = {("B", "k1"): {"balance": 3}}
+    ref = EntityRef("B", "k1")
+    state = {"plain": [3, 1, 2], "refs": [ref, 5]}
+    sp = SelfProxy(state, set(), cache, methods_of)
+
+    raw = sp.plain
+    assert raw is state["plain"]  # raw backing: full list API
+    raw.sort()
+    raw += [9]
+    assert state["plain"] == [1, 2, 3, 9]
+
+    view = sp.refs
+    assert isinstance(view, RefListView)
+    assert isinstance(view[0], EntityProxy)
+    assert view[0].balance == 3  # element read serves fetched state
+    view.append(EntityProxy(ref, cache, set()))  # proxies unwrap on write
+    assert state["refs"][-1] == ref and isinstance(state["refs"][-1], EntityRef)
+    view.sort(key=lambda v: 0)
+    assert view.count(5) == 1 and view.index(5) == 1
+    view += [7]
+    assert state["refs"][-1] == 7
+
+
+def test_alias_chain_and_annassign_flow_compile():
+    """Round-8 review #2: annotated and chained aliases of a stored ref
+    must flow-compile like the direct form."""
+    rt = LocalRuntime()
+    b = rt.create(B, "chain-b1")
+    w = rt.create(WalletChain, "wc1", b)
+    rt.invoke(b, "set_balance", 10)
+    assert rt.invoke(w, "pay_ann", 4) == 4
+    assert rt.invoke(w, "pay_chain", 5) == 5
+    assert rt.get_attr(b, "balance") == 1
+
+
+@entity
+class WalletChain:
+    def __init__(self, name: str, backing: "B"):
+        self.name: str = name
+        self.backing: B = backing
+
+    def pay_ann(self, x: int) -> int:
+        a: B = self.backing  # annotated alias
+        a.add_balance(-x)
+        return x
+
+    def pay_chain(self, x: int) -> int:
+        a = self.backing
+        c = a  # chained alias
+        c.add_balance(-x)
+        return x
+
+    def __key__(self):
+        return self.name
+
+
+def test_flow_ns_shadow_of_identical_global_writes_back():
+    """Round-8 review #1: reassigning a flow local that shadows a module
+    global to a value identity-equal to the global must still overwrite
+    the stale flow.ns entry."""
+    rt = LocalRuntime()
+    b = rt.create(B, "shadow-b1")
+    s = rt.create(ShadowTax, "st1", b)
+    assert rt.invoke(s, "tax_roundtrip") == 0
+
+
+_TAX = 0  # module global a flow local shadows
+
+
+@entity
+class ShadowTax:
+    def __init__(self, name: str, backing: "B"):
+        self.name: str = name
+        self.backing: B = backing
+
+    def tax_roundtrip(self) -> int:
+        _TAX = 7  # noqa: F841 — shadows the module global
+        self.backing.add_balance(1)  # split point
+        _TAX = 0  # identity-equal to the global: must still write back
+        self.backing.add_balance(1)  # split point
+        return _TAX
+
+    def __key__(self):
+        return self.name
+
+
+def test_module_globals_cache_cleared_on_reregistration():
+    """Round-8 review #4: re-registering an entity name must drop the
+    cached module globals (flow fragments would exec with the previous
+    module's helpers)."""
+    from stateflow_spark.entity.interpreter import _module_globals
+    from stateflow_spark.entity.registry import entity as ent
+
+    _module_globals("Ledger")  # prime the cache
+    before = _module_globals.cache_info().currsize
+    assert before >= 1
+    ent(Ledger)  # re-register (same class: the trigger, not the module)
+    assert _module_globals.cache_info().currsize == 0
