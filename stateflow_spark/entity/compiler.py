@@ -121,6 +121,13 @@ class Program:
     # not expression, so runtime aliasing (two exprs naming the same key)
     # can never prune an attribute some other alias reads.
     attr_needs: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    # every Name appearing anywhere in the method (loads AND stores —
+    # over-approximation is harmless): the interpreter copies ONLY these
+    # names out of the module globals into each fragment's exec
+    # namespace, instead of the whole module dict (round-8 review #6:
+    # the full copy cost ~18% on the YCSB T mix). Compiler temps and
+    # hoisted-call results are fragment-born, never module globals.
+    names: frozenset = frozenset()
 
     def pretty(self) -> str:
         out = [f"flow {self.entity}.{self.method}({', '.join(self.params)}):"]
@@ -619,6 +626,11 @@ class _FlowCompiler:
                 t: tuple(sorted(attrs))
                 for t, attrs in sorted(self.types.attr_reads.items())
             },
+            names=frozenset(
+                n.id
+                for n in ast.walk(self.method.node)
+                if isinstance(n, ast.Name)
+            ),
         )
 
 

@@ -177,8 +177,16 @@ class Interpreter:
     def _exec_ns(self, flow: FlowState, self_state: dict) -> dict:
         # module globals first (helpers/imports available to fragments),
         # flow variables overlay (shadowing a global with a local works
-        # like plain Python)
-        ns: dict[str, Any] = dict(_module_globals(flow.entity))
+        # like plain Python). Only the names the METHOD references are
+        # copied (Program.names) — copying the whole module dict per
+        # fragment cost ~18% on the YCSB T mix (round-8 review #6)
+        gbase = _module_globals(flow.entity)
+        prog = get_entity_type(flow.entity).flows.get(flow.method)
+        refs = prog.names if prog is not None else None
+        if refs is None:
+            ns: dict[str, Any] = dict(gbase)
+        else:
+            ns = {k: gbase[k] for k in refs if k in gbase}
         for k, v in flow.ns.items():
             ns[k] = wrap(v, flow.cache, _methods_of)
         ns["self"] = SelfProxy(
