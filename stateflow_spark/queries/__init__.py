@@ -36,15 +36,17 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 3 round-8 multimodal
-#       additions (phash, phash near-dup, cross-modal retrieval);
+#   (a) every query with NO driver stamp ever — the 4 round-8 multimodal
+#       additions (phash, phash near-dup, cross-modal retrieval, audio
+#       VAD segmentation);
 #   (b) every query whose plan/results changed this round
 #       (CHANGED_THIS_ROUND below) = 9;
-#   (c) the remaining 38 slots fill with the STALEST stamps — all 9 r03
-#       rows (window/setops/aggregates) and 29 of the 31 remaining r04
-#       rows (text_token_stats + text_rolling_fingerprint, same r04
-#       tier, rotate next round — tier-splitting is allowed: nothing
-#       OUTSIDE the prefix is strictly staler than any fill row).
+#   (c) the remaining 37 slots fill with the STALEST stamps — all 9 r03
+#       rows (window/setops/aggregates) and 28 of the 31 remaining r04
+#       rows (text_token_stats + text_rolling_fingerprint +
+#       text_quality_score, same r04 tier, rotate next round —
+#       tier-splitting is allowed: nothing OUTSIDE the prefix is
+#       strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
@@ -80,6 +82,7 @@ _R08_PREFIX = [
     "multimodal_phash",
     "multimodal_phash_neardup",
     "multimodal_crossmodal_retrieval",
+    "multimodal_audio_vad_segments",
     # (b) changed this round
     *CHANGED_THIS_ROUND,
     # (c) stalest-stamp fill: all 9 r03 rows...
@@ -92,7 +95,7 @@ _R08_PREFIX = [
     "setops_union_all_counts",
     "window_distribution_functions",
     "window_range_frame",
-    # ...then 29 of the 31 remaining r04 rows
+    # ...then 28 of the 31 remaining r04 rows
     "dedup_simhash",
     "entity_find_class",
     "entity_flow_golden",
@@ -121,7 +124,6 @@ _R08_PREFIX = [
     "text_fingerprint",
     "text_lang_id",
     "text_length_histogram",
-    "text_quality_score",
 ]
 assert len(_R08_PREFIX) == 50, len(_R08_PREFIX)
 assert len(set(_R08_PREFIX)) == 50

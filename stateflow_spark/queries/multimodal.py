@@ -421,3 +421,115 @@ def multimodal_crossmodal_retrieval(
         .filter(F.col("rnk") <= 3)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio-style energy / voice-activity segmentation (round 8)
+# --------------------------------------------------------------------------
+
+_VAD_FRAME = 16  # stub "samples" per frame (bytes of the payload)
+_VAD_THRESHOLD = 1450  # frame-energy gate (byte-sum; probed on the corpus:
+# frame sums span 97..1697 with median ~1503, so 1450 splits real docs
+# into 1-9 voiced segments instead of one-segment-per-doc)
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+    WITH fr AS (
+        SELECT doc_id, f,
+               list_reduce(list_transform(range(1, {_VAD_FRAME + 1}), j ->
+                   CASE WHEN f*{_VAD_FRAME} + j <= length(text)
+                        THEN ascii(substr(text, CAST(f*{_VAD_FRAME} + j AS INTEGER), 1))
+                        ELSE 0 END),
+                   (a, b) -> a + b) AS energy
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, CAST(ceil(length(text) / {_VAD_FRAME}.0)
+                                          AS BIGINT))) AS f
+              FROM documents)
+    ),
+    seg AS (
+        SELECT doc_id, f, energy,
+               f - ROW_NUMBER() OVER (PARTITION BY doc_id,
+                                      energy >= {_VAD_THRESHOLD}
+                                      ORDER BY f) AS grp,
+               energy >= {_VAD_THRESHOLD} AS v
+        FROM fr
+    )
+    SELECT doc_id, MIN(f) AS start_frame, MAX(f) AS end_frame,
+           COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM seg WHERE v GROUP BY doc_id, grp
+    """,
+    tags=("multimodal", "audio", "vad"),
+)
+def multimodal_audio_vad_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio-style voice-activity segmentation over binary payloads: frame
+    the byte stream (16 stub 'samples' per frame), compute per-frame
+    energy (byte sum — a real pipeline decodes PCM and sums squared
+    amplitudes; same plan, different kernel inside the lambda), and emit
+    the maximal runs of frames above the energy gate as voiced segments
+    (start/end frame, frame count, total energy) — the VAD front-end an
+    audio curation pipeline runs before transcription.
+
+    Plan shape: ZERO shuffles. Per-doc frame energies build in-array (one
+    transform), and the gaps-and-islands collapse is ONE aggregate()
+    run-length fold over the energy array (the text_repetition_filter
+    scan pattern) — no window function, no per-frame row explosion
+    before the final per-segment explode. The energy array is pinned
+    behind the keyed-aggregate barrier (the _shingles_df trick): the
+    downstream explode would otherwise push a size() filter that inlines
+    the whole frame transform into every fold step — O(frames²) per doc.
+    The oracle replays the identical segmentation declaratively
+    (ROW_NUMBER islands over exploded frames); frame energies are exact
+    integer byte sums on both engines."""
+    n_part = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    es_expr = f"""
+        transform(sequence(0, CAST(ceil(length(text) / {_VAD_FRAME}.0) AS INT) - 1),
+            f -> aggregate(sequence(1, {_VAD_FRAME}), 0L,
+                 (acc, j) -> acc + IF(f*{_VAD_FRAME} + j <= length(text),
+                                      ascii(substring(text, f*{_VAD_FRAME} + j, 1)),
+                                      0)))
+    """
+    es = (
+        d.select("doc_id", F.expr(es_expr).alias("es"))
+        .groupBy("doc_id")
+        .agg(F.first("es").alias("es"))
+    )
+    seg_t = (
+        "ARRAY<STRUCT<s: INT, e: INT, n: INT, te: BIGINT>>"
+    )
+    fold = f"""
+        aggregate(
+            sequence(0, size(es) - 1),
+            named_struct('segs', CAST(array() AS {seg_t}),
+                         'cs', -1, 'cn', 0, 'cte', 0L),
+            (a, f) -> IF(element_at(es, f + 1) >= {_VAD_THRESHOLD}L,
+                named_struct('segs', a.segs,
+                             'cs', IF(a.cn = 0, f, a.cs),
+                             'cn', a.cn + 1,
+                             'cte', a.cte + element_at(es, f + 1)),
+                named_struct('segs', IF(a.cn > 0,
+                        array_append(a.segs, named_struct(
+                            's', a.cs, 'e', a.cs + a.cn - 1,
+                            'n', a.cn, 'te', a.cte)),
+                        a.segs),
+                    'cs', -1, 'cn', 0, 'cte', 0L)),
+            a -> IF(a.cn > 0,
+                    array_append(a.segs, named_struct(
+                        's', a.cs, 'e', a.cs + a.cn - 1,
+                        'n', a.cn, 'te', a.cte)),
+                    a.segs))
+    """
+    return (
+        es.select("doc_id", F.explode(F.expr(fold)).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.s").cast("bigint").alias("start_frame"),
+            F.col("g.e").cast("bigint").alias("end_frame"),
+            F.col("g.n").cast("bigint").alias("n_frames"),
+            F.col("g.te").alias("seg_energy"),
+        )
+    )

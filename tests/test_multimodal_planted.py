@@ -142,3 +142,32 @@ def test_crossmodal_planted_match_ranks_first(spark, tmp_path_factory):
     top = {r.qid: r for r in out if r.rnk == 1}
     assert top[1].neighbor_id == 100
     assert abs(top[1].cosine - 1.0) < 1e-9
+
+
+def test_audio_vad_planted_segments(spark, tmp_path_factory):
+    """Plant a payload with KNOWN loud/silent regions: 32 loud bytes
+    ('z' = 122 → frame energy 1952), 32 silent bytes (' ' = 32 → 512),
+    32 loud — VAD must emit exactly two voiced segments (frames 0-1 and
+    4-5) with exact energies, and an all-silent payload must emit none."""
+    d = tmp_path_factory.mktemp("vad_planted")
+    rows = [
+        (1, "z" * 32 + " " * 32 + "z" * 32),
+        (2, " " * 48),  # all silence → no segments
+        (3, "z" * 16),  # single loud frame
+    ]
+    _write_documents(spark, d, rows)
+    out = (
+        REGISTRY["multimodal_audio_vad_segments"]
+        .fn(spark, str(d))
+        .collect()
+    )
+    segs = {
+        (r.doc_id, r.start_frame, r.end_frame): (r.n_frames, r.seg_energy)
+        for r in out
+    }
+    loud = 122 * 16  # 1952 per frame
+    assert segs == {
+        (1, 0, 1): (2, 2 * loud),
+        (1, 4, 5): (2, 2 * loud),
+        (3, 0, 0): (1, loud),
+    }
