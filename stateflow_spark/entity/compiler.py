@@ -127,7 +127,11 @@ class Program:
     # namespace, instead of the whole module dict (round-8 review #6:
     # the full copy cost ~18% on the YCSB T mix). Compiler temps and
     # hoisted-call results are fragment-born, never module globals.
-    names: frozenset = frozenset()
+    # Default None (NOT empty) so a Program lacking the field — e.g.
+    # unpickled from an older build in a mixed-version deploy — falls
+    # back to the full module-dict copy instead of an EMPTY namespace
+    # (the attr_needs None-able convention).
+    names: Optional[frozenset] = None
 
     def pretty(self) -> str:
         out = [f"flow {self.entity}.{self.method}({', '.join(self.params)}):"]

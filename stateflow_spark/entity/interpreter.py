@@ -182,7 +182,7 @@ class Interpreter:
         # fragment cost ~18% on the YCSB T mix (round-8 review #6)
         gbase = _module_globals(flow.entity)
         prog = get_entity_type(flow.entity).flows.get(flow.method)
-        refs = prog.names if prog is not None else None
+        refs = getattr(prog, "names", None) if prog is not None else None
         if refs is None:
             ns: dict[str, Any] = dict(gbase)
         else:
@@ -476,11 +476,23 @@ class Interpreter:
                 return StepOutcome(hop_to=hop, flow=flow)
             ns = self._exec_ns(flow, self_state)
             target = unwrap(eval(_code(instr.target_src, "eval"), ns))  # noqa: S307
-            if not isinstance(target, EntityRef):
-                raise FlowError(
-                    f"call target {instr.target_src!r} is not an entity ref"
-                )
             args = tuple(unwrap(eval(_code(a, "eval"), ns)) for a in instr.arg_srcs)  # noqa: S307
+            if not isinstance(target, EntityRef):
+                # the compiler's entity-typedness tracking is flow-
+                # insensitive and over-approximates: a name typed as an
+                # entity may hold a plain value at runtime (x = item;
+                # x = 5; x.bit_length()). Hoisting preserved evaluation
+                # order, so executing the call EAGERLY here is exactly
+                # the un-hoisted semantics — degrade to a plain Python
+                # call instead of failing (round-8 review; previously a
+                # loud FlowError, which turned working wrapper-path
+                # methods into crashes once stored-ref gating widened
+                # what flow-compiles)
+                result = getattr(target, instr.method)(*args)
+                if instr.result_var is not None:
+                    flow.ns[instr.result_var] = result
+                flow.ip += 1
+                return None
             flow.pending = PendingCall(target, instr.method, args, instr.result_var)
 
         # phase 2: execute at the callee's partition

@@ -180,7 +180,14 @@ class RefListView:
     # own state (round-8 review #3 — the view must not narrow the API the
     # raw backing list offered)
     def sort(self, *, key=None, reverse=False):
-        self._backing.sort(key=key, reverse=reverse)
+        if key is None:
+            self._backing.sort(reverse=reverse)
+        else:
+            # the user's key function sees WRAPPED elements, exactly like
+            # iteration/indexing do (a raw EntityRef has no state attrs)
+            self._backing.sort(
+                key=lambda v: key(self._wrap(v)), reverse=reverse
+            )
 
     def reverse(self):
         self._backing.reverse()
@@ -199,10 +206,12 @@ class RefListView:
         return self
 
     def __add__(self, other):
-        return list(self._backing) + [unwrap(v) for v in other]
+        # concatenation reads: elements wrap like indexing (review #3's
+        # symmetry rule); assigning the result back to self-state unwraps
+        return [self._wrap(v) for v in self._backing] + list(other)
 
     def __radd__(self, other):
-        return [unwrap(v) for v in other] + list(self._backing)
+        return list(other) + [self._wrap(v) for v in self._backing]
 
     def __bool__(self):
         return bool(self._backing)
@@ -245,13 +254,15 @@ class SelfProxy:
         if self._cache is not None:
             if isinstance(v, EntityRef):
                 return EntityProxy(v, self._cache, self._methods_of(v.entity))
-            if isinstance(v, list) and any(
-                isinstance(x, EntityRef) for x in v
-            ):
-                # only ref-CARRYING lists need the view (element reads
-                # must proxy); ref-free lists return the raw backing —
-                # the full list API, write-through, exactly the
-                # pre-round-8 behavior (review #3)
+            if isinstance(v, list):
+                # EVERY list wraps (O(1) — no content scan): the view is
+                # what guarantees appends/inserts UNWRAP on the way in,
+                # so a currently-ref-free list can never end up holding a
+                # live EntityProxy after `self.seen.append(other)` inside
+                # a flow (round-8 review-3 finding #1 — the raw backing
+                # persisted the proxy verbatim). Mutations write through;
+                # element reads wrap refs; ref-free lists behave like
+                # plain lists through the full view API.
                 return RefListView(v, self._cache, self._methods_of)
         return v
 

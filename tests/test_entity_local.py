@@ -691,9 +691,11 @@ def test_call_args_see_schema_evolved_attr():
 
 
 def test_self_proxy_list_wrapping_rules():
-    """Round-8 review #3: ref-free list state returns the RAW backing list
-    (full API, write-through); ref-carrying lists return a RefListView
-    whose mutations unwrap and reach the backing; element reads proxy."""
+    """Round-8 reviews #3 + r3#1: EVERY self-state list returns a
+    write-through RefListView — mutations unwrap and reach the backing
+    (so a flow can never persist a live EntityProxy into state), element
+    reads wrap refs, and the view carries the full list API including
+    proxy-aware sort keys and concatenation."""
     from stateflow_spark.entity.model import EntityRef
     from stateflow_spark.entity.proxy import (
         EntityProxy, RefListView, SelfProxy,
@@ -707,11 +709,11 @@ def test_self_proxy_list_wrapping_rules():
     state = {"plain": [3, 1, 2], "refs": [ref, 5]}
     sp = SelfProxy(state, set(), cache, methods_of)
 
-    raw = sp.plain
-    assert raw is state["plain"]  # raw backing: full list API
-    raw.sort()
-    raw += [9]
-    assert state["plain"] == [1, 2, 3, 9]
+    plain = sp.plain
+    assert isinstance(plain, RefListView)  # EVERY list wraps (round-8 r3)
+    plain.sort()
+    plain += [9]
+    assert state["plain"] == [1, 2, 3, 9]  # mutations write through
 
     view = sp.refs
     assert isinstance(view, RefListView)
@@ -719,10 +721,16 @@ def test_self_proxy_list_wrapping_rules():
     assert view[0].balance == 3  # element read serves fetched state
     view.append(EntityProxy(ref, cache, set()))  # proxies unwrap on write
     assert state["refs"][-1] == ref and isinstance(state["refs"][-1], EntityRef)
-    view.sort(key=lambda v: 0)
-    assert view.count(5) == 1 and view.index(5) == 1
+    # sort keys see WRAPPED elements (same as indexing/iteration)
+    view.sort(key=lambda p: p.balance if isinstance(p, EntityProxy) else 99)
+    assert state["refs"][0] == ref  # the proxy sorted by fetched balance
+    assert view.count(5) == 1
     view += [7]
     assert state["refs"][-1] == 7
+    cat = view + [11]
+    assert isinstance(cat[0], EntityProxy) and cat[-1] == 11
+    # appending a proxy through the view NEVER persists a live proxy
+    assert all(not isinstance(x, EntityProxy) for x in state["refs"])
 
 
 def test_alias_chain_and_annassign_flow_compile():
@@ -800,3 +808,59 @@ def test_module_globals_cache_cleared_on_reregistration():
     assert before >= 1
     ent(Ledger)  # re-register (same class: the trigger, not the module)
     assert _module_globals.cache_info().currsize == 0
+
+
+def test_hoisted_call_on_plain_value_degrades_to_python_call():
+    """Round-8 review r3#2: the compiler's flow-insensitive typing may
+    hoist a call whose target holds a PLAIN value at runtime (x = ref;
+    x = 5; x.m()) — the interpreter must execute it as an ordinary
+    Python call (hoisting preserved evaluation order), not fail."""
+    rt = LocalRuntime()
+    b = rt.create(B, "plain-b1")
+    w = rt.create(PlainCall, "pc1", b)
+    assert rt.invoke(w, "reassigned_alias") == 3
+
+
+@entity
+class PlainCall:
+    def __init__(self, name: str, backing: "B"):
+        self.name: str = name
+        self.backing: B = backing
+
+    def reassigned_alias(self) -> int:
+        c = self.backing
+        c = 5  # alias reassigned to a plain value
+        return c.bit_length()
+
+    def __key__(self):
+        return self.name
+
+
+def test_flow_append_never_persists_proxy():
+    """Round-8 review r3#1 end-to-end: appending an entity-typed PARAM to
+    an initially ref-free own-state list inside a flow must persist the
+    plain EntityRef, never a live proxy."""
+    from stateflow_spark.entity.model import EntityRef
+
+    rt = LocalRuntime()
+    b = rt.create(B, "seen-b1")
+    s = rt.create(SeenLog, "sl1")
+    rt.invoke(s, "observe", b)
+    seen = rt.get_attr(s, "seen")
+    assert seen == [EntityRef("B", "seen-b1")]
+    assert all(type(x) is EntityRef for x in seen)
+
+
+@entity
+class SeenLog:
+    def __init__(self, name: str):
+        self.name: str = name
+        self.seen: list = []
+
+    def observe(self, other: B) -> int:
+        self.seen.append(other)
+        other.add_balance(1)  # external call → flow-compiled
+        return len(self.seen)
+
+    def __key__(self):
+        return self.name
