@@ -475,7 +475,8 @@ class Interpreter:
             if hop is not None:
                 return StepOutcome(hop_to=hop, flow=flow)
             ns = self._exec_ns(flow, self_state)
-            target = unwrap(eval(_code(instr.target_src, "eval"), ns))  # noqa: S307
+            raw_target = eval(_code(instr.target_src, "eval"), ns)  # noqa: S307
+            target = unwrap(raw_target)
             args = tuple(unwrap(eval(_code(a, "eval"), ns)) for a in instr.arg_srcs)  # noqa: S307
             if not isinstance(target, EntityRef):
                 # the compiler's entity-typedness tracking is flow-
@@ -487,10 +488,20 @@ class Interpreter:
                 # call instead of failing (round-8 review; previously a
                 # loud FlowError, which turned working wrapper-path
                 # methods into crashes once stored-ref gating widened
-                # what flow-compiles)
-                result = getattr(target, instr.method)(*args)
+                # what flow-compiles). Call on the LIVE namespace value,
+                # not the unwrapped copy — unwrap rebuilds containers, so
+                # a mutating call (x.append(v)) on the copy was silently
+                # discarded (round-9 ADVICE medium #2) — then write back
+                # and persist exactly like an Exec fragment does.
+                result = getattr(raw_target, instr.method)(*args)
+                self._writeback(flow, ns)
+                if needs_self:
+                    self.store.put(flow.self_ref, self_state)
+                    flow.written.add(
+                        (flow.self_ref.entity, flow.self_ref.key)
+                    )
                 if instr.result_var is not None:
-                    flow.ns[instr.result_var] = result
+                    flow.ns[instr.result_var] = unwrap(result)
                 flow.ip += 1
                 return None
             flow.pending = PendingCall(target, instr.method, args, instr.result_var)

@@ -201,6 +201,23 @@ class RefListView:
     def count(self, v):
         return self._backing.count(unwrap(v))
 
+    # remaining list surface the raw backing list offered pre-round-8
+    # (round-9 ADVICE low #3 — the view must not narrow the API): reads
+    # wrap elements like indexing/iteration do; results are plain lists
+    # (assigning one back to self-state unwraps, same as __add__)
+    def copy(self):
+        return [self._wrap(v) for v in self._backing]
+
+    def __reversed__(self):
+        for v in reversed(self._backing):
+            yield self._wrap(v)
+
+    def __mul__(self, n):
+        return [self._wrap(v) for v in self._backing] * n
+
+    def __rmul__(self, n):
+        return self.__mul__(n)
+
     def __iadd__(self, vs):
         self.extend(vs)
         return self

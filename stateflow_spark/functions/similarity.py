@@ -59,7 +59,9 @@ def sqdist_dec(a: Column | str, b: Column | str) -> Column:
 _FXP_SCALE = 1099511627776.0  # 2^40 — exact double scaling (exponent shift)
 
 
-def sqdist_fxp(a: Column | str, b: Column | str) -> Column:
+def sqdist_fxp(
+    a: Column | str, b: Column | str, guard: bool = False
+) -> Column:
     """Fixed-point EXACT squared euclidean distance for argmin RANKING:
     each term trunc((x−y)²·2^40) as int64, summed exactly -> bigint.
 
@@ -72,16 +74,38 @@ def sqdist_fxp(a: Column | str, b: Column | str) -> Column:
     cost as a plain double fold). Quantization is 2^-40 per term, which
     only reorders candidates whose true distances agree to ~1e-12 —
     and identically on both engines, so oracles replay ties exactly
-    (the sim_centroid_distance fixed-point convention). Overflow-safe
-    for |x−y| ≤ 2000 at dim ≤ 2000 (terms ≤ 4.4e18/dim); embeddings are
-    O(1)-magnitude."""
-    return F.aggregate(
+    (the sim_centroid_distance fixed-point convention).
+
+    Overflow bound (round-9 ADVICE low #5 — the old "per-term ≤ int64"
+    claim ignored the SUM): the dim-term int64 sum stays in range iff
+    (x−y)² ≤ 2^23/dim per term, i.e. |x−y| ≤ 2896/√dim (≤ 362 at dim 64,
+    ≤ 91 at dim 1024). Out of range, Spark's non-ANSI bigint sum wraps
+    silently while DuckDB's SUM(BIGINT) promotes to HUGEINT — a silent
+    cross-engine argmin mismatch, not an error. Embeddings are
+    O(1)-magnitude so every current corpus is far inside the bound;
+    pass guard=True (debug) to raise on any out-of-range term instead."""
+    out = F.aggregate(
         F.zip_with(
             a, b, lambda x, y: ((x - y) * (x - y) * _FXP_SCALE).cast("bigint")
         ),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+    if guard:
+        limit = F.lit(float(1 << 23)) / F.size(a).cast("double")
+        bad = F.exists(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y) > limit),
+            lambda v: v,
+        )
+        out = F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    "sqdist_fxp overflow: a term exceeds (x-y)^2 <= 2^23/dim"
+                )
+            ).cast("bigint"),
+        ).otherwise(out)
+    return out
 
 
 def cosine_dec(a: Column | str, b: Column | str) -> Column:
@@ -180,6 +204,7 @@ def banded_hamming_pairs(
     n_bands: int,
     band_bits: int,
     max_hamming: int,
+    sig_bits: int = 60,
 ) -> DataFrame:
     """All (id_a, id_b, hamming) pairs whose bit signatures are within
     ``max_hamming``, via band blocking — the shared machinery behind
@@ -204,6 +229,15 @@ def banded_hamming_pairs(
     upstream-exact-dedup concern, same posture as dedup_simhash_pairs."""
     assert n_bands > max_hamming, (
         f"pigeonhole needs n_bands > max_hamming ({n_bands} <= {max_hamming})"
+    )
+    # the pigeonhole recall-1 guarantee ALSO needs the bands to cover
+    # every signature bit — a 64-bit signature banded 4×15 leaves 4 bits
+    # no band sees, and two signatures differing only there would never
+    # share a bucket (round-9 ADVICE low #4: silent recall loss for a
+    # future caller; both current callers use 60-bit signatures)
+    assert n_bands * band_bits >= sig_bits, (
+        f"bands must cover the signature: {n_bands}×{band_bits} "
+        f"= {n_bands * band_bits} < {sig_bits} bits"
     )
     bands = sig.select(
         F.col(id_col).alias("id"),

@@ -455,7 +455,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine behind multimodal_phash_neardup."""
     sh = _simhash_df(spark, sf_dir)
     pairs = banded_hamming_pairs(
-        sh, "doc_id", "simhash", n_bands=5, band_bits=12, max_hamming=4
+        sh, "doc_id", "simhash", n_bands=5, band_bits=12, max_hamming=4,
+        sig_bits=60,
     )
     return pairs.select(
         F.col("id_a").alias("doc_a"),

@@ -276,6 +276,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_PHASH_BANDS,
         band_bits=_PHASH_BAND_BITS,
         max_hamming=_PHASH_MAX_HAMMING,
+        sig_bits=60,
     )
     cross = (
         sig_pairs.join(

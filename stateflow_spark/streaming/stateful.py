@@ -165,10 +165,7 @@ def _make_stateful_fn(
 
         from stateflow_spark.entity import registry as reg_mod
 
-        reg = pickle.loads(registry_blob)
-        reg_mod._REGISTRY.clear()
-        reg_mod._REGISTRY.update(reg)
-        reg_mod._linked = True
+        reg_mod.install_worker_registry(registry_blob)
 
         entity_name, k = key
 

@@ -76,10 +76,7 @@ def _make_step_fn(registry_blob: bytes, serde=None):
         from stateflow_spark.serde import PickleSerde
 
         sd = serde or PickleSerde()
-        reg = pickle.loads(registry_blob)
-        reg_mod._REGISTRY.clear()
-        reg_mod._REGISTRY.update(reg)
-        reg_mod._linked = True
+        reg_mod.install_worker_registry(registry_blob)
 
         entity_name, key = keys
         state = (

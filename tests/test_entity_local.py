@@ -864,3 +864,91 @@ class SeenLog:
 
     def __key__(self):
         return self.name
+
+
+def test_eager_call_mutation_writes_back():
+    """Round-9 ADVICE medium #2: the eager fallback for a hoisted call
+    whose target holds a plain CONTAINER at runtime must mutate the real
+    flow variable — unwrap copies lists, so calling on the copy silently
+    discarded `c.append(3)`."""
+    rt = LocalRuntime()
+    b = rt.create(B, "mut-b1")
+    w = rt.create(MutCall, "mc1", b)
+    assert rt.invoke(w, "mutating_alias") == [1, 2, 3]
+
+
+@entity
+class MutCall:
+    def __init__(self, name: str, backing: "B"):
+        self.name: str = name
+        self.backing: B = backing
+
+    def mutating_alias(self) -> list:
+        c = self.backing
+        c = [1, 2]  # plain container at runtime; compiler typed it entity
+        c.append(3)  # hoisted Call → eager fallback; mutation must land
+        return c
+
+    def __key__(self):
+        return self.name
+
+
+def test_ref_list_view_surface_copy_reversed_mul():
+    """Round-9 ADVICE low #3: RefListView must not narrow the list API the
+    raw backing list offered — copy()/reversed()/× were missing."""
+    from stateflow_spark.entity.proxy import RefListView
+
+    backing = [1, 2, 3]
+    v = RefListView(backing, {}, lambda e: set())
+    assert v.copy() == [1, 2, 3]
+    assert v.copy() is not backing  # a copy, not the state alias
+    assert list(reversed(v)) == [3, 2, 1]
+    assert v * 2 == [1, 2, 3, 1, 2, 3]
+    assert 2 * v == [1, 2, 3, 1, 2, 3]
+    v[0:3:2] = [10, 30]  # slice-step assignment writes through
+    assert backing == [10, 2, 30]
+
+
+def test_ref_list_view_copy_in_flow():
+    """End-to-end: self.<list>.copy() inside a flow fragment (worked
+    pre-round-8 on the raw backing list; regressed to AttributeError)."""
+    rt = LocalRuntime()
+    b = rt.create(B, "copy-b1")
+    s = rt.create(CopyLog, "cl1")
+    assert rt.invoke(s, "snapshot", b) == [7]
+
+
+@entity
+class CopyLog:
+    def __init__(self, name: str):
+        self.name: str = name
+        self.items: list = [7]
+
+    def snapshot(self, other: B) -> list:
+        snap = self.items.copy()
+        other.add_balance(1)  # external call → flow-compiled
+        return snap
+
+    def __key__(self):
+        return self.name
+
+
+def test_worker_registry_install_clears_interpreter_caches():
+    """Round-9 ADVICE medium #1: the executor-side registry install must
+    clear the per-entity-name interpreter caches when a NEW blob arrives
+    (reused workers keep module state across runs), and must skip the
+    unpickle entirely when the SAME blob object arrives again."""
+    import pickle
+
+    from stateflow_spark.entity import registry as reg_mod
+    from stateflow_spark.entity.interpreter import _module_globals
+
+    blob1 = pickle.dumps(dict(reg_mod.get_registry()))
+    reg_mod.install_worker_registry(blob1)
+    _module_globals("CopyLog")  # prime the cache
+    assert _module_globals.cache_info().currsize >= 1
+    reg_mod.install_worker_registry(blob1)  # same object: cache kept
+    assert _module_globals.cache_info().currsize >= 1
+    blob2 = pickle.dumps(dict(reg_mod.get_registry()))
+    reg_mod.install_worker_registry(blob2)  # new blob: caches cleared
+    assert _module_globals.cache_info().currsize == 0

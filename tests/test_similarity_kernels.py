@@ -188,3 +188,49 @@ def test_sqdist_fxp_matches_duckdb_trunc(spark):
             [a, b],
         ).fetchone()
         assert got[i] == want, (i, got[i], want)
+
+
+def test_banded_hamming_rejects_uncovered_signature_bits(spark):
+    """Round-9 ADVICE low #4: pigeonhole recall=1 also needs the bands to
+    COVER the signature — 4×15 bands over a 64-bit signature must be
+    rejected loudly, not silently lose recall."""
+    import pytest
+
+    from stateflow_spark.functions.similarity import banded_hamming_pairs
+
+    df = spark.createDataFrame([(1, 0), (2, 15)], "id long, sig long")
+    with pytest.raises(AssertionError, match="cover the signature"):
+        banded_hamming_pairs(
+            df, "id", "sig", n_bands=4, band_bits=15, max_hamming=3,
+            sig_bits=64,
+        )
+    # covering split of the same width is accepted
+    banded_hamming_pairs(
+        df, "id", "sig", n_bands=4, band_bits=16, max_hamming=3, sig_bits=64
+    )
+
+
+def test_sqdist_fxp_guard_raises_on_overflow_range(spark):
+    """Round-9 ADVICE low #5: out-of-range inputs wrap silently in the
+    bigint sum (cross-engine argmin mismatch) — the debug guard must turn
+    that into a loud error, and stay silent inside the bound."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from stateflow_spark.functions.similarity import sqdist_fxp
+
+    # |x-y| = 3000 at dim 8: per-term (x-y)^2 = 9e6 > 2^23/8 — overflows
+    bad = spark.createDataFrame(
+        [(1, [3000.0] * 8, [0.0] * 8)], "id long, a array<double>, b array<double>"
+    )
+    with pytest.raises(SparkRuntimeException, match="sqdist_fxp overflow"):
+        bad.select(sqdist_fxp("a", "b", guard=True).alias("d")).collect()
+    # well inside the bound: guard passes and matches the unguarded value
+    ok = spark.createDataFrame(
+        [(1, [1.5] * 64, [-0.5] * 64)], "id long, a array<double>, b array<double>"
+    )
+    (r,) = ok.select(
+        sqdist_fxp("a", "b", guard=True).alias("g"),
+        sqdist_fxp("a", "b").alias("u"),
+    ).collect()
+    assert r.g == r.u
