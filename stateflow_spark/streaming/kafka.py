@@ -71,6 +71,7 @@ def topics(prefix: str) -> dict[str, str]:
         "internal": f"{prefix}-internal",
         "reply": f"{prefix}-reply",
         "cold": f"{prefix}-cold",
+        "dead": f"{prefix}-dead",
     }
 
 
@@ -104,6 +105,7 @@ def route_to_topics(out: DataFrame, prefix: str) -> DataFrame:
     topic = (
         F.when(F.col("kind") == "reply", F.lit(t["reply"]))
         .when(F.col("kind") == "hop", F.lit(t["internal"]))
+        .when(F.col("kind") == "dead", F.lit(t["dead"]))
         .otherwise(F.lit(t["cold"]))
     )
     return out.select(

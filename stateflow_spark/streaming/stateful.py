@@ -156,7 +156,10 @@ def serialize_registry() -> bytes:
 
 
 def _make_stateful_fn(
-    registry_blob: bytes, ttl_ms: Optional[int], cold_dir: Optional[str]
+    registry_blob: bytes,
+    ttl_ms: Optional[int],
+    cold_dir: Optional[str],
+    dead_letter: bool = False,
 ):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -201,10 +204,67 @@ def _make_stateful_fn(
         events: list[Event] = []
         for pdf in pdfs:
             for b, s in zip(pdf["blob"], pdf["seq"]):
-                events.append((s, Event.from_bytes(bytes(b))))
+                try:
+                    events.append((s, Event.from_bytes(bytes(b))))
+                except Exception as ex:
+                    # poison-event quarantine (round-8 VERDICT #6): an
+                    # undecodable blob must not kill the continuous query
+                    # — route it to the dead-letter sink with the error
+                    # and the original bytes; the reference has no DLQ
+                    # (a bad record kills the Beam bundle), production
+                    # needs one
+                    if not dead_letter:
+                        raise
+                    rows.append(
+                        (
+                            "dead",
+                            entity_name,
+                            k,
+                            int(s),
+                            pickle.dumps(
+                                {
+                                    "error": f"{type(ex).__name__}: {ex}",
+                                    "event_blob": bytes(b),
+                                }
+                            ),
+                        )
+                    )
         events.sort(key=lambda t: t[0])
         for _, ev in events:
-            res = operator.handle(ev, store)
+            # snapshot so a handler exception that ESCAPES handle() (handle
+            # already turns ordinary invocation failures into error
+            # replies) cannot persist a half-mutated state for this key
+            pre_state, pre_touched = store.state, store.touched
+            try:
+                res = operator.handle(ev, store)
+            except Exception as ex:
+                if not dead_letter:
+                    raise
+                store.state, store.touched = pre_state, pre_touched
+                rows.append(
+                    (
+                        "dead",
+                        ev.entity,
+                        ev.key or "",
+                        ev.seq,
+                        pickle.dumps(
+                            {
+                                "error": f"{type(ex).__name__}: {ex}",
+                                "event_blob": ev.to_bytes(),
+                            }
+                        ),
+                    )
+                )
+                # the event decoded, so it carries the originating
+                # event_id — unblock the waiting client with an error
+                # reply (the streaming analog of handle()'s error replies)
+                err = ev.reply(
+                    EventType.ERROR, error=f"{type(ex).__name__}: {ex}"
+                )
+                rows.append(
+                    ("reply", err.entity, err.key or "", err.seq, err.to_bytes())
+                )
+                continue
             for r in res.replies:
                 rows.append(("reply", r.entity, r.key or "", r.seq, r.to_bytes()))
             for h in res.hops:
@@ -229,6 +289,7 @@ class StreamingEntityEngine:
         workdir: str,
         state_ttl_ms: Optional[int] = None,
         shuffle_partitions: Optional[int] = None,
+        dead_letter: bool = True,
     ):
         """state_ttl_ms: optional hot/cold state tiering. Keys idle longer
         than the TTL are evicted from the state store into a cold parquet
@@ -243,7 +304,16 @@ class StreamingEntityEngine:
         deployment: per-batch cost includes one stateful task + state
         commit per partition, so a low-key-cardinality engine should not
         inherit a session-wide analytics setting. Applied to a cloned
-        session so the caller's session conf is untouched."""
+        session so the caller's session conf is untouched.
+
+        dead_letter (default True): poison-event quarantine. An
+        undecodable event blob or a handler exception that escapes
+        operator.handle is routed to the ``dead_letter/`` parquet sink
+        (error message + original event bytes) instead of killing the
+        continuous query; decoded events additionally get an ERROR reply
+        so waiting clients unblock. Healthy keys in the same batch are
+        unaffected. Set False for fail-fast semantics (the pre-round-9
+        behavior: the stream dies and drain() rethrows the cause)."""
         if shuffle_partitions is not None:
             spark = spark.newSession()
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -256,10 +326,15 @@ class StreamingEntityEngine:
         self.cold_dir = (
             os.path.join(workdir, "cold_state") if state_ttl_ms else None
         )
+        self.dead_dir = (
+            os.path.join(workdir, "dead_letter") if dead_letter else None
+        )
         os.makedirs(self.in_dir, exist_ok=True)
         os.makedirs(self.replies_dir, exist_ok=True)
         if self.cold_dir:
             os.makedirs(self.cold_dir, exist_ok=True)
+        if self.dead_dir:
+            os.makedirs(self.dead_dir, exist_ok=True)
         self.query = None
         # client-side bookkeeping (send / reply tracking)
         self._sent_ids: set[str] = set()
@@ -329,6 +404,33 @@ class StreamingEntityEngine:
             self._seen_reply_files.add(name)
         return dict(self._reply_cache)
 
+    def dead_letters(self) -> list[dict]:
+        """Quarantined events from the dead-letter sink (driver-side
+        pyarrow read, no Spark job): one dict per poisoned event with
+        entity/key/seq, the error string, and the original event bytes —
+        enough to inspect, fix, and re-inject."""
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        if self.dead_dir is None:
+            return out
+        for name in sorted(os.listdir(self.dead_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(os.path.join(self.dead_dir, name))
+            for row in tbl.to_pylist():
+                payload = pickle.loads(row["blob"])
+                out.append(
+                    {
+                        "entity": row["entity"],
+                        "key": row["key"],
+                        "seq": row["seq"],
+                        "error": payload["error"],
+                        "event_blob": payload["event_blob"],
+                    }
+                )
+        return out
+
     # -- engine -------------------------------------------------------------
     def start(self) -> None:
         blob = serialize_registry()
@@ -343,7 +445,12 @@ class StreamingEntityEngine:
             .parquet(self.in_dir)
             .groupBy("entity", "key")
             .applyInPandasWithState(
-                _make_stateful_fn(blob, self.state_ttl_ms, self.cold_dir),
+                _make_stateful_fn(
+                    blob,
+                    self.state_ttl_ms,
+                    self.cold_dir,
+                    dead_letter=self.dead_dir is not None,
+                ),
                 OUT_STRUCT,
                 STATE_STRUCT,
                 "append",
@@ -394,6 +501,8 @@ class StreamingEntityEngine:
         dests = {"reply": self.replies_dir, "hop": self.in_dir}
         if self.cold_dir is not None:
             dests["evict"] = self.cold_dir
+        if self.dead_dir is not None:
+            dests["dead"] = self.dead_dir
         for kind, dest in dests.items():
             part_dir = os.path.join(staging, f"kind={kind}")
             if not os.path.isdir(part_dir):

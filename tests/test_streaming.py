@@ -174,11 +174,14 @@ def _send_poison(eng):
 
 
 def test_streaming_engine_poison_no_ttl(spark, tmp_path):
-    """A poisoned event must surface as a raised error from drain(), not a
-    hang: processAllAvailable rethrows the stream death cause."""
+    """Fail-fast mode (dead_letter=False): a poisoned event must surface
+    as a raised error from drain(), not a hang: processAllAvailable
+    rethrows the stream death cause."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    eng = StreamingEntityEngine(spark, str(tmp_path / "poison_engine"))
+    eng = StreamingEntityEngine(
+        spark, str(tmp_path / "poison_engine"), dead_letter=False
+    )
     _send_poison(eng)
     eng.start()
     try:
@@ -197,7 +200,10 @@ def test_streaming_engine_poison_with_ttl(spark, tmp_path):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     eng = StreamingEntityEngine(
-        spark, str(tmp_path / "poison_ttl_engine"), state_ttl_ms=60_000
+        spark,
+        str(tmp_path / "poison_ttl_engine"),
+        state_ttl_ms=60_000,
+        dead_letter=False,
     )
     _send_poison(eng)
     eng.start()
@@ -207,6 +213,88 @@ def test_streaming_engine_poison_with_ttl(spark, tmp_path):
             eng.drain(timeout_s=120)
         # raised by the exception poll, long before the 120s reply timeout
         assert time.monotonic() - t0 < 60
+    finally:
+        eng.stop()
+
+
+def test_streaming_engine_dead_letter_quarantine(spark, tmp_path):
+    """Round-8 VERDICT #6: with quarantine (the default), a planted poison
+    batch must NOT kill the continuous query — the DLQ row carries the
+    error + original event bytes, and a healthy key in the SAME batch
+    processes normally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    eng = StreamingEntityEngine(spark, str(tmp_path / "dlq_engine"))
+    init = operator.make_init_event("User", ("dlq-u1",))
+    # poison + healthy rows land in the same micro-batch
+    tbl = pa.table(
+        {
+            "entity": pa.array(["User", "User"], pa.string()),
+            "key": pa.array(["poison-u1", "dlq-u1"], pa.string()),
+            "seq": pa.array([1, 2], pa.int64()),
+            "blob": pa.array(
+                [b"garbage-not-an-event", init.to_bytes()], pa.binary()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(eng.in_dir, "mixed.parquet"))
+    eng._sent_ids.add(init.event_id)
+    eng.start()
+    try:
+        eng.drain()
+        # healthy key unaffected
+        ref = eng.replies()[init.event_id].payload["result"]
+        assert ref.key == "dlq-u1"
+        # DLQ row carries the error and the original bytes
+        dls = eng.dead_letters()
+        assert len(dls) == 1
+        assert dls[0]["key"] == "poison-u1"
+        assert dls[0]["error"]
+        assert dls[0]["event_blob"] == b"garbage-not-an-event"
+        # engine still alive: a follow-up round-trips and state is intact
+        import uuid
+
+        from stateflow_spark.entity.model import Event, EventType
+
+        up = operator.make_invoke_event(ref, "update_balance", (5,))
+        g = Event(
+            str(uuid.uuid4()), "User", "dlq-u1", EventType.GET_STATE,
+            {"attr": "balance"},
+        )
+        eng.send([up, g])
+        eng.drain()
+        assert eng.replies()[g.event_id].payload["result"] == 5
+    finally:
+        eng.stop()
+
+
+def test_streaming_engine_dead_letter_handler_escape(spark, tmp_path):
+    """A decodable event whose handling raises OUTSIDE operator.handle's
+    caught paths (unknown entity type → KeyError) is quarantined AND the
+    waiting client gets an ERROR reply carrying the same message."""
+    import uuid
+
+    from stateflow_spark.entity.model import Event, EventType
+
+    eng = StreamingEntityEngine(spark, str(tmp_path / "dlq_escape_engine"))
+    bad = Event(
+        str(uuid.uuid4()), "NoSuchEntity", "k1", EventType.GET_STATE,
+        {"attr": "x"},
+    )
+    eng.send([bad])
+    eng.start()
+    try:
+        eng.drain()
+        reply = eng.replies()[bad.event_id]
+        assert reply.event_type == EventType.ERROR
+        assert "NoSuchEntity" in reply.payload["error"]
+        dls = eng.dead_letters()
+        assert len(dls) == 1
+        assert dls[0]["entity"] == "NoSuchEntity"
+        assert dls[0]["error"] == reply.payload["error"]
+        # the quarantined original bytes replay to the same event
+        assert Event.from_bytes(dls[0]["event_blob"]).event_id == bad.event_id
     finally:
         eng.stop()
 
