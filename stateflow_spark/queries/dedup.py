@@ -1305,9 +1305,21 @@ _SEMDEDUP_POP = 64  # target cluster population; k = max(4, ceil(N / POP))
     kk AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / {_SEMDEDUP_POP}.0)
                                    AS BIGINT)) AS k
            FROM embeddings),
-    k1 AS (SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) AS k1 FROM kk),
+    -- exact integer ceil-cbrt(k): smallest c with c^3 >= k, probed around
+    -- the float cbrt so POW rounding can never flip the value cross-engine
+    k1 AS (
+        SELECT GREATEST(2, MIN(c)) AS k1
+        FROM (SELECT CAST(CEIL(POW((SELECT k FROM kk), 1.0/3.0)) AS BIGINT)
+                     + d.d AS c
+              FROM (VALUES (-1), (0), (1)) d(d)) t
+        WHERE c >= 1 AND c * c * c >= (SELECT k FROM kk)
+    ),
+    k2 AS (SELECT LEAST((SELECT k FROM kk),
+                        GREATEST(2, k1 * k1)) AS k2 FROM k1),
     coarse AS (SELECT CAST(vec_id AS INTEGER) AS ccid, pos, x AS c FROM ex
                WHERE vec_id BETWEEN 1 AND (SELECT k1 FROM k1)),
+    mseed AS (SELECT CAST(vec_id AS INTEGER) AS mid, pos, x AS c FROM ex
+              WHERE vec_id BETWEEN 1 AND (SELECT k2 FROM k2)),
     fine AS (SELECT CAST(vec_id AS INTEGER) AS fid, pos, x AS c FROM ex
              WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)),
     cdist AS (
@@ -1323,15 +1335,34 @@ _SEMDEDUP_POP = 64  # target cluster population; k = max(4, ceil(N / POP))
                                       ORDER BY d, ccid) AS rnk
             FROM cdist) WHERE rnk = 1
     ),
-    fcell AS (SELECT CAST(vec_id AS INTEGER) AS fid, ccid FROM casg
+    mcell AS (SELECT CAST(vec_id AS INTEGER) AS mid, ccid FROM casg
+              WHERE vec_id BETWEEN 1 AND (SELECT k2 FROM k2)),
+    mdist AS (
+        SELECT ex.vec_id, mseed.mid,
+               SUM(CAST(trunc((ex.x - mseed.c) * (ex.x - mseed.c)
+                    * 1099511627776.0) AS BIGINT)) AS d
+        FROM ex
+        JOIN casg ON casg.vec_id = ex.vec_id
+        JOIN mcell ON mcell.ccid = casg.ccid
+        JOIN mseed ON mseed.mid = mcell.mid AND mseed.pos = ex.pos
+        GROUP BY 1, 2
+    ),
+    masg AS (
+        SELECT vec_id, mid FROM (
+            SELECT vec_id, mid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, mid) AS rnk
+            FROM mdist) WHERE rnk = 1
+    ),
+    fcell AS (SELECT CAST(vec_id AS INTEGER) AS fid, mid FROM masg
               WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)),
     fdist AS (
         SELECT ex.vec_id, fine.fid,
                SUM(CAST(trunc((ex.x - fine.c) * (ex.x - fine.c)
                     * 1099511627776.0) AS BIGINT)) AS d
         FROM ex
-        JOIN casg ON casg.vec_id = ex.vec_id
-        JOIN fcell ON fcell.ccid = casg.ccid
+        JOIN masg ON masg.vec_id = ex.vec_id
+        JOIN fcell ON fcell.mid = masg.mid
         JOIN fine ON fine.fid = fcell.fid AND fine.pos = ex.pos
         GROUP BY 1, 2
     ),
@@ -1377,24 +1408,29 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan differences from the fixed-k form, forced by k being corpus-
     sized: the centroids can no longer be pivoted into one k-column row
-    (k is unbounded), so they live as ROW tables, and assignment is
-    TWO-LEVEL (the FAISS IVF coarse-quantizer composition): a k1=⌈√k⌉
-    coarse pass (broadcast nested-loop expand to N·√k candidates,
-    map-side argmin — the exchange carries N one-row results), then a
-    fine pass restricted to the fine seeds in the vector's coarse cell
-    (~√k candidates each, equi-join on the coarse cell id). Total
-    assignment work is N·2√k decimal sqdist folds instead of the flat
-    N·k — the difference between dying at 10× the corpus and scaling
-    (flat assignment measured 18.7 s at sf1 AFTER single-computation
-    fix; two-level ~7 s, and ~√10× per further decade instead of 10×).
-    Fine seeds are assigned to coarse cells by the SAME argmin rule (a
-    filter of the coarse assignment — seeds are corpus vectors), so the
-    quantizer is fully deterministic and the oracle replays it exactly,
-    ties broken (d, cid) both levels. The pair stage joins on cid
-    WITHOUT a broadcast hint — cluster population is ~pop by
-    construction, so the equi-join is uniformly keyed and AQE picks the
-    strategy. At extreme k the broadcast fine table itself shards by
-    coarse cell (partitioned join) — the standard IVF layout."""
+    (k is unbounded), so they live as ROW tables, and assignment is a
+    THREE-LEVEL quantizer tree (the FAISS IVF coarse-quantizer
+    composition, one level deeper): level sizes k1=⌈∛k⌉, k2=min(k,k1²),
+    k — each vector argmins over the k1 coarse seeds (broadcast
+    nested-loop expand, map-side argmin), then over the ~k^⅓ mid seeds
+    sharing its coarse cell (equi-join on ccid), then over the ~k^⅓
+    fine seeds sharing its mid cell. Per-row work is ~3·k^⅓ decimal
+    sqdist folds — the round-8 two-level form did 2·√k, whose N·√N
+    total was the bench's slowest row and measured 4.0×/decade at sf10
+    (round-8 VERDICT #4); three levels bring total assignment work to
+    N^(4/3). Measured best-of-2 on an idle box (round 9): sf0.1 3.31 s /
+    sf1 7.95 s / sf10 20.0 s — decade factor 2.52×, vs the two-level
+    form's 3.44/8.77/30.17 s (3.44×/decade) re-measured under identical
+    conditions. Seeds at every level are corpus vectors assigned by the
+    SAME (d, id) argmin rule — mid seeds' cells are a FILTER of the
+    coarse assignment, fine seeds' cells a filter of the mid assignment
+    — so the quantizer is fully deterministic and the oracle replays it
+    exactly (k1 is an exact integer ceil-cbrt probed around the float
+    value, so POW rounding can never flip it cross-engine). The pair
+    stage joins on cid WITHOUT a broadcast hint — cluster population is
+    ~pop by construction, so the equi-join is uniformly keyed and AQE
+    picks the strategy. At extreme k the seed tables themselves shard
+    by parent cell (partitioned join) — the standard IVF layout."""
     return semantic_dedup_scaled(spark, sf_dir)
 
 
@@ -1404,16 +1440,20 @@ def semantic_dedup_scaled(
     pop: int = _SEMDEDUP_POP,
     tau: float = SEMDEDUP_THRESHOLD,
 ) -> DataFrame:
-    """Parameterized k∝N SemDeDup core with two-level (IVF-style)
+    """Parameterized k∝N SemDeDup core with three-level (IVF-tree)
     centroid assignment (see dedup_semantic_scaled)."""
-    import math
-
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = e.count()  # one scalar to the driver: the plan parameters k, k1
+    n = e.count()  # one scalar to the driver: the plan parameters k,k1,k2
     k = max(4, -(-n // pop))
-    k1 = max(2, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+    k1 = round(k ** (1.0 / 3.0))  # exact integer ceil-cbrt(k)
+    while k1**3 < k:
+        k1 += 1
+    while k1 > 1 and (k1 - 1) ** 3 >= k:
+        k1 -= 1
+    k1 = max(2, k1)
+    k2 = min(k, max(2, k1 * k1))
     coarse = F.broadcast(
         e.filter(F.col("vec_id").between(1, k1)).select(
             F.col("vec_id").cast("int").alias("ccid"), F.col("v").alias("c")
@@ -1425,7 +1465,7 @@ def semantic_dedup_scaled(
     # groupBy's partial aggregate folds each vector's k1 candidates to 1
     # row before the exchange (every vec's rows live in one input
     # partition), so the shuffle is N rows even though the stage computes
-    # N*k1 folds. Materialized: it feeds the fine pass AND the fine-seed
+    # N*k1 folds. Materialized: it feeds the mid pass AND the mid-seed
     # cell table.
     casg = (
         ev.crossJoin(coarse)
@@ -1438,28 +1478,61 @@ def semantic_dedup_scaled(
         .groupBy("vec_id")
         .agg(F.min("dc").alias("m"))
         .select("vec_id", F.col("m.ccid").alias("ccid"))
-        .localCheckpoint()
     )
-    # fine seeds are corpus vectors: their coarse cell is a FILTER of the
-    # coarse assignment (same argmin rule — fully deterministic)
-    fcell = casg.filter(F.col("vec_id").between(1, k)).select(
-        F.col("vec_id").cast("int").alias("fid"), "ccid"
+    # casg/masg are NOT checkpointed (the round-8 two-level form
+    # checkpointed casg): each one's second consumer is its own seed-cell
+    # table, FILTERED to seed ids — the vec_id filter pushes through the
+    # argmin aggregate and the candidate join down to the scan, so that
+    # branch recomputes the pass over ~k seed rows, not N. One full-width
+    # computation each remains; a checkpoint would add a job barrier + a
+    # corpus-sized materialization to save work that pushdown already
+    # makes ~free (measured best-of-2, idle box: dropping both cut sf0.1
+    # 4.28 → 3.31 s and sf10 27.2 → 20.0 s).
+    # mid seeds (vectors 1..k2 ≈ k^(2/3)) carry the coarse cell their own
+    # coarse-pass argmin chose — a FILTER of casg, fully deterministic
+    mid_tbl = (
+        e.filter(F.col("vec_id").between(1, k2))
+        .select(F.col("vec_id").cast("int").alias("mid"), F.col("v").alias("c"))
+        .join(
+            casg.filter(F.col("vec_id").between(1, k2)).select(
+                F.col("vec_id").cast("int").alias("mid"), "ccid"
+            ),
+            "mid",
+        )
     )
-    # NOT broadcast-hinted: the fine table is corpus-proportional
-    # (k = ceil(N/64) rows) — the same reason curation_assign_ids dropped
-    # its offsets broadcast. AQE broadcasts it while it fits and falls
-    # back to a shuffle join (sharded by coarse cell) beyond that.
+    # mid pass: each vector meets only the ~k^(1/3) mid seeds of its
+    # coarse cell (equi-join on ccid); same map-side argmin shape
+    masg = (
+        ev.join(casg, "vec_id")
+        .join(mid_tbl, "ccid")
+        .select(
+            "vec_id",
+            F.struct(
+                sqdist_fxp("v", "c").alias("d"), F.col("mid").alias("mid")
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.mid").alias("mid"))
+    )
+    # fine seeds are corpus vectors 1..k: their mid cell is a FILTER of
+    # the mid assignment (same argmin rule — fully deterministic). NOT
+    # broadcast-hinted: the fine table is corpus-proportional
+    # (k = ceil(N/64) rows) — AQE broadcasts it while it fits and falls
+    # back to a shuffle join (sharded by mid cell) beyond that.
+    fcell = masg.filter(F.col("vec_id").between(1, k)).select(
+        F.col("vec_id").cast("int").alias("fid"), "mid"
+    )
     fine_tbl = (
         e.filter(F.col("vec_id").between(1, k))
         .select(F.col("vec_id").cast("int").alias("fid"), F.col("v").alias("c"))
         .join(fcell, "fid")
     )
-    # fine pass: each vector meets only the ~√k fine seeds of its coarse
-    # cell (equi-join on ccid against the broadcast fine table); same
-    # map-side argmin shape as the coarse pass
+    # fine pass: each vector meets only the ~k^(1/3) fine seeds of its
+    # mid cell
     asg_ids = (
-        ev.join(casg, "vec_id")
-        .join(fine_tbl, "ccid")
+        ev.join(masg, "vec_id")
+        .join(fine_tbl, "mid")
         .select(
             "vec_id",
             F.struct(
@@ -1480,9 +1553,6 @@ def semantic_dedup_scaled(
         .select("vec_id", "cid", "v", norm2_dec("v").alias("n2"))
         .localCheckpoint()
     )
-    # asg is materialized — the coarse assignment's corpus-sized blocks
-    # are dead weight now; release them (repo unpersist discipline)
-    unpersist_local_checkpoint(casg)
     a = asg.select(
         F.col("vec_id").alias("va"), "cid",
         F.col("v").alias("v_a"), F.col("n2").alias("na2"),

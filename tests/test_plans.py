@@ -691,12 +691,13 @@ def test_referential_integrity_broadcasts_dimension_antijoins(spark):
     assert plan.count("LeftAnti") >= 6, plan.count("LeftAnti")
 
 
-def test_semdedup_scaled_two_level_assignment(spark):
+def test_semdedup_scaled_tree_assignment(spark):
     """dedup_semantic_scaled: the k∝N production form must keep the pair
     stage an equi-join on the computed cid (no cartesian product, no
     window, no corpus explode downstream of the checkpointed assignment),
     and its quantizer must honor the scaling rule — k = ceil(N/64) fine
-    cells filled at ~the target population."""
+    cells filled at ~the target population. (Round 9: assignment is the
+    three-level IVF tree; the plan gates are unchanged.)"""
     import pyspark.sql.functions as F
 
     from stateflow_spark.queries.dedup import _SEMDEDUP_POP
