@@ -48,10 +48,27 @@ def run_one(spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
+# A bench that STARTS on a busy box measures the co-located load, not the
+# code (round-8: loadavg 7.47 at start, every shared query uniformly
+# +11-14% vs the idle re-run with zero code change). Above this 1-minute
+# loadavg the run is stamped contaminated=true in the artifact itself, so
+# it can never again sit unlabelled next to clean runs; set
+# SPARK_GRAFT_MAX_LOADAVG to move the threshold, or =inf to disable.
+MAX_START_LOADAVG = float(os.environ.get("SPARK_GRAFT_MAX_LOADAVG", "2.0"))
+
+
 def main() -> None:
     spark = get_spark(app_name="stateflow-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     load_start = os.getloadavg()[0]
+    contaminated = load_start > MAX_START_LOADAVG
+    if contaminated:
+        print(
+            f"WARNING: start loadavg {load_start:.2f} > {MAX_START_LOADAVG} "
+            "— this run is flagged contaminated in the artifact; numbers "
+            "are not comparable to idle-box rounds",
+            file=sys.stderr,
+        )
 
     # warmup: JVM/codegen/parquet-footer caches
     run_one(spark, "q6_forecast_revenue")
@@ -101,6 +118,7 @@ def main() -> None:
                     "start": round(load_start, 2),
                     "end": round(os.getloadavg()[0], 2),
                 },
+                "contaminated": contaminated,
             }
         )
     )

@@ -230,22 +230,37 @@ def run_superstep(spark, mix: str, n_tasks: int = N_TASKS,
 def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
                   n_entities: int = N_ENTITIES,
                   workdir: Optional[str] = None,
-                  shuffle_partitions: int = 8,
-                  latency_csv: Optional[str] = None) -> dict:
+                  shuffle_partitions: Optional[int] = None,
+                  latency_csv: Optional[str] = None,
+                  pacing: Optional[int] = None) -> dict:
     """Continuous-engine throughput: the op batch flows through the
     long-running Structured Streaming query (file-source micro-batches,
     loopback hops for transfers) — the closest analog to the reference's
     Kafka-driven deployment.
 
-    shuffle_partitions=8 sizes the state store to the workload (100 keys):
-    per-batch fixed cost is one stateful task + state commit per
-    partition, so 32 analytics-sized partitions would pay 4× the
-    per-batch overhead for zero extra parallelism at this key count."""
+    shuffle_partitions defaults to the deployment sizing rule
+    min(32, max(8, keys//100)) — 8 state-store partitions for the
+    100-key reference workload (per-batch fixed cost is one stateful
+    task + state commit per partition, so 32 analytics-sized partitions
+    would pay 4× the per-batch overhead for zero extra parallelism
+    there), widening with key cardinality up to the local[32] core
+    count. Pass an explicit value to override.
+
+    pacing=N sends the op batch as ceil(n_tasks/N)-sized back-to-back
+    bursts — send burst, wait for its replies, send the next — instead
+    of one giant burst. This is the production shape at high volume: the
+    round-8 10M-op single burst was the first super-linear decade
+    (file-source listing + state-commit costs scale with a 1 GB batch),
+    and pacing bounds every batch at the sweet-spot size. The result
+    carries per-burst walls so sustained-vs-burst throughput is a
+    measurement, not a claim (round-8 VERDICT #3)."""
     import tempfile
 
     from stateflow_spark.entity import operator
     from stateflow_spark.streaming.stateful import StreamingEntityEngine
 
+    if shuffle_partitions is None:
+        shuffle_partitions = min(32, max(8, n_entities // 100))
     eng = StreamingEntityEngine(
         spark,
         workdir or tempfile.mkdtemp(prefix="ycsb_stream_"),
@@ -274,10 +289,19 @@ def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
                         refs[op.key], "transfer", (op.amount, refs[op.other])
                     )
                 )
+        bursts = (
+            [events[i : i + pacing] for i in range(0, len(events), pacing)]
+            if pacing
+            else [events]
+        )
+        burst_walls: list[float] = []
         t0 = time.perf_counter()
         t0_wallclock = time.time()  # reply-file mtimes are epoch-clock
-        eng.send(events)
-        eng.drain()
+        for burst in bursts:
+            bt0 = time.perf_counter()
+            eng.send(burst)
+            eng.drain()
+            burst_walls.append(time.perf_counter() - bt0)
         wall = time.perf_counter() - t0
         replies = eng.replies()
         n_ok = sum(1 for e in events if e.event_id in replies)
@@ -297,15 +321,21 @@ def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
                 f.write("request_id,timestamp\n")
                 for i, e in enumerate(events):
                     f.write(f"req-{i},{eng.reply_times[e.event_id]}\n")
-        return {
+        out = {
             "runtime": "streaming",
             "mix": mix,
             "ops": n_tasks,
+            "entities": n_entities,
+            "state_partitions": shuffle_partitions,
             "sec": round(wall, 4),
             "ops_per_sec": round(n_tasks / wall, 1),
             "p50_s": round(p50, 3),
             "p99_s": round(p99, 3),
         }
+        if pacing:
+            out["pacing"] = pacing
+            out["burst_sec"] = [round(b, 2) for b in burst_walls]
+        return out
     finally:
         eng.stop()
 
@@ -318,20 +348,28 @@ def main() -> None:
     ap.add_argument("--mix", choices=["a", "b", "t"], default="a")
     ap.add_argument("--runtime", choices=["local", "superstep", "streaming"], default="local")
     ap.add_argument("--tasks", type=int, default=N_TASKS)
+    ap.add_argument("--entities", type=int, default=N_ENTITIES)
     ap.add_argument("--latency-csv", default=None)
+    ap.add_argument(
+        "--pacing", type=int, default=None,
+        help="streaming only: send ops as back-to-back bursts of this size",
+    )
     args = ap.parse_args()
 
     if args.runtime == "local":
-        out = run_local(args.mix, args.tasks, latency_csv=args.latency_csv)
+        out = run_local(
+            args.mix, args.tasks, args.entities, latency_csv=args.latency_csv
+        )
     elif args.runtime == "superstep":
         from stateflow_spark.session import get_spark
 
-        out = run_superstep(get_spark(), args.mix, args.tasks)
+        out = run_superstep(get_spark(), args.mix, args.tasks, args.entities)
     else:
         from stateflow_spark.session import get_spark
 
         out = run_streaming(
-            get_spark(), args.mix, args.tasks, latency_csv=args.latency_csv
+            get_spark(), args.mix, args.tasks, args.entities,
+            latency_csv=args.latency_csv, pacing=args.pacing,
         )
     print(json.dumps(out))
 

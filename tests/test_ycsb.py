@@ -205,3 +205,17 @@ def test_streaming_transfer_survives_midflight_restart(spark, tmp_path):
         assert total == n_ent * ycsb.STARTING_AMOUNT, "money not conserved"
     finally:
         eng2.stop()
+
+
+def test_streaming_pacing_bursts(spark, tmp_path):
+    """--pacing sends the op batch as back-to-back bursts (round-8
+    VERDICT #3): every burst must fully complete (send → drain) before
+    the next, all replies arrive, and the result carries per-burst
+    walls."""
+    out = ycsb.run_streaming(
+        spark, "a", n_tasks=600, workdir=str(tmp_path / "paced"), pacing=250
+    )
+    assert out["ops"] == 600
+    assert out["pacing"] == 250
+    assert len(out["burst_sec"]) == 3  # 250 + 250 + 100
+    assert abs(sum(out["burst_sec"]) - out["sec"]) < 1.0
