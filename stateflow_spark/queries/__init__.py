@@ -32,103 +32,98 @@ from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 
-# Round-8 prefix (the driver stamps the first ~50 registered queries).
+# Round-9 prefix (the driver stamps the first ~50 registered queries).
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 4 round-8 multimodal
-#       additions (phash, phash near-dup, cross-modal retrieval, audio
-#       VAD segmentation);
-#   (b) every query whose plan/results changed this round
-#       (CHANGED_THIS_ROUND below) = 9;
-#   (c) the remaining 37 slots fill with the STALEST stamps — all 9 r03
-#       rows (window/setops/aggregates) and 28 of the 31 remaining r04
-#       rows (text_token_stats + text_rolling_fingerprint +
-#       text_quality_score, same r04 tier, rotate next round —
-#       tier-splitting is allowed: nothing OUTSIDE the prefix is
-#       strictly staler than any fill row).
+#   (a) every query with NO driver stamp ever — the 2 round-9 audio
+#       fingerprint rows;
+#   (b) every query whose results changed this round
+#       (CHANGED_THIS_ROUND below) = 1;
+#   (c) the remaining 47 slots fill with the STALEST stamps — the 3
+#       r04-tier rows deferred in round 8 (text_token_stats,
+#       text_rolling_fingerprint, text_quality_score) lead, then 44 of
+#       the 45 r05-tier rows (window_topk_orders_per_customer, same r05
+#       tier, rotates next round — tier-splitting is allowed: nothing
+#       OUTSIDE the prefix is strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
 # stays covered every run by tests/test_oracle.py (the local net).
 # The round this prefix was pinned FOR: the stalest-first invariant is
 # checked against CORRECTNESS history from rounds BEFORE this one (the
-# history that existed at pin time) — otherwise the driver's own r8
+# history that existed at pin time) — otherwise the driver's own r9
 # stamps would instantly make the pinned prefix look "stale" and fail
-# the suite mid-round. The round-9 builder bumps this when re-pinning.
-PREFIX_PINNED_FOR_ROUND = 8
+# the suite mid-round. The round-10 builder bumps this when re-pinning.
+PREFIX_PINNED_FOR_ROUND = 9
 
 CHANGED_THIS_ROUND = [
-    # capped-by-default pair pipelines (round-7 VERDICT #2): results change
-    "dedup_connected_components",
-    "dedup_pagerank",
-    "dedup_triangle_stats",
-    # production basket cap (round-8 ADVICE): plan changes, same results
-    # on non-pathological corpora
-    "join_market_basket_pairs",
-    # banded-cosine band now derived per row (round-8 ADVICE): plan
-    # changes, booleans provably identical
-    "dedup_embedding_cosine",
-    "dedup_semantic",
+    # three-level IVF-tree quantizer (round-8 VERDICT #4): the assignment
+    # rule changed, so cluster ids and kept flags CHANGE (oracle replays
+    # the new rule)
     "dedup_semantic_scaled",
-    # banded-Hamming blocking extracted to the shared helper
-    "dedup_simhash_pairs",
-    # direct-concat gram builder + pushdown barrier (same results, new
-    # plan; sf1 35.8 → 1.4 s)
-    "text_memorization_audit",
 ]
-_R08_PREFIX = [
-    # (a) never driver-stamped (round-8 multimodal additions)
-    "multimodal_phash",
-    "multimodal_phash_neardup",
-    "multimodal_crossmodal_retrieval",
-    "multimodal_audio_vad_segments",
+_R09_PREFIX = [
+    # (a) never driver-stamped (round-9 audio fingerprint rows)
+    "multimodal_audio_fingerprint",
+    "multimodal_audio_fingerprint_neardup",
     # (b) changed this round
     *CHANGED_THIS_ROUND,
-    # (c) stalest-stamp fill: all 9 r03 rows...
-    "agg_cube_status_priority",
-    "agg_grouping_sets",
-    "agg_pandas_udaf_median",
-    "agg_variance_exact",
-    "setops_except_all",
-    "setops_intersect_all",
-    "setops_union_all_counts",
-    "window_distribution_functions",
-    "window_range_frame",
-    # ...then 28 of the 31 remaining r04 rows
-    "dedup_simhash",
-    "entity_find_class",
-    "entity_flow_golden",
-    "entity_get_state",
-    "entity_init_class",
-    "entity_invoke_fold",
-    "entity_update_state",
-    "events_dedup_first",
-    "events_funnel",
-    "events_hourly_tumbling",
-    "events_json_payload",
-    "events_session_windows",
-    "events_sliding_window",
-    "events_topk_users",
-    "events_type_pivot",
-    "join_asof_click_view",
-    "join_full_outer_part_sales",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "scalar_function_zoo",
-    "stream_hourly_tumbling",
-    "stream_session_windows",
-    "stream_sliding_window",
-    "stream_stream_join",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_length_histogram",
+    # (c) stalest-stamp fill: the 3 r04 rows deferred in round 8...
+    "text_quality_score",
+    "text_rolling_fingerprint",
+    "text_token_stats",
+    # ...then 44 of the 45 r05 rows (window_topk_orders_per_customer
+    # rotates next round)
+    "agg_salted_two_phase",
+    "curation_balance_mixture",
+    "curation_benchmark_contamination",
+    "curation_epoch_upsample",
+    "curation_pack_sequences",
+    "curation_stratified_sample",
+    "dedup_exact",
+    "dedup_jaccard_stop_shingle",
+    "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipping_delay_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "setops_union_distinct",
+    "sim_centroid_distance",
+    "sim_cosine_topk",
+    "sim_hyperplane_lsh",
+    "sim_ivf_knn_join",
+    "sim_ivf_topk",
+    "sim_kmeans_iterations",
+    "sim_knn_join",
+    "sim_quantized_topk",
+    "stream_append_late_drop",
+    "stream_dedup_watermark",
+    "stream_incremental_rollup",
 ]
-assert len(_R08_PREFIX) == 50, len(_R08_PREFIX)
-assert len(set(_R08_PREFIX)) == 50
-assert set(_R08_PREFIX) <= set(REGISTRY), set(_R08_PREFIX) - set(REGISTRY)
-_order = _R08_PREFIX + [n for n in REGISTRY if n not in set(_R08_PREFIX)]
+assert len(_R09_PREFIX) == 50, len(_R09_PREFIX)
+assert len(set(_R09_PREFIX)) == 50
+assert set(_R09_PREFIX) <= set(REGISTRY), set(_R09_PREFIX) - set(REGISTRY)
+_order = _R09_PREFIX + [n for n in REGISTRY if n not in set(_R09_PREFIX)]
 assert set(_order) == set(REGISTRY) and len(_order) == len(REGISTRY)
 _by_name = dict(REGISTRY)
 REGISTRY.clear()

@@ -534,3 +534,151 @@ def multimodal_audio_vad_segments(
             F.col("g.te").alias("seg_energy"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprint near-dup over the temporal energy envelope (round 9)
+# --------------------------------------------------------------------------
+
+_AFP_BITS = 60
+_AFP_MAX_HAMMING = 3
+_AFP_BANDS, _AFP_BAND_BITS = 4, 15  # pigeonhole: 4 bands > hamming 3
+
+# chromaprint-style whole-clip bit signature, DuckDB-replayable: split the
+# payload into 60 equal TIME WINDOWS (window i covers 1-based positions
+# floor(i·L/60)+1 .. floor((i+1)·L/60) — a partition of 1..L), energy =
+# byte-value sum, bit i = 1 iff window i's MEAN energy exceeds the clip
+# mean — compared as the exact integer cross-product w_i·L > T·n_i, so
+# both engines decide every bit identically with no division.
+_AFP_SQL = """
+        WITH base AS (
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+                   list_transform(range(1, length(text) + 1),
+                       j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1))
+                                 AS BIGINT)) AS bs
+            FROM documents),
+        tt AS (SELECT doc_id, L, bs,
+                      list_reduce(bs, (a, b) -> a + b) AS T FROM base)
+        SELECT doc_id,
+               list_reduce(list_transform(range(0, 60), i ->
+                   CASE WHEN COALESCE(list_sum(list_slice(bs,
+                                 CAST(i*L//60 + 1 AS INTEGER),
+                                 CAST((i+1)*L//60 AS INTEGER))), 0) * L
+                             > T * ((i+1)*L//60 - i*L//60)
+                        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                        ELSE CAST(0 AS BIGINT) END),
+                   (a, b) -> a + b) AS afp
+        FROM tt
+"""
+
+_AFP_EXPR = """
+    aggregate(sequence(0, 59), 0L, (acc, i) ->
+      acc + IF(
+        aggregate(slice(bs,
+                        CAST((CAST(i AS BIGINT) * size(bs)) DIV 60 AS INT) + 1,
+                        CAST((CAST(i+1 AS BIGINT) * size(bs)) DIV 60
+                             - (CAST(i AS BIGINT) * size(bs)) DIV 60 AS INT)),
+                  0L, (a, b) -> a + b) * size(bs)
+          > T * ((CAST(i+1 AS BIGINT) * size(bs)) DIV 60
+                 - (CAST(i AS BIGINT) * size(bs)) DIV 60),
+        shiftleft(1L, i), 0L))
+"""
+
+
+def _afp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 60-bit audio fingerprint of the payload's energy envelope.
+
+    The stub treats the payload bytes as the decoded sample stream (a
+    real pipeline would decode PCM first — same plan, different kernel
+    inside the transform, exactly like the VAD row); the signature is
+    the chromaprint idea reduced to one bit per time window: 60 equal
+    windows over the clip, bit = window mean energy above clip mean,
+    decided by exact integer cross-multiplication (w·L > T·n, no
+    division, bit-identical cross-engine). Windows are POSITIONS in the
+    stream, so this captures temporal envelope structure — near-identical
+    clips with a small local amplitude edit flip only the touched
+    window's bits (mean-preserving edits flip ≤ the edited windows),
+    while unrelated clips differ in ~30 of 60 bits (measured 29.6 mean
+    pairwise hamming at sf0.01, zero accidental pairs within 3).
+
+    Plan shape: zero shuffles beyond the keyed repartition. The byte
+    array and its total build once per doc and are PINNED behind the
+    keyed-aggregate barrier (the VAD/_shingles_df trick) — without it
+    the 60-window fold inlines the O(L) byte transform into every
+    window, O(60·L) per doc."""
+    n_part = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    pre = (
+        d.select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, length(text)), j -> "
+                "CAST(ascii(substring(text, j, 1)) AS BIGINT))"
+            ).alias("bs"),
+        )
+        .select(
+            "doc_id", "bs",
+            F.expr("aggregate(bs, 0L, (a, b) -> a + b)").alias("T"),
+        )
+        .groupBy("doc_id")
+        .agg(F.first("bs").alias("bs"), F.first("T").alias("T"))
+    )
+    return pre.select("doc_id", F.expr(_AFP_EXPR).alias("afp"))
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle=f"{_AFP_SQL}",
+    tags=("multimodal", "audio", "fingerprint", "dedup"),
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload 60-bit temporal-energy fingerprint (chromaprint-style
+    window-mean-vs-clip-mean bits) — the signature stage of
+    multimodal_audio_fingerprint_neardup, value-pinned on its own."""
+    return _afp_df(spark, sf_dir)
+
+
+@register(
+    "multimodal_audio_fingerprint_neardup",
+    oracle=f"""
+    WITH s AS ({_AFP_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.afp, b.afp)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= {_AFP_MAX_HAMMING}
+    """,
+    tags=("multimodal", "audio", "fingerprint", "dedup", "bench"),
+)
+def multimodal_audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-duplicate pairs by temporal energy envelope (hamming ≤ 3
+    of 60 fingerprint bits) — re-recorded/re-encoded clip detection,
+    where the TIME STRUCTURE of the signal defines similarity (the
+    pHash row's bag-of-features signature is order-insensitive; this one
+    is order-sensitive — the two catch different duplicate classes,
+    exactly like audio vs image near-dup in a real curation stack).
+
+    Blocking is the shared banded_hamming_pairs machinery (round 8;
+    4 bands × 15 bits, pigeonhole recall exactly 1 at hamming ≤ 3) over
+    the per-doc fingerprints — one (band, band_val) shuffle of 16-byte
+    rows, in-bucket pair expansion in-array, never all-pairs. Identical
+    clips collide at hamming 0 through the same path. The corpus at
+    sf0.01 contains no temporal near-dups (the honest answer is the
+    empty set, which the brute-force oracle confirms); the planted
+    recall/precision suite pins the semantics and sf0.1 carries the
+    8 exact-dup pairs. At 100 TB: signature build is one linear scan,
+    the hot-bucket residual (mass-duplicated audio → one signature
+    value) is the documented exact-dedup-first / AQE-skew posture shared
+    with dedup_simhash_pairs."""
+    sig = _afp_df(spark, sf_dir)
+    pairs = banded_hamming_pairs(
+        sig, "doc_id", "afp",
+        n_bands=_AFP_BANDS, band_bits=_AFP_BAND_BITS,
+        max_hamming=_AFP_MAX_HAMMING, sig_bits=_AFP_BITS,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )

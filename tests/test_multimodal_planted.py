@@ -171,3 +171,58 @@ def test_audio_vad_planted_segments(spark, tmp_path_factory):
         (1, 4, 5): (2, 2 * loud),
         (3, 0, 0): (1, loud),
     }
+
+
+@pytest.fixture(scope="module")
+def afp_planted(spark, tmp_path_factory):
+    """d1 base 'clip' (300 pseudo-random sample bytes), d2 == d1
+    (identical clip), d3 = d1 with a MEAN-PRESERVING local amplitude
+    edit (+1 on a byte in window ~5, -1 on a byte in window ~40: T
+    unchanged, at most the two touched windows' bits flip), d4-d11
+    unrelated clips (~30/60 expected bit distance)."""
+    rng = random.Random(31)
+
+    def clip():
+        return "".join(chr(rng.randint(33, 126)) for _ in range(300))
+
+    base = clip()
+    edited = list(base)
+    # window i covers positions i*300//60 .. (i+1)*300//60 (5 bytes each);
+    # +1 in window 5 (pos 27), -1 in window 40 (pos 203) — mean-preserving
+    edited[27] = chr(ord(edited[27]) + 1)
+    edited[203] = chr(ord(edited[203]) - 1)
+    rows = [(1, base), (2, base), (3, "".join(edited))] + [
+        (i, clip()) for i in range(4, 12)
+    ]
+    d = tmp_path_factory.mktemp("afp_planted")
+    _write_documents(spark, d, rows)
+    return str(d)
+
+
+def test_audio_fingerprint_identical_clips_hamming_zero(spark, afp_planted):
+    fp = {
+        r.doc_id: r.afp
+        for r in REGISTRY["multimodal_audio_fingerprint"]
+        .fn(spark, afp_planted)
+        .collect()
+    }
+    assert fp[1] == fp[2]
+    # mean-preserving 2-byte edit flips at most the 2 touched windows
+    assert bin(fp[1] ^ fp[3]).count("1") <= 2
+    # unrelated clips sit far outside the near-dup radius
+    for i in range(4, 12):
+        assert bin(fp[1] ^ fp[i]).count("1") > 10
+
+
+def test_audio_fingerprint_neardup_recall_and_precision(spark, afp_planted):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in REGISTRY["multimodal_audio_fingerprint_neardup"]
+        .fn(spark, afp_planted)
+        .collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical clips recalled at hamming 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 2  # local edit recalled
+    assert (2, 3) in pairs  # transitively, same signature distance
+    # precision: nothing else within the radius
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
