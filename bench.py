@@ -75,7 +75,17 @@ def main() -> None:
 
     passes: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _pass in range(N_PASSES):
-        for name in BENCH_QUERIES:
+        # alternate direction: a query's wall depends on its POSITION in
+        # the shared session (codegen-cache/GC pressure accumulates over
+        # the ~45 queries before it — measured round 9: the same query
+        # reads 4.97 s late in the A→Z sweep and 3.1-3.5 s in a fresh
+        # session), and the registry grows every round, silently shifting
+        # late-alphabet rows further back. Alternating gives every query
+        # one early-position sample for best-of-N to pick.
+        order = (
+            BENCH_QUERIES if _pass % 2 == 0 else list(reversed(BENCH_QUERIES))
+        )
+        for name in order:
             passes[name].append(run_one(spark, name))
 
     # dispersion guard: if even the two best passes disagree badly, the
