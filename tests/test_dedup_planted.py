@@ -471,3 +471,34 @@ def test_lss_components_match_union_find_on_random_graphs(spark):
             for r in connected_components_lss(edges, max_rounds=max_rounds).collect()
         }
         assert got == expected, (n, len(pairs), max_rounds)
+
+
+def test_semdedup_tree_k1_matches_duckdb_exactly():
+    """The three-level quantizer's k1 = exact integer ceil-cbrt(k) must be
+    computed IDENTICALLY by the Python plan parameters and the oracle's
+    probed-window SQL — a 1-off divergence silently re-shapes the whole
+    assignment tree. Sweep small k plus perfect cubes ± 1 and two huge
+    values (POW rounding territory)."""
+    import duckdb
+
+    con = duckdb.connect()
+    ks = list(range(4, 300))
+    ks += [c**3 + d for c in (7, 50, 1000, 10000) for d in (-1, 0, 1)]
+    ks += [10**6, 10**9, 10**12]
+    for k in ks:
+        g = round(k ** (1.0 / 3.0))
+        while g**3 < k:
+            g += 1
+        while g > 1 and (g - 1) ** 3 >= k:
+            g -= 1
+        k1_py = max(2, g)
+        (k1_sql,) = con.execute(
+            f"""
+            SELECT GREATEST(2, MIN(c)) FROM (
+              SELECT CAST(CEIL(POW({k}, 1.0/3.0)) AS BIGINT) + d.d AS c
+              FROM (VALUES (-1), (0), (1)) d(d)) t
+            WHERE c >= 1 AND c * c * c >= {k}
+            """
+        ).fetchone()
+        assert k1_py == k1_sql, (k, k1_py, k1_sql)
+        assert k1_py**3 >= k and (k1_py == 2 or (k1_py - 1) ** 3 < k), k
