@@ -231,9 +231,14 @@ def _make_stateful_fn(
                     )
         events.sort(key=lambda t: t[0])
         for _, ev in events:
-            # snapshot so a handler exception that ESCAPES handle() (handle
-            # already turns ordinary invocation failures into error
-            # replies) cannot persist a half-mutated state for this key
+            # snapshot so a handler exception that ESCAPES handle() cannot
+            # persist a half-mutated state for this key. A reference
+            # snapshot (not a copy) suffices: user-code failures inside
+            # flows/invokes are converted to error replies by
+            # Interpreter.run / handle's own try (never escape), so the
+            # only escapes are pre-mutation failures — unknown entity
+            # type, malformed payload keys — which raise before any
+            # store.put or in-place state write
             pre_state, pre_touched = store.state, store.touched
             try:
                 res = operator.handle(ev, store)
