@@ -308,3 +308,35 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
 
     # round-trip: the layout reorders, never loses rows
     assert spark.read.parquet(zpath).count() == side * side
+
+
+def test_star_join_dynamic_partition_pruning(spark, tmp_path):
+    """Star-schema join against a hive-partitioned fact table: a selective
+    dim-side filter must prune fact PARTITIONS AT RUNTIME (dynamic
+    partition pruning — the broadcast's key set becomes a partition
+    filter on the fact scan). At 100 TB this is the difference between
+    scanning 3 date partitions and scanning all 20; static pruning
+    (test_partitioned_layout_prunes_scan) cannot see a filter that only
+    exists on the other join side."""
+    fact = spark.range(0, 20_000).selectExpr(
+        "id", "CAST(id % 20 AS INT) AS dk", "id * 2 AS v"
+    )
+    fact.write.partitionBy("dk").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(0, 20).selectExpr(
+        "CAST(id AS INT) AS dk",
+        "CASE WHEN id < 3 THEN 'keep' ELSE 'drop' END AS flag",
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("flag") == "keep")
+    j = f.join(d, "dk").groupBy("dk").agg(F.sum("v").alias("sv"))
+
+    plan = explain_str(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruning is REAL: only the 3 surviving partitions' rows flow
+    rows = j.collect()
+    assert {r.dk for r in rows} == {0, 1, 2}
+    assert all(r.sv > 0 for r in rows)
