@@ -37,15 +37,16 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
 #   (a) every query with NO driver stamp ever — the 2 round-9 audio
-#       fingerprint rows;
+#       fingerprint rows + curation_conversation_assembly;
 #   (b) every query whose results changed this round
 #       (CHANGED_THIS_ROUND below) = 1;
-#   (c) the remaining 47 slots fill with the STALEST stamps — the 3
+#   (c) the remaining 46 slots fill with the STALEST stamps — the 3
 #       r04-tier rows deferred in round 8 (text_token_stats,
-#       text_rolling_fingerprint, text_quality_score) lead, then 44 of
-#       the 45 r05-tier rows (window_topk_orders_per_customer, same r05
-#       tier, rotates next round — tier-splitting is allowed: nothing
-#       OUTSIDE the prefix is strictly staler than any fill row).
+#       text_rolling_fingerprint, text_quality_score) lead, then 43 of
+#       the 45 r05-tier rows (window_topk_orders_per_customer and
+#       stream_incremental_rollup, same r05 tier, rotate next round —
+#       tier-splitting is allowed: nothing OUTSIDE the prefix is
+#       strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
@@ -64,9 +65,10 @@ CHANGED_THIS_ROUND = [
     "dedup_semantic_scaled",
 ]
 _R09_PREFIX = [
-    # (a) never driver-stamped (round-9 audio fingerprint rows)
+    # (a) never driver-stamped (round-9 additions)
     "multimodal_audio_fingerprint",
     "multimodal_audio_fingerprint_neardup",
+    "curation_conversation_assembly",
     # (b) changed this round
     *CHANGED_THIS_ROUND,
     # (c) stalest-stamp fill: the 3 r04 rows deferred in round 8...
@@ -118,7 +120,6 @@ _R09_PREFIX = [
     "sim_quantized_topk",
     "stream_append_late_drop",
     "stream_dedup_watermark",
-    "stream_incremental_rollup",
 ]
 assert len(_R09_PREFIX) == 50, len(_R09_PREFIX)
 assert len(set(_R09_PREFIX)) == 50

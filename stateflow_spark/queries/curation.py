@@ -1167,3 +1167,72 @@ def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "n_chars").join(F.broadcast(cdf), "n_chars").select(
         "doc_id", "n_chars", "pct_rank"
     )
+
+
+@register(
+    "curation_conversation_assembly",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), isl AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_turns,
+           string_agg(event_type || '#' || CAST(event_id AS VARCHAR),
+                      ' | ' ORDER BY ts, event_id) AS transcript
+    FROM isl GROUP BY user_id, sid
+    """,
+    tags=("curation", "conversation", "sft"),
+)
+def curation_conversation_assembly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversation/transcript assembly — the SFT-data-prep step that turns
+    an event log into ordered per-session training transcripts: sessionize
+    each user's events (30-minute gap, the events_session_windows rule),
+    then pack each session's turns into ONE ordered transcript string
+    (turn = event_type#event_id here; a chat pipeline renders
+    role/content the same way). This is the step between raw logs and
+    the packing/mixing stages (curation_pack_sequences consumes such
+    rows by length).
+
+    Determinism: turns order by (ts, event_id) — a total order — via
+    sort_array over collected (ts, event_id, turn) structs; the oracle's
+    string_agg(... ORDER BY ts, event_id) replays it exactly. Plan
+    shape: ONE shuffle (the session_window aggregate on user_id); the
+    per-session collect_list is bounded by session length — the same
+    data-shaped bound every sessionization carries — and transcripts are
+    the output payload, not an intermediate. At 100 TB: user-keyed
+    exchange of raw turns once, partial-aggregated where Spark's
+    session-window merge allows, no second pass."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "turn_str",
+        F.concat_ws("#", F.col("event_type"), F.col("event_id").cast("string")),
+    )
+    g = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "turn_str"))
+            ).alias("ordered"),
+        )
+    )
+    return g.select(
+        "user_id",
+        "session_start",
+        "n_turns",
+        F.concat_ws(
+            " | ", F.expr("transform(ordered, x -> x.turn_str)")
+        ).alias("transcript"),
+    )
