@@ -36,17 +36,18 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 2 round-9 audio
-#       fingerprint rows + curation_conversation_assembly;
+#   (a) every query with NO driver stamp ever — the 4 round-9 additions
+#       (2 audio fingerprint rows, curation_conversation_assembly,
+#       text_fim_split);
 #   (b) every query whose results changed this round
 #       (CHANGED_THIS_ROUND below) = 1;
-#   (c) the remaining 46 slots fill with the STALEST stamps — the 3
+#   (c) the remaining 45 slots fill with the STALEST stamps — the 3
 #       r04-tier rows deferred in round 8 (text_token_stats,
-#       text_rolling_fingerprint, text_quality_score) lead, then 43 of
-#       the 45 r05-tier rows (window_topk_orders_per_customer and
-#       stream_incremental_rollup, same r05 tier, rotate next round —
-#       tier-splitting is allowed: nothing OUTSIDE the prefix is
-#       strictly staler than any fill row).
+#       text_rolling_fingerprint, text_quality_score) lead, then 42 of
+#       the 45 r05-tier rows (window_topk_orders_per_customer,
+#       stream_incremental_rollup, stream_dedup_watermark — same r05
+#       tier, rotate next round — tier-splitting is allowed: nothing
+#       OUTSIDE the prefix is strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
@@ -69,6 +70,7 @@ _R09_PREFIX = [
     "multimodal_audio_fingerprint",
     "multimodal_audio_fingerprint_neardup",
     "curation_conversation_assembly",
+    "text_fim_split",
     # (b) changed this round
     *CHANGED_THIS_ROUND,
     # (c) stalest-stamp fill: the 3 r04 rows deferred in round 8...
@@ -119,7 +121,6 @@ _R09_PREFIX = [
     "sim_knn_join",
     "sim_quantized_topk",
     "stream_append_late_drop",
-    "stream_dedup_watermark",
 ]
 assert len(_R09_PREFIX) == 50, len(_R09_PREFIX)
 assert len(set(_R09_PREFIX)) == 50

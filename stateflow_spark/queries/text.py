@@ -1754,3 +1754,79 @@ def text_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "gram")
         .limit(20)
     )
+
+
+# 8-hex-char md5 prefix folded to a BIGINT, DuckDB side (the _WORD_HASH_SQL
+# construction over a parameterized hex window)
+def _hex_fold_duck(expr: str, start: int, n: int) -> str:
+    return (
+        f"list_reduce(list_transform(range({start}, {start + n}),"
+        f" j -> CAST(strpos('0123456789abcdef', substr(md5({expr}), j, 1)) - 1"
+        " AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+
+
+@register(
+    "text_fim_split",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+               {_hex_fold_duck('text', 1, 8)} % (length(text) + 1) AS p1,
+               {_hex_fold_duck('text', 9, 8)} % (length(text) + 1) AS p2,
+               ({_hex_fold_duck('text', 17, 2)} % 2 = 0) AS fim_applied
+        FROM documents
+    )
+    SELECT doc_id, fim_applied,
+           LEAST(p1, p2) AS cut_lo, GREATEST(p1, p2) AS cut_hi,
+           CASE WHEN fim_applied THEN
+               '<PRE>' || substr(text, 1, CAST(LEAST(p1, p2) AS INTEGER))
+             || '<SUF>' || substr(text, CAST(GREATEST(p1, p2) + 1 AS INTEGER))
+             || '<MID>' || substr(text, CAST(LEAST(p1, p2) + 1 AS INTEGER),
+                                  CAST(GREATEST(p1, p2) - LEAST(p1, p2)
+                                       AS INTEGER))
+           ELSE text END AS sample
+    FROM cuts
+    """,
+    tags=("text", "fim", "pretraining"),
+)
+def text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle") — the PSM
+    rewrite a code/text pretraining pipeline applies to a fraction of
+    documents: split each doc at two pivots into prefix/middle/suffix
+    and emit `<PRE>prefix<SUF>suffix<MID>middle`, leaving the rest
+    verbatim (50% FIM rate here).
+
+    Everything is DETERMINISTIC and hash-derived (the curation-family
+    rule: no rand()): pivots are two independent 32-bit md5 windows of
+    the text reduced mod L+1, the apply decision one more hex window mod
+    2 — so the transformation is reproducible across engines, runs, and
+    partitionings, and the oracle replays byte-identical samples. Plan
+    shape: a pure per-row projection — no shuffle, no UDF, whole-stage
+    codegen end to end; at 100 TB this runs at scan speed as one stage
+    fused into whatever consumes it."""
+    d = load(spark, sf_dir, "documents")
+
+    def hx(start: int, n: int):
+        return F.conv(F.substring(F.md5("text"), start, n), 16, 10).cast(
+            "bigint"
+        )
+
+    L = F.length("text").cast("bigint")
+    p1 = hx(1, 8) % (L + 1)
+    p2 = hx(9, 8) % (L + 1)
+    lo, hi = F.least(p1, p2), F.greatest(p1, p2)
+    applied = (hx(17, 2) % 2) == 0
+    t = F.col("text")
+    psm = F.concat(
+        F.lit("<PRE>"), t.substr(F.lit(1).cast("int"), lo.cast("int")),
+        F.lit("<SUF>"), t.substr((hi + 1).cast("int"), (L - hi).cast("int")),
+        F.lit("<MID>"), t.substr((lo + 1).cast("int"), (hi - lo).cast("int")),
+    )
+    return d.select(
+        "doc_id",
+        applied.alias("fim_applied"),
+        lo.alias("cut_lo"),
+        hi.alias("cut_hi"),
+        F.when(applied, psm).otherwise(t).alias("sample"),
+    )
