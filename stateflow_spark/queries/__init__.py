@@ -39,15 +39,16 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 #   (a) every query with NO driver stamp ever — the 4 round-9 additions
 #       (2 audio fingerprint rows, curation_conversation_assembly,
 #       text_fim_split);
-#   (b) every query whose results changed this round
-#       (CHANGED_THIS_ROUND below) = 1;
-#   (c) the remaining 45 slots fill with the STALEST stamps — the 3
+#   (b) every query whose results or plan changed this round
+#       (CHANGED_THIS_ROUND below) = 2;
+#   (c) the remaining 44 slots fill with the STALEST stamps — the 3
 #       r04-tier rows deferred in round 8 (text_token_stats,
-#       text_rolling_fingerprint, text_quality_score) lead, then 42 of
+#       text_rolling_fingerprint, text_quality_score) lead, then 41 of
 #       the 45 r05-tier rows (window_topk_orders_per_customer,
-#       stream_incremental_rollup, stream_dedup_watermark — same r05
-#       tier, rotate next round — tier-splitting is allowed: nothing
-#       OUTSIDE the prefix is strictly staler than any fill row).
+#       stream_incremental_rollup, stream_dedup_watermark,
+#       stream_append_late_drop — same r05 tier, rotate next round —
+#       tier-splitting is allowed: nothing OUTSIDE the prefix is
+#       strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
@@ -64,6 +65,10 @@ CHANGED_THIS_ROUND = [
     # rule changed, so cluster ids and kept flags CHANGE (oracle replays
     # the new rule)
     "dedup_semantic_scaled",
+    # Arrow-optimized UDTF (plan changes — BatchEvalPythonUDTF →
+    # ArrowEvalPythonUDTF — same results; found by the new suite-wide
+    # BatchEvalPython gate)
+    "udtf_bigram_top20",
 ]
 _R09_PREFIX = [
     # (a) never driver-stamped (round-9 additions)
@@ -120,7 +125,6 @@ _R09_PREFIX = [
     "sim_kmeans_iterations",
     "sim_knn_join",
     "sim_quantized_topk",
-    "stream_append_late_drop",
 ]
 assert len(_R09_PREFIX) == 50, len(_R09_PREFIX)
 assert len(set(_R09_PREFIX)) == 50

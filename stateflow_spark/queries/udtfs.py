@@ -23,7 +23,11 @@ from stateflow_spark.catalog import load
 from stateflow_spark.queries.common import register
 
 
-@udtf(returnType="doc_id: bigint, pos: int, ngram: string")
+# useArrow: without it a Python UDTF plans as BatchEvalPythonUDTF —
+# row-at-a-time pickle transfer. The module docstring's "Arrow-batched"
+# claim was aspirational until the round-9 suite-wide BatchEvalPython
+# plan gate caught the divergence (test_plans.py).
+@udtf(returnType="doc_id: bigint, pos: int, ngram: string", useArrow=True)
 class BigramUDTF:
     """Emit (doc_id, position, bigram) per whitespace-token bigram."""
 

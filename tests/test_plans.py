@@ -59,14 +59,23 @@ def test_q22_anti_join_physical(spark):
 
 
 def test_no_cartesian_products_anywhere(spark):
-    """A missing join condition silently becomes a cartesian product — at
-    100 TB that is a non-terminating query. One-row scalar-subquery cross
-    joins must plan as BroadcastNestedLoopJoin, never CartesianProduct."""
+    """Two suite-wide plan invariants, checked in one sweep over every
+    registered batch query:
+    - a missing join condition silently becomes a cartesian product — at
+      100 TB that is a non-terminating query; one-row scalar-subquery
+      cross joins must plan as BroadcastNestedLoopJoin, never
+      CartesianProduct;
+    - no ROW-AT-A-TIME Python UDF (BatchEvalPython) anywhere — every
+      Python stage must be Arrow-batched (ArrowEvalPython, MapInPandas,
+      FlatMapGroupsInPandas, pandas UDAF), the 10-100× serialization
+      difference on the hot path (round-9 addition: previously enforced
+      by review, now by gate)."""
     for name, qd in sorted(REGISTRY.items()):
         if not (RELATIONAL_TAGS & set(qd.tags)):
             continue
         plan = explain_str(qd.fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_aggregates_are_partial_final(spark):
