@@ -487,12 +487,18 @@ def multimodal_audio_vad_segments(
     integer byte sums on both engines."""
     n_part = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    # empty-payload guard: Spark's sequence(0, -1) DESCENDS ([0, -1] —
+    # unlike DuckDB's empty range), so a zero-length payload would grow
+    # two phantom frames and silently diverge from the oracle's "no
+    # frames" (round-9 edge audit; the corpus has no empty docs, the
+    # guard keeps the kernel total)
     es_expr = f"""
+        CASE WHEN length(text) < 1 THEN CAST(array() AS ARRAY<BIGINT>) ELSE
         transform(sequence(0, CAST(ceil(length(text) / {_VAD_FRAME}.0) AS INT) - 1),
             f -> aggregate(sequence(1, {_VAD_FRAME}), 0L,
                  (acc, j) -> acc + IF(f*{_VAD_FRAME} + j <= length(text),
                                       ascii(substring(text, f*{_VAD_FRAME} + j, 1)),
-                                      0)))
+                                      0))) END
     """
     es = (
         d.select("doc_id", F.expr(es_expr).alias("es"))
@@ -503,6 +509,7 @@ def multimodal_audio_vad_segments(
         "ARRAY<STRUCT<s: INT, e: INT, n: INT, te: BIGINT>>"
     )
     fold = f"""
+        CASE WHEN size(es) = 0 THEN CAST(array() AS {seg_t}) ELSE
         aggregate(
             sequence(0, size(es) - 1),
             named_struct('segs', CAST(array() AS {seg_t}),
@@ -522,7 +529,7 @@ def multimodal_audio_vad_segments(
                     array_append(a.segs, named_struct(
                         's', a.cs, 'e', a.cs + a.cn - 1,
                         'n', a.cn, 'te', a.cte)),
-                    a.segs))
+                    a.segs)) END
     """
     return (
         es.select("doc_id", F.explode(F.expr(fold)).alias("g"))
@@ -557,8 +564,11 @@ _AFP_SQL = """
                        j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1))
                                  AS BIGINT)) AS bs
             FROM documents),
+        -- list_sum, not list_reduce: list_reduce raises on the empty list
+        -- a zero-length payload produces (round-9 edge audit)
         tt AS (SELECT doc_id, L, bs,
-                      list_reduce(bs, (a, b) -> a + b) AS T FROM base)
+                      CAST(COALESCE(list_sum(bs), 0) AS BIGINT) AS T
+               FROM base)
         SELECT doc_id,
                list_reduce(list_transform(range(0, 60), i ->
                    CASE WHEN COALESCE(list_sum(list_slice(bs,
@@ -611,9 +621,15 @@ def _afp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = (
         d.select(
             "doc_id",
+            # empty-payload guard: sequence(1, 0) DESCENDS in Spark
+            # ([1, 0]) where DuckDB's range(1, 1) is empty — an empty
+            # clip would grow two phantom bytes and silently diverge
+            # (round-9 edge audit)
             F.expr(
-                "transform(sequence(1, length(text)), j -> "
-                "CAST(ascii(substring(text, j, 1)) AS BIGINT))"
+                "CASE WHEN length(text) < 1"
+                " THEN CAST(array() AS ARRAY<BIGINT>)"
+                " ELSE transform(sequence(1, length(text)), j -> "
+                "CAST(ascii(substring(text, j, 1)) AS BIGINT)) END"
             ).alias("bs"),
         )
         .select(

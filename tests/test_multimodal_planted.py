@@ -226,3 +226,50 @@ def test_audio_fingerprint_neardup_recall_and_precision(spark, afp_planted):
     assert (2, 3) in pairs  # transitively, same signature distance
     # precision: nothing else within the radius
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_audio_rows_edge_corpus_matches_oracle(spark, tmp_path_factory):
+    """Degenerate payloads (empty / sub-frame / exactly-one-frame /
+    window-boundary) through BOTH audio rows, Spark vs DuckDB directly:
+    Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's range is
+    empty, so an unguarded kernel silently grows phantom frames/bytes on
+    an empty clip (round-9 edge audit — the corpus never triggers this;
+    this test is the net that keeps it true under future corpora)."""
+    import duckdb
+
+    rows = [
+        (1, ""),  # empty clip
+        (2, "a"),  # single byte
+        (3, "short doc"),  # sub-frame
+        (4, "x" * 15),  # one byte under the VAD frame
+        (5, "y" * 16),  # exactly one frame
+        (6, "z" * 61),  # one past the 60-window fingerprint width
+    ]
+    d = tmp_path_factory.mktemp("audio_edge")
+    _write_documents(spark, d, rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "multimodal_audio_fingerprint",
+        "multimodal_audio_vad_segments",
+    ):
+        qd = REGISTRY[name]
+        sdf = qd.fn(spark, str(d))
+        cols = sorted(sdf.columns)
+        srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+        dr = con.execute(qd.oracle).fetchall()
+        dcols = [c[0] for c in con.description]
+        idx = [dcols.index(c) for c in cols]
+        drows = sorted(tuple(str(r[i]) for i in idx) for r in dr)
+        assert srows == drows, (name, srows[:3], drows[:3])
+    # the empty clip's fingerprint exists and is all-zero bits
+    fp = {
+        r.doc_id: r.afp
+        for r in REGISTRY["multimodal_audio_fingerprint"]
+        .fn(spark, str(d))
+        .collect()
+    }
+    assert fp[1] == 0
