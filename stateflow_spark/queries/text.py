@@ -1037,7 +1037,12 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     text analysis)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    bg = toks.select(
+    # single-token guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), so an
+    # unguarded one-word doc evaluates t[-1] — INVALID_ARRAY_INDEX under
+    # ANSI mode where DuckDB's empty range simply emits no bigrams
+    # (round-9 edge audit; the corpus never has one-word docs, the guard
+    # keeps the kernel total)
+    bg = toks.filter(F.size("t") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
