@@ -168,8 +168,15 @@ def cosine_ge_banded(
         )
     else:
         band_c = F.lit(float(band))
+    # zero-norm guard (round-9 edge audit): cosine is UNDEFINED for a
+    # zero vector — the convention here is "similar to nothing" (FALSE).
+    # Unguarded, Spark's ANSI division raised DIVIDE_BY_ZERO (loud crash
+    # of the whole query for one bad row) while DuckDB's NaN-compares-
+    # greatest semantics would have called every zero-pair similar —
+    # oracles carry the matching `n2 > 0` predicate.
     return (
-        F.when(fast >= F.lit(tau) + band_c, F.lit(True))
+        F.when(denom == F.lit(0.0), F.lit(False))
+        .when(fast >= F.lit(tau) + band_c, F.lit(True))
         .when(fast < F.lit(tau) - band_c, F.lit(False))
         .otherwise(dot_dec(a, b) / denom >= F.lit(tau))
     )

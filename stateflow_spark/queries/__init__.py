@@ -40,15 +40,17 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 #       (2 audio fingerprint rows, curation_conversation_assembly,
 #       text_fim_split);
 #   (b) every query whose results or plan changed this round
-#       (CHANGED_THIS_ROUND below) = 2;
-#   (c) the remaining 44 slots fill with the STALEST stamps — the 3
+#       (CHANGED_THIS_ROUND below) = 5 (sim_knn_join is also the r05
+#       fill tier, listed once);
+#   (c) the remaining slots fill with the STALEST stamps — the 3
 #       r04-tier rows deferred in round 8 (text_token_stats,
-#       text_rolling_fingerprint, text_quality_score) lead, then 41 of
+#       text_rolling_fingerprint, text_quality_score) lead, then 39 of
 #       the 45 r05-tier rows (window_topk_orders_per_customer,
 #       stream_incremental_rollup, stream_dedup_watermark,
-#       stream_append_late_drop — same r05 tier, rotate next round —
-#       tier-splitting is allowed: nothing OUTSIDE the prefix is
-#       strictly staler than any fill row).
+#       stream_append_late_drop, sim_quantized_topk, sim_ivf_topk —
+#       same r05 tier, rotate next round — tier-splitting is allowed:
+#       nothing OUTSIDE the prefix is strictly staler than any fill
+#       row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
@@ -69,6 +71,12 @@ CHANGED_THIS_ROUND = [
     # ArrowEvalPythonUDTF — same results; found by the new suite-wide
     # BatchEvalPython gate)
     "udtf_bigram_top20",
+    # zero-norm cosine guards (round-9 edge audit): plan + oracle change
+    # (n2 > 0 predicates; cosine_ge_banded zero short-circuit), results
+    # identical on any corpus without zero vectors
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "sim_knn_join",
 ]
 _R09_PREFIX = [
     # (a) never driver-stamped (round-9 additions)
@@ -82,8 +90,8 @@ _R09_PREFIX = [
     "text_quality_score",
     "text_rolling_fingerprint",
     "text_token_stats",
-    # ...then 44 of the 45 r05 rows (window_topk_orders_per_customer
-    # rotates next round)
+    # ...then 39 of the 45 r05 rows (six rotate to round 10, named in
+    # the composition note above)
     "agg_salted_two_phase",
     "curation_balance_mixture",
     "curation_benchmark_contamination",
@@ -121,10 +129,7 @@ _R09_PREFIX = [
     "sim_cosine_topk",
     "sim_hyperplane_lsh",
     "sim_ivf_knn_join",
-    "sim_ivf_topk",
     "sim_kmeans_iterations",
-    "sim_knn_join",
-    "sim_quantized_topk",
 ]
 assert len(_R09_PREFIX) == 50, len(_R09_PREFIX)
 assert len(set(_R09_PREFIX)) == 50

@@ -696,7 +696,10 @@ _EMB_EX_SQL = """
     FROM dots
     JOIN norms na ON na.vec_id = vec_a
     JOIN norms nb ON nb.vec_id = vec_b
-    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {EMB_COSINE_THRESHOLD}
+    -- n2 > 0: cosine is undefined for zero vectors — never similar
+    -- (cosine_ge_banded's zero-norm guard, round-9 edge audit)
+    WHERE na.n2 > 0 AND nb.n2 > 0
+      AND dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {EMB_COSINE_THRESHOLD}
     """,
     tags=("dedup", "embedding", "cosine"),
 )
@@ -1247,7 +1250,8 @@ _SEMDEDUP_K = 4  # quantizer granularity; seeds = vec_id 1..k
         SELECT DISTINCT vb FROM dots
         JOIN n na ON na.vec_id = va
         JOIN n nb ON nb.vec_id = vb
-        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {SEMDEDUP_THRESHOLD}
+        WHERE na.n2 > 0 AND nb.n2 > 0
+          AND dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {SEMDEDUP_THRESHOLD}
     )
     SELECT a.vec_id, a.cid, (d.vb IS NULL) AS kept
     FROM asg a LEFT JOIN dropped d ON d.vb = a.vec_id
@@ -1389,7 +1393,8 @@ _SEMDEDUP_POP = 64  # target cluster population; k = max(4, ceil(N / POP))
         SELECT DISTINCT vb FROM dots
         JOIN n na ON na.vec_id = va
         JOIN n nb ON nb.vec_id = vb
-        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {SEMDEDUP_THRESHOLD}
+        WHERE na.n2 > 0 AND nb.n2 > 0
+          AND dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {SEMDEDUP_THRESHOLD}
     )
     SELECT a.vec_id, a.cid, (d.vb IS NULL) AS kept
     FROM asg a LEFT JOIN dropped d ON d.vb = a.vec_id

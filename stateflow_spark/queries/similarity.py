@@ -190,6 +190,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dots
         JOIN norms na ON na.vec_id = dots.qid
         JOIN norms nb ON nb.vec_id = dots.vec_id
+        -- n2 > 0: cosine undefined for zero vectors — a zero query has
+        -- no neighbors, a zero corpus row is never one (round-9 audit)
+        WHERE na.n2 > 0 AND nb.n2 > 0
     )
     SELECT qid, vec_id AS neighbor_id, cosine, rnk FROM (
         SELECT qid, vec_id, cosine,
@@ -211,19 +214,25 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored row per (corpus row × query), the unavoidable k-NN-join volume;
     the IVF path (sim_ivf_topk) is the shape that prunes it."""
     corpus = _corpus(spark, sf_dir)
+    # n2/qn2 > 0 filters: cosine is undefined for zero-norm vectors — a
+    # zero query gets no neighbors, a zero corpus row is never one
+    # (round-9 edge audit: unguarded, one all-zero embedding raised
+    # ANSI DIVIDE_BY_ZERO and killed the whole join)
     qblock = F.broadcast(
-        corpus.filter(F.col("vec_id") < 20).select(
+        corpus.filter(F.col("vec_id") < 20)
+        .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
             norm2_dec("v").alias("qn2"),
         )
+        .filter(F.col("qn2") > 0)
     )
     # own-norm once per corpus row (not once per pair: the BNLJ multiplies
     # rows ×20, and a fold inside the post-join projection would re-run
     # per pair — 20× redundant interpreted work)
     probe = _corpus(spark, sf_dir, fan_out=True).select(
         "vec_id", "v", norm2_dec("v").alias("n2")
-    )
+    ).filter(F.col("n2") > 0)
     scored = (
         probe.crossJoin(qblock)
         .filter(F.col("vec_id") != F.col("qid"))

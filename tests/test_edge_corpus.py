@@ -86,3 +86,75 @@ def test_edge_corpus_matches_oracle(spark, edge_dir, edge_con, name):
     idx = [dcols.index(c) for c in cols]
     drows = sorted(tuple(str(r[i]) for i in idx) for r in dr)
     assert srows == drows, (name, srows[:3], drows[:3])
+
+
+EDGE_EMB_QUERIES = [
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "dedup_semantic_scaled",
+    "sim_knn_join",
+    "sim_cosine_topk",
+    "sim_centroid_distance",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(spark, tmp_path_factory):
+    """Embeddings with ZERO vectors (a failed encoder's all-zero rows),
+    denormal norms, and exact-duplicate vectors: round 9 found one
+    zero-norm row killed four cosine queries with ANSI DIVIDE_BY_ZERO
+    (while DuckDB's NaN-compares-greatest would have called every
+    zero-pair similar). Convention now: zero vectors are similar to
+    nothing (cosine_ge_banded guard + `n2 > 0` in query and oracle)."""
+    import random
+
+    rng = random.Random(7)
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(64)]
+
+    v1 = vec()
+    rows = [
+        (1, v1, "labA"), (2, list(v1), "labA"),  # exact duplicate pair
+        (3, [0.0] * 64, "labB"), (4, [0.0] * 64, "labB"),  # zero vectors
+        (5, [1e-300] * 64, "labC"),  # denormal norms
+        (6, vec(), "labC"), (7, vec(), "labD"), (8, vec(), "labD"),
+    ] + [(i, vec(), f"lab{i}") for i in range(9, 30)]
+    d = tmp_path_factory.mktemp("edge_emb")
+    spark.createDataFrame(
+        [(i, v, lab) for i, v, lab in rows],
+        "vec_id long, embedding array<double>, label string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_emb_con(edge_emb_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(edge_emb_dir, 'embeddings.parquet')}/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_EMB_QUERIES)
+def test_edge_embeddings_match_oracle(spark, edge_emb_dir, edge_emb_con, name):
+    qd = REGISTRY[name]
+    sdf = qd.fn(spark, edge_emb_dir)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    dr = edge_emb_con.execute(qd.oracle).fetchall()
+    dcols = [c[0] for c in edge_emb_con.description]
+    idx = [dcols.index(c) for c in cols]
+    drows = sorted(tuple(str(r[i]) for i in idx) for r in dr)
+    assert srows == drows, (name, srows[:3], drows[:3])
+    # the planted exact-duplicate pair must survive every similarity row
+    if name == "dedup_embedding_cosine":
+        assert ("1", "2") in {(r[1], r[2]) for r in srows} or any(
+            r[1] == "1" and r[2] == "2" for r in srows
+        )
