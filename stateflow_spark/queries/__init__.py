@@ -40,17 +40,18 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 #       (2 audio fingerprint rows, curation_conversation_assembly,
 #       text_fim_split);
 #   (b) every query whose results or plan changed this round
-#       (CHANGED_THIS_ROUND below) = 5 (sim_knn_join is also the r05
-#       fill tier, listed once);
+#       (CHANGED_THIS_ROUND below) = 7 (sim_knn_join and
+#       sim_ivf_knn_join are also the r05 fill tier, listed once;
+#       sim_hard_negatives is r07-stamped);
 #   (c) the remaining slots fill with the STALEST stamps — the 3
 #       r04-tier rows deferred in round 8 (text_token_stats,
-#       text_rolling_fingerprint, text_quality_score) lead, then 39 of
+#       text_rolling_fingerprint, text_quality_score) lead, then 38 of
 #       the 45 r05-tier rows (window_topk_orders_per_customer,
 #       stream_incremental_rollup, stream_dedup_watermark,
-#       stream_append_late_drop, sim_quantized_topk, sim_ivf_topk —
-#       same r05 tier, rotate next round — tier-splitting is allowed:
-#       nothing OUTSIDE the prefix is strictly staler than any fill
-#       row).
+#       stream_append_late_drop, sim_quantized_topk, sim_ivf_topk,
+#       sim_kmeans_iterations — same r05 tier, rotate next round —
+#       tier-splitting is allowed: nothing OUTSIDE the prefix is
+#       strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
@@ -77,6 +78,8 @@ CHANGED_THIS_ROUND = [
     "dedup_embedding_cosine",
     "dedup_semantic",
     "sim_knn_join",
+    "sim_ivf_knn_join",
+    "sim_hard_negatives",
 ]
 _R09_PREFIX = [
     # (a) never driver-stamped (round-9 additions)
@@ -128,8 +131,6 @@ _R09_PREFIX = [
     "sim_centroid_distance",
     "sim_cosine_topk",
     "sim_hyperplane_lsh",
-    "sim_ivf_knn_join",
-    "sim_kmeans_iterations",
 ]
 assert len(_R09_PREFIX) == 50, len(_R09_PREFIX)
 assert len(set(_R09_PREFIX)) == 50

@@ -701,6 +701,8 @@ _KNN_NPROBE = 3  # clusters probed per query in the pruned k-NN join
         FROM dots
         JOIN norms na ON na.vec_id = dots.qid
         JOIN norms nb ON nb.vec_id = dots.vec_id
+        -- n2 > 0: zero-norm vectors are similar to nothing (round-9)
+        WHERE na.n2 > 0 AND nb.n2 > 0
     )
     SELECT qid, vec_id AS neighbor_id, cosine, rnk FROM (
         SELECT qid, vec_id, cosine,
@@ -724,12 +726,17 @@ def sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is hash-gated."""
     cent = _centroids(spark, sf_dir)
     corpus = _corpus(spark, sf_dir)
+    # qn2/n2 > 0: zero-norm vectors are similar to nothing (the round-9
+    # convention — see sim_knn_join); unguarded, one all-zero embedding
+    # raised ANSI DIVIDE_BY_ZERO in the cosine projection
     qblock = F.broadcast(
-        corpus.filter(F.col("vec_id") < 20).select(
+        corpus.filter(F.col("vec_id") < 20)
+        .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
             norm2_dec("v").alias("qn2"),
         )
+        .filter(F.col("qn2") > 0)
     )
     wprobe = Window.partitionBy("qid").orderBy(
         F.col("cdot").desc(), F.col("label")
@@ -741,8 +748,10 @@ def sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_NPROBE)
         .select("qid", "label")
     )
-    labeled = _corpus(spark, sf_dir, with_label=True, fan_out=True).select(
-        "vec_id", "label", "v", norm2_dec("v").alias("n2")
+    labeled = (
+        _corpus(spark, sf_dir, with_label=True, fan_out=True)
+        .select("vec_id", "label", "v", norm2_dec("v").alias("n2"))
+        .filter(F.col("n2") > 0)
     )
     scored = (
         labeled.join(F.broadcast(probe), "label")
@@ -1832,6 +1841,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN embeddings emb ON emb.vec_id = d.vec_id
         JOIN norms na ON na.vec_id = d.qid
         JOIN norms nb ON nb.vec_id = d.vec_id
+        -- n2 > 0: zero-norm vectors are similar to nothing (round-9)
+        WHERE na.n2 > 0 AND nb.n2 > 0
     )
     SELECT qid, kind, vec_id AS neighbor_id, cosine, rnk FROM (
         SELECT qid, kind, vec_id, cosine,
@@ -1869,16 +1880,23 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines); the kind-dependent sort key negates a double (sign
     flip is exact) and ties break on vec_id."""
     corpus = _corpus(spark, sf_dir, with_label=True)
+    # qn2/n2 > 0: zero-norm vectors mine nothing and are never mined
+    # (the round-9 similar-to-nothing convention; unguarded, one
+    # all-zero embedding raised ANSI DIVIDE_BY_ZERO)
     ablock = F.broadcast(
-        corpus.filter(F.col("vec_id") < 20).select(
+        corpus.filter(F.col("vec_id") < 20)
+        .select(
             F.col("vec_id").alias("qid"),
             F.col("label").alias("qlabel"),
             F.col("v").alias("qv"),
             norm2_dec("v").alias("qn2"),
         )
+        .filter(F.col("qn2") > 0)
     )
-    probe = _corpus(spark, sf_dir, with_label=True, fan_out=True).select(
-        "vec_id", "label", "v", norm2_dec("v").alias("n2")
+    probe = (
+        _corpus(spark, sf_dir, with_label=True, fan_out=True)
+        .select("vec_id", "label", "v", norm2_dec("v").alias("n2"))
+        .filter(F.col("n2") > 0)
     )
     scored = (
         probe.crossJoin(ablock)

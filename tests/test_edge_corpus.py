@@ -93,8 +93,17 @@ EDGE_EMB_QUERIES = [
     "dedup_semantic",
     "dedup_semantic_scaled",
     "sim_knn_join",
+    "sim_ivf_knn_join",
+    "sim_hard_negatives",
     "sim_cosine_topk",
     "sim_centroid_distance",
+    "sim_hyperplane_lsh",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "sim_quantized_topk",
+    "sim_pq_adc_topk",
+    "sim_range_search",
+    "sim_mmr_diverse_topk",
 ]
 
 
