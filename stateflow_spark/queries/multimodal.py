@@ -352,6 +352,9 @@ _XMODAL_DOT = (
         FROM dots d
         JOIN qn ON qn.doc_id = d.doc_id
         JOIN vn ON vn.vec_id = d.vec_id
+        -- qn2/vn2 > 0: zero-norm captions retrieve nothing, zero-norm
+        -- image slices are never retrieved (r9/r10 convention)
+        WHERE qn.qn2 > 0 AND vn.vn2 > 0
     )
     SELECT qid, vec_id AS neighbor_id, cosine, rnk FROM (
         SELECT *, ROW_NUMBER() OVER (
@@ -399,7 +402,11 @@ def multimodal_crossmodal_retrieval(
     qv = decode_features(blobs).select(
         F.col("doc_id").alias("qid"), F.array(*FEAT_COLS).alias("qv")
     )
-    qblock = F.broadcast(qv.withColumn("qn2", norm2_dec("qv")))
+    # qn2/vn2 > 0: cosine undefined for zero-norm sides — a zero-feature
+    # caption retrieves nothing, a zero image slice is never retrieved
+    qblock = F.broadcast(
+        qv.withColumn("qn2", norm2_dec("qv")).filter(F.col("qn2") > 0)
+    )
     probe = (
         load(spark, sf_dir, "embeddings")
         .select(
@@ -408,6 +415,7 @@ def multimodal_crossmodal_retrieval(
         )
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .withColumn("vn2", norm2_dec("v"))
+        .filter(F.col("vn2") > 0)
     )
     scored = probe.crossJoin(qblock).select(
         "qid",

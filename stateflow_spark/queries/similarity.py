@@ -139,7 +139,9 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM qx)
     SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
     FROM dots, qn
-    WHERE vec_id <> 0
+    -- norm2/qnorm2 > 0: zero-norm vectors are similar to nothing (r9
+    -- convention, extended here by the r9 ADVICE audit)
+    WHERE vec_id <> 0 AND norm2 > 0 AND qnorm2 > 0
     ORDER BY cosine DESC, vec_id
     LIMIT 10
     """,
@@ -156,11 +158,15 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _corpus(spark, sf_dir, fan_out=True)
         .filter(F.col("vec_id") != 0)
         .crossJoin(q)
+        .withColumn("n2", norm2_dec("v"))
+        # n2/qnorm2 > 0: cosine undefined for zero-norm vectors — similar
+        # to nothing (round-9 convention)
+        .filter((F.col("n2") > 0) & (F.col("qnorm2") > 0))
         .select(
             "vec_id",
             (
                 dot_dec("v", "qv")
-                / (F.sqrt(norm2_dec("v")) * F.sqrt(F.col("qnorm2")))
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qnorm2")))
             ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -344,6 +350,8 @@ def sim_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM qx)
     SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
     FROM dots, qn
+    -- norm2/qnorm2 > 0: zero-norm vectors are similar to nothing (r9/r10)
+    WHERE norm2 > 0 AND qnorm2 > 0
     ORDER BY cosine DESC, vec_id
     LIMIT 10
     """,
@@ -372,11 +380,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(probed_labels), "label")
         .filter(F.col("vec_id") != 0)
         .crossJoin(q)
+        .withColumn("n2", norm2_dec("v"))
+        # n2/qnorm2 > 0: zero-norm vectors are similar to nothing (r9/r10)
+        .filter((F.col("n2") > 0) & (F.col("qnorm2") > 0))
         .select(
             "vec_id",
             (
                 dot_dec("v", "qv")
-                / (F.sqrt(norm2_dec("v")) * F.sqrt(F.col("qnorm2")))
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qnorm2")))
             ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -469,6 +480,8 @@ def _srp_band_sig(band: int) -> F.Column:
                     AS qnorm2 FROM qx)
     SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
     FROM dots, qn
+    -- norm2/qnorm2 > 0: zero-norm vectors are similar to nothing (r9/r10)
+    WHERE norm2 > 0 AND qnorm2 > 0
     ORDER BY cosine DESC, vec_id
     LIMIT 10
     """,
@@ -511,11 +524,15 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sigged.crossJoin(qside)
         .filter(match_any)
+        .withColumn("n2", norm2_dec("v"))
+        # zero-norm vectors can share the all-zero-sign bucket with the
+        # query, but cosine is undefined for them: similar to nothing
+        .filter((F.col("n2") > 0) & (F.col("qnorm2") > 0))
         .select(
             "vec_id",
             (
                 dot_dec("v", "qv")
-                / (F.sqrt(norm2_dec("v")) * F.sqrt(F.col("qnorm2")))
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qnorm2")))
             ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -565,6 +582,8 @@ _QROUND = 127  # symmetric int8 range
                     AS qnorm2 FROM qx)
     SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
     FROM dots, qn
+    -- norm2/qnorm2 > 0: zero-norm vectors are similar to nothing (r9/r10)
+    WHERE norm2 > 0 AND qnorm2 > 0
     ORDER BY cosine DESC, vec_id
     LIMIT 10
     """,
@@ -639,11 +658,15 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return (
-        cand.select(
+        cand.withColumn("n2", norm2_dec("v"))
+        # zero-norm candidates survive the integer-dot stage (ascore 0)
+        # but cosine is undefined for them: similar to nothing (r9/r10)
+        .filter((F.col("n2") > 0) & (F.col("qnorm2") > 0))
+        .select(
             "vec_id",
             (
                 dot_dec("v", "qvec")
-                / (F.sqrt(norm2_dec("v")) * F.sqrt(F.col("qnorm2")))
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qnorm2")))
             ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -954,6 +977,8 @@ RANGE_COSINE_THRESHOLD = 0.30
     JOIN n nc ON nc.vec_id = d.vec_id
     JOIN n nq ON nq.vec_id = d.query_id
     WHERE d.vec_id <> d.query_id
+      -- n2 > 0: zero-norm vectors are similar to nothing (r9/r10)
+      AND nc.n2 > 0 AND nq.n2 > 0
       AND d.dot / (sqrt(nc.n2) * sqrt(nq.n2)) >= {RANGE_COSINE_THRESHOLD}
     """,
     tags=("similarity", "range", "bench"),
@@ -985,11 +1010,13 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("qv"),
             norm2_dec("v").alias("qn2"),
         )
+        # qn2 > 0: a zero-norm query has no neighbors (r9/r10 convention)
+        .filter(F.col("qn2") > 0)
     )
-    c = _corpus(spark, sf_dir, fan_out=True)
-    cos = dot_dec("v", "qv") / (
-        F.sqrt(norm2_dec("v")) * F.sqrt(F.col("qn2"))
-    )
+    c = _corpus(spark, sf_dir, fan_out=True).withColumn(
+        "n2", norm2_dec("v")
+    ).filter(F.col("n2") > 0)
+    cos = dot_dec("v", "qv") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
     return (
         c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1024,7 +1051,8 @@ def _mmr_oracle() -> str:
         JOIN ex q ON q.pos = c.pos AND q.vec_id = 0
         JOIN n nc ON nc.vec_id = c.vec_id
         JOIN n nq ON nq.vec_id = 0
-        WHERE c.vec_id <> 0
+        -- n2 > 0: zero-norm vectors are similar to nothing (r9/r10)
+        WHERE c.vec_id <> 0 AND nc.n2 > 0 AND nq.n2 > 0
         GROUP BY c.vec_id, nc.n2, nq.n2
     ),
     s1 AS (SELECT vec_id, rel, rel AS mmr_score FROM rel
@@ -1098,12 +1126,13 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2", norm2_dec("v")
     )
     q = F.broadcast(
-        c.filter(F.col("vec_id") == 0).select(
-            F.col("v").alias("qv"), F.col("n2").alias("qn2")
-        )
+        c.filter(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"), F.col("n2").alias("qn2"))
+        # qn2 > 0: a zero-norm query selects nothing (r9/r10 convention)
+        .filter(F.col("qn2") > 0)
     )
     rel = (
-        c.filter(F.col("vec_id") != 0)
+        c.filter((F.col("vec_id") != 0) & (F.col("n2") > 0))
         .crossJoin(q)
         .select(
             "vec_id",
@@ -1401,7 +1430,9 @@ def _rrf_oracle() -> str:
         SELECT vec_id AS doc_id,
                ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
         FROM (SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
-              FROM dots, qn WHERE vec_id <> 0
+              -- norm guards: zero-norm rows rank nowhere (r9/r10)
+              FROM dots, qn
+              WHERE vec_id <> 0 AND norm2 > 0 AND qnorm2 > 0
               ORDER BY cosine DESC, vec_id LIMIT {_RRF_LEG_N})
     )
     SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
@@ -1453,11 +1484,14 @@ def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = _corpus(spark, sf_dir, fan_out=True)
-    q = _query_vec(spark, sf_dir)
-    cos = dot_dec("v", "qv") / (F.sqrt(norm2_dec("v")) * F.sqrt(F.col("qnorm2")))
+    # qnorm2/n2 > 0: zero-norm rows rank nowhere in the vector leg (the
+    # lexical leg is unaffected) — r9/r10 similar-to-nothing convention
+    q = _query_vec(spark, sf_dir).filter(F.col("qnorm2") > 0)
+    cos = dot_dec("v", "qv") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qnorm2")))
     cos_leg = (
         c.crossJoin(q)
-        .filter(F.col("vec_id") != 0)
+        .withColumn("n2", norm2_dec("v"))
+        .filter((F.col("vec_id") != 0) & (F.col("n2") > 0))
         .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), "doc_id")
         .limit(_RRF_LEG_N)
@@ -1961,6 +1995,9 @@ _MINE_MARGIN = 1.05
         FROM dots
         JOIN norms ns ON ns.vec_id = sid
         JOIN norms nt ON nt.vec_id = tid
+        -- n2 > 0: a zero-norm source mines nothing and a zero-norm
+        -- target is never mined (r9/r10 similar-to-nothing convention)
+        WHERE ns.n2 > 0 AND nt.n2 > 0
     ),
     ranked AS (
         SELECT sid, tid, cosine,
@@ -2013,6 +2050,8 @@ def sim_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("tv"),
             norm2_dec("v").alias("tn2"),
         )
+        # tn2 > 0: a zero-norm target is never mined (r9/r10 convention)
+        .filter(F.col("tn2") > 0)
     )
     src = (
         _corpus(spark, sf_dir, with_label=True, fan_out=True)
@@ -2020,6 +2059,8 @@ def sim_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("sid"), "v", norm2_dec("v").alias("sn2")
         )
+        # sn2 > 0: a zero-norm source mines nothing (r9/r10 convention)
+        .filter(F.col("sn2") > 0)
     )
     scored = src.crossJoin(tgt).select(
         "sid",

@@ -104,7 +104,82 @@ EDGE_EMB_QUERIES = [
     "sim_pq_adc_topk",
     "sim_range_search",
     "sim_mmr_diverse_topk",
+    # round 10: the five cosine/norm consumers VERDICT r9 flagged as
+    # outside the sweep — every cosine consumer is now in it
+    "sim_bitext_mining",
+    "sim_rank_fusion",
+    "sim_power_iteration",
+    "sim_kmeans_iterations",
+    "multimodal_crossmodal_retrieval",
 ]
+
+# queries whose result is anchored on the vec_id-0 query vector: these run
+# a SECOND time over the zero-query fixture, where the convention requires
+# the empty (or query-free) result, not an error
+EDGE_QV_QUERIES = [
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "sim_quantized_topk",
+    "sim_pq_adc_topk",
+    "sim_range_search",
+    "sim_mmr_diverse_topk",
+    "sim_rank_fusion",
+]
+
+
+def _write_edge_emb(spark, tmp_path_factory, name, query_vec):
+    """Shared writer for the degenerate-embeddings fixtures. Plants a
+    vec_id-0 query row (`query_vec`), zero vectors, denormal norms, and
+    an exact-duplicate pair; plus a degenerate documents table (empty /
+    single-char texts) so multimodal_crossmodal_retrieval's caption side
+    decodes over edge inputs too."""
+    import random
+
+    rng = random.Random(7)
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(64)]
+
+    v1 = vec()
+    # labels are INTEGERS (the production embeddings schema); 0/1 double
+    # as sim_bitext_mining's source/target languages, so the bitext src
+    # and tgt sides each contain a zero vector AND one half of the
+    # exact-duplicate pair
+    rows = [
+        (0, query_vec, 0),  # the query row (r9 ADVICE: was missing)
+        (1, v1, 0), (2, list(v1), 0),  # exact dup pair, same dedup block
+        (3, [0.0] * 64, 0), (4, [0.0] * 64, 1),  # zero src + zero tgt
+        (5, [1e-300] * 64, 1),  # denormal tgt (n2 underflows to 0)
+        (6, vec(), 1), (7, vec(), 1), (8, vec(), 3),  # real bitext tgts
+    ] + [(i, vec(), i) for i in range(9, 30)]
+    d = tmp_path_factory.mktemp(name)
+    spark.createDataFrame(
+        [(i, v, lab) for i, v, lab in rows],
+        "vec_id long, embedding array<double>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    docs = [(i, t, "en", "src0", len(t)) for i, t in EDGE_ROWS]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def _edge_emb_con(edge_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{os.path.join(edge_dir, t + '.parquet')}/*.parquet')"
+        )
+    return con
 
 
 @pytest.fixture(scope="module")
@@ -117,38 +192,27 @@ def edge_emb_dir(spark, tmp_path_factory):
     nothing (cosine_ge_banded guard + `n2 > 0` in query and oracle)."""
     import random
 
-    rng = random.Random(7)
+    rng = random.Random(99)
+    qv = [rng.uniform(-1, 1) for _ in range(64)]
+    return _write_edge_emb(spark, tmp_path_factory, "edge_emb", qv)
 
-    def vec():
-        return [rng.uniform(-1, 1) for _ in range(64)]
 
-    v1 = vec()
-    rows = [
-        (1, v1, "labA"), (2, list(v1), "labA"),  # exact duplicate pair
-        (3, [0.0] * 64, "labB"), (4, [0.0] * 64, "labB"),  # zero vectors
-        (5, [1e-300] * 64, "labC"),  # denormal norms
-        (6, vec(), "labC"), (7, vec(), "labD"), (8, vec(), "labD"),
-    ] + [(i, vec(), f"lab{i}") for i in range(9, 30)]
-    d = tmp_path_factory.mktemp("edge_emb")
-    spark.createDataFrame(
-        [(i, v, lab) for i, v, lab in rows],
-        "vec_id long, embedding array<double>, label string",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        str(d / "embeddings.parquet")
-    )
-    return str(d)
+@pytest.fixture(scope="module")
+def edge_emb_zq_dir(spark, tmp_path_factory):
+    """Same corpus but the vec_id-0 QUERY vector itself is all-zero —
+    the 'failed encoder on the query side' case. Every query-anchored
+    row must return its query-free result (usually empty), not raise."""
+    return _write_edge_emb(spark, tmp_path_factory, "edge_emb_zq", [0.0] * 64)
 
 
 @pytest.fixture(scope="module")
 def edge_emb_con(edge_emb_dir):
-    import duckdb
+    return _edge_emb_con(edge_emb_dir)
 
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
-        f"'{os.path.join(edge_emb_dir, 'embeddings.parquet')}/*.parquet')"
-    )
-    return con
+
+@pytest.fixture(scope="module")
+def edge_emb_zq_con(edge_emb_zq_dir):
+    return _edge_emb_con(edge_emb_zq_dir)
 
 
 @pytest.mark.parametrize("name", EDGE_EMB_QUERIES)
@@ -167,3 +231,24 @@ def test_edge_embeddings_match_oracle(spark, edge_emb_dir, edge_emb_con, name):
         assert ("1", "2") in {(r[1], r[2]) for r in srows} or any(
             r[1] == "1" and r[2] == "2" for r in srows
         )
+    # the query-anchored queries must actually execute on this corpus:
+    # the r9 sweep was vacuous for them (no vec_id 0 existed) — pin that
+    # the real-query fixture produces non-empty results
+    if name in EDGE_QV_QUERIES and name != "sim_range_search":
+        assert srows, f"{name} returned no rows — vacuous sweep"
+
+
+@pytest.mark.parametrize("name", EDGE_QV_QUERIES)
+def test_edge_zero_query_vector(spark, edge_emb_zq_dir, edge_emb_zq_con, name):
+    """A zero-norm QUERY vector: cosine is undefined against everything,
+    so by the round-9 convention the query matches nothing. Both engines
+    must agree (and neither may raise DIVIDE_BY_ZERO)."""
+    qd = REGISTRY[name]
+    sdf = qd.fn(spark, edge_emb_zq_dir)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    dr = edge_emb_zq_con.execute(qd.oracle).fetchall()
+    dcols = [c[0] for c in edge_emb_zq_con.description]
+    idx = [dcols.index(c) for c in cols]
+    drows = sorted(tuple(str(r[i]) for i in idx) for r in dr)
+    assert srows == drows, (name, srows[:3], drows[:3])
