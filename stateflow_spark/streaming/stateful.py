@@ -36,6 +36,7 @@ event loop, close → no-op.
 
 from __future__ import annotations
 
+import copy
 import os
 import pickle
 import uuid
@@ -232,14 +233,17 @@ def _make_stateful_fn(
         events.sort(key=lambda t: t[0])
         for _, ev in events:
             # snapshot so a handler exception that ESCAPES handle() cannot
-            # persist a half-mutated state for this key. A reference
-            # snapshot (not a copy) suffices: user-code failures inside
-            # flows/invokes are converted to error replies by
-            # Interpreter.run / handle's own try (never escape), so the
-            # only escapes are pre-mutation failures — unknown entity
-            # type, malformed payload keys — which raise before any
-            # store.put or in-place state write
-            pre_state, pre_touched = store.state, store.touched
+            # persist a half-mutated state for this key. Known escapes are
+            # pre-mutation (unknown entity type, malformed payload keys —
+            # user-code failures inside flows/invokes become error replies
+            # in Interpreter.run / handle's own try), but the restore must
+            # hold even if that invariant rots: a REAL copy, because an
+            # in-place state mutation would survive a reference snapshot
+            # (r9 ADVICE). deepcopy only on the DLQ path — without a DLQ
+            # the exception re-raises and kills the query anyway.
+            if dead_letter:
+                pre_state = copy.deepcopy(store.state)
+                pre_touched = store.touched
             try:
                 res = operator.handle(ev, store)
             except Exception as ex:

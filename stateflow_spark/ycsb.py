@@ -295,10 +295,11 @@ def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
             else [events]
         )
         burst_walls: list[float] = []
+        burst_epochs: list[float] = []  # per-burst send wallclock
         t0 = time.perf_counter()
-        t0_wallclock = time.time()  # reply-file mtimes are epoch-clock
         for burst in bursts:
             bt0 = time.perf_counter()
+            burst_epochs.append(time.time())  # reply mtimes are epoch-clock
             eng.send(burst)
             eng.drain()
             burst_walls.append(time.perf_counter() - bt0)
@@ -308,9 +309,15 @@ def run_streaming(spark, mix: str, n_tasks: int = N_TASKS,
         assert n_ok == n_tasks, f"only {n_ok}/{n_tasks} replies"
         # completion spread (micro-batch resolution, reply-file mtimes —
         # the same capture the reference client's consumer thread does);
-        # p50/p99 of time-from-burst-start, round-6 VERDICT #7
+        # p50/p99 of time-from-THIS-BURST's-send, round-6 VERDICT #7 —
+        # measured against each burst's own send wallclock so paced runs
+        # report per-op latency, not completion-from-run-start (r9 ADVICE:
+        # the old t0-anchored form accumulated all earlier bursts' wall
+        # time into later bursts' "latency")
         lat = sorted(
-            eng.reply_times[e.event_id] - t0_wallclock for e in events
+            eng.reply_times[e.event_id] - burst_epochs[bi]
+            for bi, burst in enumerate(bursts)
+            for e in burst
         )
         p50 = lat[_nearest_rank(lat, 0.5)]
         p99 = lat[_nearest_rank(lat, 0.99)]
