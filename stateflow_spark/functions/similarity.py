@@ -246,6 +246,26 @@ def banded_hamming_pairs(
         f"bands must cover the signature: {n_bands}×{band_bits} "
         f"= {n_bands * band_bits} < {sig_bits} bits"
     )
+    pairs = banded_candidate_pairs(sig, id_col, sig_col, n_bands, band_bits)
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+
+
+def banded_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    n_bands: int,
+    band_bits: int,
+) -> DataFrame:
+    """The candidate stage of ``banded_hamming_pairs``: every ordered
+    (id_a < id_b) pair sharing at least one (band, band_val) bucket, with
+    the exact Hamming distance — BEFORE the threshold filter, and NOT
+    dedup'd (a pair agreeing on k bands appears k times; callers that
+    need set semantics distinct(), callers that aggregate per id — the
+    audio nearest-neighbor row — don't pay the extra shuffle since MIN
+    is duplicate-insensitive). Split out in round 10 so the blocking
+    machinery itself is driver-gate-checkable on corpora where the
+    thresholded pair set is empty."""
     bands = sig.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),
@@ -276,4 +296,4 @@ def banded_hamming_pairs(
         )
         .select("p.*")
     )
-    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+    return pairs

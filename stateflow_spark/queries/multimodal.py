@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stateflow_spark.catalog import load
-from stateflow_spark.functions.similarity import banded_hamming_pairs
+from stateflow_spark.functions.similarity import (
+    banded_candidate_pairs,
+    banded_hamming_pairs,
+)
 from stateflow_spark.queries.common import register
 
 
@@ -705,4 +708,78 @@ def multimodal_audio_fingerprint_neardup(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         "hamming",
+    )
+
+
+# the 4 band predicates of the oracle's candidate join, OR-amplified —
+# the SQL replay of banded_candidate_pairs' (band, band_val) blocking
+_AFP_BAND_MATCH = " OR ".join(
+    f"((a.afp >> {b * _AFP_BAND_BITS}) & {(1 << _AFP_BAND_BITS) - 1})"
+    f" = ((b.afp >> {b * _AFP_BAND_BITS}) & {(1 << _AFP_BAND_BITS) - 1})"
+    for b in range(_AFP_BANDS)
+)
+
+
+@register(
+    "multimodal_audio_fingerprint_nn",
+    oracle=f"""
+    WITH s AS ({_AFP_SQL}),
+    cand AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS nn,
+               bit_count(xor(a.afp, b.afp)) AS h
+        FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        WHERE {_AFP_BAND_MATCH}
+    )
+    SELECT doc_id, nn AS nn_doc, h AS nn_hamming FROM (
+        SELECT doc_id, nn, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY h, nn) AS rnk
+        FROM cand
+    ) WHERE rnk = 1
+    """,
+    tags=("multimodal", "audio", "fingerprint", "knn"),
+)
+def multimodal_audio_fingerprint_nn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-clip nearest banded candidate: for every clip that shares at
+    least one fingerprint band bucket with another clip, the candidate at
+    minimal Hamming distance (ties → smaller doc_id). The driver-scale
+    companion to multimodal_audio_fingerprint_neardup (r9 VERDICT #4):
+    that row's thresholded pair set is honestly EMPTY at sf0.01, so its
+    stamp hash-matched the empty set and could never fail on content —
+    this row runs the SAME blocking machinery (band extraction, bucket
+    grouping, in-bucket pair expansion, xor/bit_count Hamming) and is
+    non-empty at every shipped scale (123 candidate pairs at sf0.01),
+    so the gate exercises actual pair semantics every round.
+
+    Plan shape: the one (band, band_val) signature shuffle shared with
+    the neardup row, then ONE per-doc min-struct aggregate (partial
+    min map-side, duplicates from multi-band agreement are free under
+    MIN). No threshold, so output is ~one row per clip with any bucket
+    companion — bounded by the corpus, not the pair count."""
+    sig = _afp_df(spark, sf_dir)
+    cand = banded_candidate_pairs(
+        sig, "doc_id", "afp",
+        n_bands=_AFP_BANDS, band_bits=_AFP_BAND_BITS,
+    )
+    # symmetrize: each in-bucket pair is a candidate for BOTH endpoints
+    sym = cand.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("nn"),
+        "hamming",
+    ).unionByName(
+        cand.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("nn"),
+            "hamming",
+        )
+    )
+    best = sym.groupBy("doc_id").agg(
+        F.min(F.struct("hamming", "nn")).alias("m")
+    )
+    return best.select(
+        "doc_id",
+        F.col("m.nn").alias("nn_doc"),
+        F.col("m.hamming").alias("nn_hamming"),
     )

@@ -228,6 +228,33 @@ def test_audio_fingerprint_neardup_recall_and_precision(spark, afp_planted):
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_audio_fingerprint_nn_planted(spark, afp_planted):
+    """The r10 driver-scale companion row: per-clip nearest banded
+    candidate. The planted near-dup trio must be each other's nearest
+    neighbors with the expected distances (1↔2 identical at hamming 0;
+    3's nearest is 1 — the min-id tie-break over the equidistant 1/2)."""
+    nn = {
+        r.doc_id: (r.nn_doc, r.nn_hamming)
+        for r in REGISTRY["multimodal_audio_fingerprint_nn"]
+        .fn(spark, afp_planted)
+        .collect()
+    }
+    assert nn[1] == (2, 0)
+    assert nn[2] == (1, 0)
+    assert nn[3][0] in (1, 2) and nn[3][1] <= 2
+    # nearest-neighbor distance can never beat the thresholded pair set:
+    # any clip with an nn_hamming <= 3 must appear in the neardup row
+    neardup_ids = {
+        x
+        for r in REGISTRY["multimodal_audio_fingerprint_neardup"]
+        .fn(spark, afp_planted)
+        .collect()
+        for x in (r.doc_a, r.doc_b)
+    }
+    close = {i for i, (_, h) in nn.items() if h <= 2}
+    assert close <= neardup_ids
+
+
 def test_audio_rows_edge_corpus_matches_oracle(spark, tmp_path_factory):
     """Degenerate payloads (empty / sub-frame / exactly-one-frame /
     window-boundary) through BOTH audio rows, Spark vs DuckDB directly:
