@@ -32,24 +32,22 @@ from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 
-# Round-9 prefix (the driver stamps the first ~50 registered queries).
+# Round-10 prefix (the driver stamps the first ~50 registered queries).
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 4 round-9 additions
-#       (2 audio fingerprint rows, curation_conversation_assembly,
-#       text_fim_split);
+#   (a) every query with NO driver stamp ever — the 2 round-10 additions
+#       (sim_ivf_index_maintenance, multimodal_audio_fingerprint_nn);
 #   (b) every query whose results or plan changed this round
-#       (CHANGED_THIS_ROUND below) = 7 (sim_knn_join and
-#       sim_ivf_knn_join are also the r05 fill tier, listed once;
-#       sim_hard_negatives is r07-stamped);
-#   (c) the remaining slots fill with the STALEST stamps — the 3
-#       r04-tier rows deferred in round 8 (text_token_stats,
-#       text_rolling_fingerprint, text_quality_score) lead, then 38 of
-#       the 45 r05-tier rows (window_topk_orders_per_customer,
-#       stream_incremental_rollup, stream_dedup_watermark,
-#       stream_append_late_drop, sim_quantized_topk, sim_ivf_topk,
-#       sim_kmeans_iterations — same r05 tier, rotate next round —
+#       (CHANGED_THIS_ROUND below) = 9, all from the round-10 zero-norm
+#       sweep closure;
+#   (c) the remaining slots fill with the STALEST stamps — the 5
+#       r05-tier rows deferred in round 9 (sim_kmeans_iterations,
+#       stream_append_late_drop, stream_dedup_watermark,
+#       stream_incremental_rollup, window_topk_orders_per_customer)
+#       lead, then 34 of the 38 r06-tier rows (text_token_rarity,
+#       text_vocab_coverage, window_equidepth_histogram,
+#       window_pareto_frontier — same r06 tier — rotate to round 11;
 #       tier-splitting is allowed: nothing OUTSIDE the prefix is
 #       strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
@@ -58,84 +56,81 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # stays covered every run by tests/test_oracle.py (the local net).
 # The round this prefix was pinned FOR: the stalest-first invariant is
 # checked against CORRECTNESS history from rounds BEFORE this one (the
-# history that existed at pin time) — otherwise the driver's own r9
+# history that existed at pin time) — otherwise the driver's own r10
 # stamps would instantly make the pinned prefix look "stale" and fail
-# the suite mid-round. The round-10 builder bumps this when re-pinning.
-PREFIX_PINNED_FOR_ROUND = 9
+# the suite mid-round. The round-11 builder bumps this when re-pinning.
+PREFIX_PINNED_FOR_ROUND = 10
 
 CHANGED_THIS_ROUND = [
-    # three-level IVF-tree quantizer (round-8 VERDICT #4): the assignment
-    # rule changed, so cluster ids and kept flags CHANGE (oracle replays
-    # the new rule)
-    "dedup_semantic_scaled",
-    # Arrow-optimized UDTF (plan changes — BatchEvalPythonUDTF →
-    # ArrowEvalPythonUDTF — same results; found by the new suite-wide
-    # BatchEvalPython gate)
-    "udtf_bigram_top20",
-    # zero-norm cosine guards (round-9 edge audit): plan + oracle change
-    # (n2 > 0 predicates; cosine_ge_banded zero short-circuit), results
-    # identical on any corpus without zero vectors
-    "dedup_embedding_cosine",
-    "dedup_semantic",
-    "sim_knn_join",
-    "sim_ivf_knn_join",
-    "sim_hard_negatives",
-]
-_R09_PREFIX = [
-    # (a) never driver-stamped (round-9 additions)
-    "multimodal_audio_fingerprint",
-    "multimodal_audio_fingerprint_neardup",
-    "curation_conversation_assembly",
-    "text_fim_split",
-    # (b) changed this round
-    *CHANGED_THIS_ROUND,
-    # (c) stalest-stamp fill: the 3 r04 rows deferred in round 8...
-    "text_quality_score",
-    "text_rolling_fingerprint",
-    "text_token_stats",
-    # ...then 39 of the 45 r05 rows (six rotate to round 10, named in
-    # the composition note above)
-    "agg_salted_two_phase",
-    "curation_balance_mixture",
-    "curation_benchmark_contamination",
-    "curation_epoch_upsample",
-    "curation_pack_sequences",
-    "curation_stratified_sample",
-    "dedup_exact",
-    "dedup_jaccard_stop_shingle",
-    "dedup_ngram_jaccard",
-    "dedup_normalized",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipping_delay_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "setops_union_distinct",
-    "sim_centroid_distance",
+    # round-10 zero-norm sweep closure: the degenerate-embeddings fixture
+    # gained the missing vec_id-0 query row (r9 ADVICE) and the widened
+    # sweep caught these seven unguarded cosine consumers — n2 > 0
+    # predicates added to query AND oracle (results identical on any
+    # corpus without zero vectors)
     "sim_cosine_topk",
     "sim_hyperplane_lsh",
+    "sim_quantized_topk",
+    "sim_ivf_topk",
+    "sim_range_search",
+    "sim_mmr_diverse_topk",
+    "multimodal_crossmodal_retrieval",
+    # same guards, added via the five queries NEWLY swept (VERDICT r9 #3)
+    "sim_rank_fusion",
+    "sim_bitext_mining",
 ]
-assert len(_R09_PREFIX) == 50, len(_R09_PREFIX)
-assert len(set(_R09_PREFIX)) == 50
-assert set(_R09_PREFIX) <= set(REGISTRY), set(_R09_PREFIX) - set(REGISTRY)
-_order = _R09_PREFIX + [n for n in REGISTRY if n not in set(_R09_PREFIX)]
+_R10_PREFIX = [
+    # (a) never driver-stamped (round-10 additions)
+    "sim_ivf_index_maintenance",
+    "multimodal_audio_fingerprint_nn",
+    # (b) changed this round
+    *CHANGED_THIS_ROUND,
+    # (c) stalest-stamp fill: the 5 r05 rows deferred in round 9...
+    "sim_kmeans_iterations",
+    "stream_append_late_drop",
+    "stream_dedup_watermark",
+    "stream_incremental_rollup",
+    "window_topk_orders_per_customer",
+    # ...then 34 of the 38 r06 rows (four rotate to round 11, named in
+    # the composition note above)
+    "agg_approx_sketches",
+    "agg_bloom_filter_membership",
+    "agg_countmin_heavy_hitters",
+    "agg_group_ols_trend",
+    "agg_series_correlation",
+    "agg_sketch_rollup",
+    "curation_adaptive_threshold",
+    "curation_full_pipeline",
+    "curation_reservoir_sample",
+    "curation_temperature_mixture",
+    "dedup_edit_distance",
+    "dedup_minhash_lsh",
+    "dedup_winnowing_pairs",
+    "entity_stateful_replay",
+    "entity_ycsb_replay",
+    "events_anomaly_hours",
+    "events_ewma_value",
+    "events_resample_ffill",
+    "events_retention_cohorts",
+    "events_rolling_features",
+    "events_state_runs",
+    "join_range_view_clicks",
+    "multimodal_binary_metadata",
+    "sim_power_iteration",
+    "source_corrupt_json",
+    "source_schema_evolution",
+    "stream_countmin_sketch",
+    "stream_state_runs",
+    "stream_static_enrich",
+    "stream_stream_join_outer",
+    "text_bm25_retrieval",
+    "text_chunking",
+    "text_pii_scrub",
+    "text_repetition_filter",
+]
+assert len(_R10_PREFIX) == 50, len(_R10_PREFIX)
+assert len(set(_R10_PREFIX)) == 50
+assert set(_R10_PREFIX) <= set(REGISTRY), set(_R10_PREFIX) - set(REGISTRY)
+_order = _R10_PREFIX + [n for n in REGISTRY if n not in set(_R10_PREFIX)]
 assert set(_order) == set(REGISTRY) and len(_order) == len(REGISTRY)
 _by_name = dict(REGISTRY)
 REGISTRY.clear()

@@ -726,3 +726,32 @@ def test_semdedup_scaled_tree_assignment(spark):
     # short of the rule but never exceed it
     assert stats.k <= k_expected, (stats.k, k_expected)
     assert stats.k >= k_expected // 2, (stats.k, k_expected)
+
+
+def test_ivf_index_maintenance_prunes_stored_partitions(spark):
+    """sim_ivf_index_maintenance (r10): the stored corpus is read
+    PARTITIONED by cid and the probe join must prune it at runtime —
+    dynamic partition pruning from the broadcast delta's cid set — so
+    the daily-delta path reads only probed clusters' files, never the
+    corpus. The probe join broadcasts (never a corpus-side shuffle),
+    and no cartesian product anywhere."""
+    df = REGISTRY["sim_ivf_index_maintenance"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the stored-corpus scan carries the runtime partition filter
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert pf, plan
+    # the one SortMergeJoin allowed is the final delta⋈delta left join
+    # (both sides delta-sized — broadcast would be wrong at scale); the
+    # STORED side must never reach it, so the SMJ subtree may not scan
+    # the index corpus
+    import re
+
+    smj = re.findall(r"\(\d+\) SortMergeJoin", plan)
+    assert len(smj) <= 1, plan
