@@ -80,3 +80,19 @@ def assert_same_result(spark_df, duck_rows, name=""):
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first 5: " + "\n".join(
         f"[{k}] spark={a}\n    duck ={b}  ({how})" for k, a, b, how in mismatches[:5]
     )
+
+
+def pytest_configure(config):
+    """Register the oracle-net family markers (derived from each query's
+    first registry tag — see tests/test_oracle.py::_family) so targeted
+    runs like `pytest tests/test_oracle.py -m dedup` work without
+    PytestUnknownMarkWarning; the marker set tracks the registry."""
+    from stateflow_spark.queries import REGISTRY
+
+    fams = {
+        (q.tags[0] if q.tags else "misc") for q in REGISTRY.values()
+    }
+    for fam in sorted(fams):
+        config.addinivalue_line(
+            "markers", f"{fam}: oracle-net family shard (registry tag)"
+        )

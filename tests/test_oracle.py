@@ -13,13 +13,29 @@ ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
 
+def _family(name: str) -> str:
+    """Family marker = the query's FIRST registry tag (each family's
+    registration module leads with it), so a targeted inner-loop run
+    exists — `pytest tests/test_oracle.py -m dedup` — while the full
+    parametrized net stays the round-close gate (r9 VERDICT #8). Markers
+    are registered in tests/conftest.py::pytest_configure from the same
+    derivation, so they can never drift from the registry."""
+    tags = REGISTRY[name].tags
+    return tags[0] if tags else "misc"
+
+
+_PARAMS = [
+    pytest.param(n, marks=getattr(pytest.mark, _family(n))) for n in ORACLED
+]
+
+
 _KIND = {
     "b": "int", "i": "int", "u": "int",  # bool counts as int for hashing
     "f": "float",
 }
 
 
-@pytest.mark.parametrize("name", ORACLED)
+@pytest.mark.parametrize("name", _PARAMS)
 def test_query_matches_oracle(spark, duck, name):
     qd = REGISTRY[name]
     sdf = qd.fn(spark, SF_DIR)
