@@ -36,8 +36,9 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 2 round-10 additions
-#       (sim_ivf_index_maintenance, multimodal_audio_fingerprint_nn);
+#   (a) every query with NO driver stamp ever — the 3 round-10 additions
+#       (sim_ivf_index_maintenance, dedup_minhash_index_maintenance,
+#       multimodal_audio_fingerprint_nn);
 #   (b) every query whose results or plan changed this round
 #       (CHANGED_THIS_ROUND below) = 9, all from the round-10 zero-norm
 #       sweep closure;
@@ -45,9 +46,10 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 #       r05-tier rows deferred in round 9 (sim_kmeans_iterations,
 #       stream_append_late_drop, stream_dedup_watermark,
 #       stream_incremental_rollup, window_topk_orders_per_customer)
-#       lead, then 34 of the 38 r06-tier rows (text_token_rarity,
-#       text_vocab_coverage, window_equidepth_histogram,
-#       window_pareto_frontier — same r06 tier — rotate to round 11;
+#       lead, then 33 of the 38 r06-tier rows (text_repetition_filter,
+#       text_token_rarity, text_vocab_coverage,
+#       window_equidepth_histogram, window_pareto_frontier — same r06
+#       tier — rotate to round 11;
 #       tier-splitting is allowed: nothing OUTSIDE the prefix is
 #       strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
@@ -81,6 +83,7 @@ CHANGED_THIS_ROUND = [
 _R10_PREFIX = [
     # (a) never driver-stamped (round-10 additions)
     "sim_ivf_index_maintenance",
+    "dedup_minhash_index_maintenance",
     "multimodal_audio_fingerprint_nn",
     # (b) changed this round
     *CHANGED_THIS_ROUND,
@@ -90,7 +93,7 @@ _R10_PREFIX = [
     "stream_dedup_watermark",
     "stream_incremental_rollup",
     "window_topk_orders_per_customer",
-    # ...then 34 of the 38 r06 rows (four rotate to round 11, named in
+    # ...then 33 of the 38 r06 rows (five rotate to round 11, named in
     # the composition note above)
     "agg_approx_sketches",
     "agg_bloom_filter_membership",
@@ -125,7 +128,6 @@ _R10_PREFIX = [
     "text_bm25_retrieval",
     "text_chunking",
     "text_pii_scrub",
-    "text_repetition_filter",
 ]
 assert len(_R10_PREFIX) == 50, len(_R10_PREFIX)
 assert len(set(_R10_PREFIX)) == 50

@@ -2416,3 +2416,235 @@ def connected_components_lss(
         .select(F.col("u").alias("id"), F.least("u", "mn").alias("comp"))
     )
     return labels
+
+
+# --------------------------------------------------------------------------
+# Incremental MinHash-LSH index maintenance (round 10) — the dedup sibling
+# of sim_ivf_index_maintenance: classify a delta against STORED postings
+# --------------------------------------------------------------------------
+
+_MH_IDX_BUCKETS = 16
+
+
+def _minhash_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc banded MinHash rows (doc_id, n, hs, bkey) — the
+    dedup_minhash_lsh signature stage reshaped to one row per (doc, band)
+    with a single string band key, the join/bucket key of the stored
+    postings layout."""
+    sh = _shingles_df(spark, sf_dir)
+    h60_sql = "CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)"
+    hr = sh.select(
+        "doc_id",
+        F.expr(f"transform(shingles, s -> {h60_sql})").alias("hr"),
+    )
+    sig = hr.select(
+        "doc_id",
+        F.size("hr").alias("n"),
+        F.sort_array("hr").alias("hs"),
+        *[
+            F.expr(
+                f"array_min(transform(hr, h -> "
+                f"({_MH_A[i]}L * (h % {_MH_P}L) + {_MH_B[i]}L) % {_MH_P}L))"
+            ).alias(f"mh{i}")
+            for i in range(_N_PERM)
+        ],
+    )
+    band_keys = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * _ROWS_PER_BAND + r}").cast("string")
+                        for r in range(_ROWS_PER_BAND)
+                    ],
+                )
+            ),
+        )
+        for b in range(_N_BANDS)
+    ]
+    return sig.select(
+        "doc_id", "n", "hs", F.explode(F.array(*band_keys)).alias("bkey")
+    )
+
+
+def _minhash_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once STORED MinHash postings for `sf_dir`'s documents: the
+    OLD corpus's (bkey, sid, sn, shs) rows written BUCKETED BY bkey (the
+    storage.py co-located-join layout), so every delta probe joins the
+    postings with ZERO exchange on the corpus side — the shuffle moved
+    to the nightly write, exactly the posture the minhash docstrings
+    have claimed since round 7. Bucket metadata only lives in the
+    session catalog, so a fresh session re-registers the existing files
+    with CREATE TABLE ... CLUSTERED BY (bucket ids ride the file names)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    tbl = f"mh_index_{key}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    path = os.path.join(tempfile.gettempdir(), f"stateflow_mh_index_{key}")
+    ddl = (
+        f"CREATE TABLE {tbl} (bkey STRING, sid BIGINT, sn INT,"
+        f" shs ARRAY<BIGINT>) USING PARQUET CLUSTERED BY (bkey)"
+        f" INTO {_MH_IDX_BUCKETS} BUCKETS LOCATION '{path}'"
+    )
+    if os.path.exists(os.path.join(path, "_INDEX_READY")):
+        spark.sql(ddl)
+        return tbl
+    from stateflow_spark.storage import write_bucketed
+
+    postings = (
+        _minhash_stacked(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "bkey",
+            F.col("doc_id").alias("sid"),
+            F.col("n").cast("int").alias("sn"),
+            F.col("hs").alias("shs"),
+        )
+    )
+    write_bucketed(postings, tbl, ["bkey"], _MH_IDX_BUCKETS, path,
+                   sort_keys=["bkey"])
+    open(os.path.join(path, "_INDEX_READY"), "w").close()
+    return tbl
+
+
+_MH_STACKED_SQL = f"""
+    sh AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    based AS (SELECT doc_id, n, {_BASE_SQL} AS h FROM ex),
+    sig AS (
+        SELECT doc_id, n,
+               {", ".join(
+                   f"MIN(({_MH_A[i]} * (h % {_MH_P}) + {_MH_B[i]}) % {_MH_P})"
+                   f" AS mh{i}" for i in range(_N_PERM))}
+        FROM based GROUP BY doc_id, n
+    ),
+    stacked AS (
+        {" UNION ALL ".join(
+            "SELECT doc_id, '" + str(b) + ":' || md5("
+            + " || ',' || ".join(
+                f"CAST(mh{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(_ROWS_PER_BAND))
+            + ") AS bkey FROM sig"
+            for b in range(_N_BANDS))}
+    )
+"""
+
+
+@register(
+    "dedup_minhash_index_maintenance",
+    oracle=f"""
+    WITH {_MH_STACKED_SQL},
+    cand AS (
+        SELECT DISTINCT n.doc_id, o.doc_id AS sid
+        FROM stacked n JOIN stacked o USING (bkey)
+        WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+    ),
+    inter AS (
+        SELECT c.doc_id, c.sid, COUNT(*) AS n_common
+        FROM cand c
+        JOIN based a ON a.doc_id = c.doc_id
+        JOIN based b ON b.doc_id = c.sid AND b.h = a.h
+        GROUP BY c.doc_id, c.sid
+    ),
+    scored AS (
+        SELECT i.doc_id, i.sid,
+               CAST(n_common AS DOUBLE)
+                 / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sig na ON na.doc_id = i.doc_id
+        JOIN sig nb ON nb.doc_id = i.sid
+    ),
+    best AS (
+        SELECT doc_id, sid, jaccard FROM (
+            SELECT doc_id, sid, jaccard,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY jaccard DESC, sid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, best.sid AS match_id, best.jaccard,
+           CASE WHEN best.jaccard >= {JACCARD_THRESHOLD} THEN 'dup'
+                ELSE 'new' END AS verdict
+    FROM (SELECT doc_id FROM sig WHERE doc_id % 5 = 0) d
+    LEFT JOIN best ON best.doc_id = d.doc_id
+    """,
+    tags=("dedup", "minhash", "incremental", "delta"),
+)
+def dedup_minhash_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-delta near-dup classification against STORED MinHash-LSH
+    postings: today's arrivals (doc_id % 5 = 0) compute their banded
+    signatures, probe the nightly postings index by band key, verify
+    candidates with exact Jaccard over the stored hash sets, and emit
+    the best corpus match + verdict per delta doc — without re-pairing
+    or re-signing the old corpus. The dedup sibling of
+    sim_ivf_index_maintenance, and the materialization of the stored-
+    index posture dedup_minhash_lsh's docstring has promised since
+    round 7 ("a STORED index bucketed by fingerprint").
+
+    Scale shape: the postings table is BUCKETED BY the band key
+    (storage.py write_bucketed), so the probe join needs NO exchange on
+    the corpus side — the index shuffle was paid once at the nightly
+    write (plan-gated: zero Exchange above the postings scan; the only
+    shuffles are delta-sized — the delta's signature fan-out, its side
+    of the probe join, the per-doc best window). Verify inputs (sn,
+    shs) are stored IN the postings, so no join back to the corpus text
+    either — the delta path never touches the documents table beyond
+    its own rows. At 100 TB: postings ≈ n_bands rows × (16-byte key +
+    hash set) per doc; the in-bucket candidate fan-out is bounded by
+    banding exactly as in dedup_minhash_lsh; a hot bucket (mass-duplicated
+    text → one band value) is the documented exact-dedup-first / AQE-skew
+    posture.
+
+    Exactness: identical hash/permutation arithmetic to
+    dedup_minhash_lsh (the oracle replays it), so banding recall and
+    the Jaccard verify are hash-gated; ties in the best-match window
+    break on (jaccard DESC, sid) in both engines; delta docs with no
+    colliding bucket emit NULL match + 'new' through the same LEFT
+    join in both engines."""
+    from pyspark.sql import Window
+
+    tbl = _minhash_index_table(spark, sf_dir)
+    postings = spark.table(tbl)
+    delta = _minhash_stacked(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    cand = postings.join(delta, "bkey").select(
+        "doc_id",
+        "sid",
+        "n",
+        "sn",
+        F.size(F.array_intersect("hs", "shs")).alias("n_common"),
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n") + F.col("sn") - F.col("n_common")
+    ).cast("double")
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), "sid")
+    best = (
+        cand.withColumn("jaccard", jac)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("sid").alias("match_id"), "jaccard")
+    )
+    universe = (
+        _shingles_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    return universe.join(best, "doc_id", "left").select(
+        "doc_id",
+        "match_id",
+        "jaccard",
+        F.when(F.col("jaccard") >= JACCARD_THRESHOLD, F.lit("dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+    )

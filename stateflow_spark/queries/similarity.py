@@ -2236,7 +2236,7 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
                 ELSE 'new' END AS verdict
     FROM asg a LEFT JOIN nn ON nn.vec_id = a.vec_id
     """,
-    tags=("similarity", "ivf", "incremental", "delta"),
+    tags=("similarity", "ivf", "incremental", "delta", "bench"),
 )
 def sim_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-delta maintenance of a STORED IVF index: classify today's

@@ -502,3 +502,51 @@ def test_semdedup_tree_k1_matches_duckdb_exactly():
         ).fetchone()
         assert k1_py == k1_sql, (k, k1_py, k1_sql)
         assert k1_py**3 >= k and (k1_py == 2 or (k1_py - 1) ** 3 < k), k
+
+
+@pytest.fixture(scope="module")
+def planted_delta(spark, tmp_path_factory):
+    """Old/delta split fixture for the stored-index maintenance row
+    (delta = doc_id % 5 == 0): old base doc 4; delta exact dup 5, delta
+    near dup 10 (2 of 60 words changed), delta unrelated 15; old
+    unrelated filler."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    base = [rng.choice(vocab) for _ in range(60)]
+    near = list(base)
+    near[7], near[33] = "editedA", "editedB"
+    rows = [
+        (4, " ".join(base)),               # old: the indexed original
+        (5, " ".join(base)),               # delta: exact dup of 4
+        (10, " ".join(near)),              # delta: near dup of 4
+        (15, " ".join(rng.choice(vocab) for _ in range(60))),  # delta: new
+    ] + [
+        (i, " ".join(rng.choice(vocab) for _ in range(60)))
+        for i in (1, 2, 3, 6, 7, 8, 9)     # old filler
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path_factory.mktemp("planted_delta")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_index_maintenance_classifies_planted_delta(
+    spark, planted_delta
+):
+    """The stored-index probe must recall the planted cross-split dups:
+    delta 5 (exact copy of old 4) at jaccard 1.0, delta 10 (near dup)
+    above threshold with match 4, delta 15 unmatched → 'new'. Every
+    delta doc appears exactly once (the LEFT-join universe)."""
+    out = {
+        r.doc_id: (r.match_id, r.jaccard, r.verdict)
+        for r in REGISTRY["dedup_minhash_index_maintenance"]
+        .fn(spark, planted_delta)
+        .collect()
+    }
+    assert set(out) == {5, 10, 15}
+    assert out[5][0] == 4 and out[5][1] == 1.0 and out[5][2] == "dup"
+    assert out[10][0] == 4 and out[10][2] == "dup" and out[10][1] > 0.5
+    assert out[15][2] == "new" and out[15][0] is None

@@ -755,3 +755,22 @@ def test_ivf_index_maintenance_prunes_stored_partitions(spark):
 
     smj = re.findall(r"\(\d+\) SortMergeJoin", plan)
     assert len(smj) <= 1, plan
+
+
+def test_minhash_index_maintenance_bucketed_probe(spark):
+    """dedup_minhash_index_maintenance (r10): the stored postings table
+    must be read through its BUCKETED layout (the write-time shuffle is
+    the point — the delta probe never reshuffles the corpus side), and
+    the plan stays small: only delta-sized exchanges, no cartesian."""
+    df = REGISTRY["dedup_minhash_index_maintenance"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Bucketed: true" in plan, plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    # every shuffle is delta-sized: the signature fan-out, the delta side
+    # of the probe join, the best-match window, the final left join —
+    # a corpus-side (postings) shuffle would add a bkey exchange over the
+    # bucketed scan and push this count up
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) <= 5, (len(shuffles), plan)
