@@ -13,10 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stateflow_spark.catalog import load
-from stateflow_spark.functions.similarity import (
-    banded_candidate_pairs,
-    banded_hamming_pairs,
-)
+from stateflow_spark.functions.similarity import banded_hamming_pairs
 from stateflow_spark.queries.common import register
 
 
@@ -712,7 +709,7 @@ def multimodal_audio_fingerprint_neardup(
 
 
 # the 4 band predicates of the oracle's candidate join, OR-amplified —
-# the SQL replay of banded_candidate_pairs' (band, band_val) blocking
+# the SQL replay of the (band, band_val) blocking self-join below
 _AFP_BAND_MATCH = " OR ".join(
     f"((a.afp >> {b * _AFP_BAND_BITS}) & {(1 << _AFP_BAND_BITS) - 1})"
     f" = ((b.afp >> {b * _AFP_BAND_BITS}) & {(1 << _AFP_BAND_BITS) - 1})"
@@ -750,34 +747,57 @@ def multimodal_audio_fingerprint_nn(
     stamp hash-matched the empty set and could never fail on content —
     this row runs the SAME blocking machinery (band extraction, bucket
     grouping, in-bucket pair expansion, xor/bit_count Hamming) and is
-    non-empty at every shipped scale (123 candidate pairs at sf0.01),
-    so the gate exercises actual pair semantics every round.
+    non-empty at every shipped scale (152 rows at sf0.01), so the gate
+    exercises actual pair semantics every round.
 
-    Plan shape: the one (band, band_val) signature shuffle shared with
-    the neardup row, then ONE per-doc min-struct aggregate (partial
-    min map-side, duplicates from multi-band agreement are free under
-    MIN). No threshold, so output is ~one row per clip with any bucket
-    companion — bounded by the corpus, not the pair count."""
-    sig = _afp_df(spark, sf_dir)
-    cand = banded_candidate_pairs(
-        sig, "doc_id", "afp",
-        n_bands=_AFP_BANDS, band_bits=_AFP_BAND_BITS,
+    Plan shape: UNLIKE the thresholded rows, candidate enumeration here
+    STREAMS through a (band, band_val) self-join rather than the
+    zero-join in-bucket array expansion — an unthresholded NN must
+    enumerate every in-bucket pair, and the eager transform() pair
+    array is bucket-size² MEMORY in one task: at sf10 the envelope
+    corpus holds 2,118-doc band buckets (periodic envelopes pile onto
+    alternating-bit band values), a ~90 MB pair array per hot bucket
+    per branch, and the round-10 first cut died in GC exactly there. A
+    join emits the same pairs row-by-row and AQE's skew-join splits the
+    hot buckets across tasks. The signature table is localCheckpointed
+    (500k × 16-byte rows) so both join branches read one build. The
+    join yields both orientations directly (a ≠ b), and the per-doc
+    min-struct aggregate does partial MIN map-side — duplicates from
+    multi-band agreement are free under MIN."""
+    from stateflow_spark.storage import unpersist_local_checkpoint
+
+    mask = (1 << _AFP_BAND_BITS) - 1
+    sig = _afp_df(spark, sf_dir).localCheckpoint(eager=False)
+    bands = sig.select(
+        "doc_id",
+        "afp",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_AFP_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(afp >> (band * {_AFP_BAND_BITS})) & {mask}"),
     )
-    # symmetrize: each in-bucket pair is a candidate for BOTH endpoints
-    sym = cand.select(
-        F.col("id_a").alias("doc_id"),
-        F.col("id_b").alias("nn"),
-        "hamming",
-    ).unionByName(
-        cand.select(
-            F.col("id_b").alias("doc_id"),
-            F.col("id_a").alias("nn"),
-            "hamming",
+    a = bands.select("band", "band_val", F.col("doc_id").alias("doc_id"),
+                     F.col("afp").alias("sa"))
+    b = bands.select("band", "band_val", F.col("doc_id").alias("nn"),
+                     F.col("afp").alias("sb"))
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_id") != F.col("nn"))
+        .select(
+            "doc_id",
+            "nn",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
         )
     )
-    best = sym.groupBy("doc_id").agg(
+    best = cand.groupBy("doc_id").agg(
         F.min(F.struct("hamming", "nn")).alias("m")
     )
+    # no explicit unpersist: the caller executes the returned frame after
+    # this function exits, so the checkpoint blocks must outlive it (the
+    # ContextCleaner reclaims them; the iterative algos release eagerly
+    # only because they materialize each round themselves)
     return best.select(
         "doc_id",
         F.col("m.nn").alias("nn_doc"),
