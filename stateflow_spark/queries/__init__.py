@@ -40,13 +40,15 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 #       (sim_ivf_index_maintenance, dedup_minhash_index_maintenance,
 #       multimodal_audio_fingerprint_nn);
 #   (b) every query whose results or plan changed this round
-#       (CHANGED_THIS_ROUND below) = 9, all from the round-10 zero-norm
-#       sweep closure;
+#       (CHANGED_THIS_ROUND below) = 12: 9 from the round-10 zero-norm
+#       sweep closure + 3 r9-guarded rows whose PLAN changed in the
+#       round-10 fold-reinline fix;
 #   (c) the remaining slots fill with the STALEST stamps — the 5
 #       r05-tier rows deferred in round 9 (sim_kmeans_iterations,
 #       stream_append_late_drop, stream_dedup_watermark,
 #       stream_incremental_rollup, window_topk_orders_per_customer)
-#       lead, then 33 of the 38 r06-tier rows (text_repetition_filter,
+#       lead, then 30 of the 38 r06-tier rows (text_bm25_retrieval,
+#       text_chunking, text_pii_scrub, text_repetition_filter,
 #       text_token_rarity, text_vocab_coverage,
 #       window_equidepth_histogram, window_pareto_frontier — same r06
 #       tier — rotate to round 11;
@@ -79,6 +81,13 @@ CHANGED_THIS_ROUND = [
     # same guards, added via the five queries NEWLY swept (VERDICT r9 #3)
     "sim_rank_fusion",
     "sim_bitext_mining",
+    # r10 fold-reinline fix: the norm-guard filters re-inlined the
+    # interpreted decimal fold (2x per corpus row); these three r9-guarded
+    # rows changed PLAN (results identical) when their norms moved behind
+    # the _corpus_n2/_pin_n2 barrier
+    "sim_knn_join",
+    "sim_ivf_knn_join",
+    "sim_hard_negatives",
 ]
 _R10_PREFIX = [
     # (a) never driver-stamped (round-10 additions)
@@ -93,7 +102,7 @@ _R10_PREFIX = [
     "stream_dedup_watermark",
     "stream_incremental_rollup",
     "window_topk_orders_per_customer",
-    # ...then 33 of the 38 r06 rows (five rotate to round 11, named in
+    # ...then 30 of the 38 r06 rows (eight rotate to round 11, named in
     # the composition note above)
     "agg_approx_sketches",
     "agg_bloom_filter_membership",
@@ -125,9 +134,6 @@ _R10_PREFIX = [
     "stream_state_runs",
     "stream_static_enrich",
     "stream_stream_join_outer",
-    "text_bm25_retrieval",
-    "text_chunking",
-    "text_pii_scrub",
 ]
 assert len(_R10_PREFIX) == 50, len(_R10_PREFIX)
 assert len(set(_R10_PREFIX)) == 50

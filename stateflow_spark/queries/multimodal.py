@@ -414,7 +414,15 @@ def multimodal_crossmodal_retrieval(
             F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("v"),
         )
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .withColumn("vn2", norm2_dec("v"))
+        # vn2 behind a keyed-aggregate barrier (exchange-free atop the
+        # repartition) so the guard filter can't re-inline the decimal
+        # fold into the Filter condition (r10 fold-reinline fix — see
+        # similarity._corpus_n2)
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first(norm2_dec("v")).alias("vn2"),
+        )
         .filter(F.col("vn2") > 0)
     )
     scored = probe.crossJoin(qblock).select(

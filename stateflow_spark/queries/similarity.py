@@ -62,6 +62,37 @@ def _corpus(
     return df
 
 
+def _corpus_n2(
+    spark: SparkSession, sf_dir: str, with_label: bool = False
+) -> DataFrame:
+    """Fanned-out corpus with the exact squared norm PINNED behind a
+    keyed-aggregate barrier (exchange-free atop the fan-out repartition —
+    vec_id is its hash key, so the groupBy reuses the partitioning).
+
+    The barrier exists because the r9/r10 zero-norm guards introduced a
+    `.filter(n2 > 0)` between the n2 projection and the cosine that
+    consumes it: PushPredicateThroughProject SUBSTITUTES the norm fold
+    into the filter condition, so every corpus row paid the interpreted
+    64-element decimal fold twice — once in the Filter, once again in
+    the cosine projection (measured ~1.4× on the guarded bench rows;
+    the same inlining trap _shingles_df documents for dedup). An
+    aggregate is a substitution barrier: downstream filters reference
+    n2 as a plain attribute."""
+    c = _corpus(spark, sf_dir, with_label=with_label, fan_out=True)
+    return _pin_n2(c, *(["label"] if with_label else []))
+
+
+def _pin_n2(df: DataFrame, *extra: str) -> DataFrame:
+    """The barrier itself, for frames already pruned/joined: requires
+    `vec_id` unique and a `v` column; carries `extra` columns through.
+    Prefer pinning AFTER any pruning join (IVF probe, band match) so the
+    fold runs only on surviving rows — a broadcast join preserves the
+    child partitioning, so the groupBy still adds no exchange."""
+    aggs = [F.first("v").alias("v"), F.first(norm2_dec("v")).alias("n2")]
+    aggs += [F.first(c).alias(c) for c in extra]
+    return df.groupBy("vec_id").agg(*aggs)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row broadcast side: the query vector (vec_id 0) plus its exact
     squared norm, computed once."""
@@ -167,12 +198,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition top-10s (TakeOrderedAndProject)."""
     q = _query_vec(spark, sf_dir)
     return (
-        _corpus(spark, sf_dir, fan_out=True)
+        _corpus_n2(spark, sf_dir)
         .filter(F.col("vec_id") != 0)
         .crossJoin(q)
-        .withColumn("n2", norm2_dec("v"))
         # n2/qnorm2 > 0: cosine undefined for zero-norm vectors — similar
-        # to nothing (round-9 convention)
+        # to nothing (round-9 convention; n2 sits behind _corpus_n2's
+        # barrier so this filter can't re-inline the fold)
         .filter((F.col("n2") > 0) & (F.col("qnorm2") > 0))
         .select(
             "vec_id",
@@ -247,10 +278,10 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # own-norm once per corpus row (not once per pair: the BNLJ multiplies
     # rows ×20, and a fold inside the post-join projection would re-run
-    # per pair — 20× redundant interpreted work)
-    probe = _corpus(spark, sf_dir, fan_out=True).select(
-        "vec_id", "v", norm2_dec("v").alias("n2")
-    ).filter(F.col("n2") > 0)
+    # per pair — 20× redundant interpreted work), pinned behind the
+    # _corpus_n2 barrier so the n2 > 0 guard can't re-inline the fold
+    # into a Filter (r10: the inlined form paid the fold twice per row)
+    probe = _corpus_n2(spark, sf_dir).filter(F.col("n2") > 0)
     scored = (
         probe.crossJoin(qblock)
         .filter(F.col("vec_id") != F.col("qid"))
@@ -387,12 +418,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .select("label")
     )
-    return (
+    probed = (
         _corpus(spark, sf_dir, with_label=True, fan_out=True)
         .join(F.broadcast(probed_labels), "label")
         .filter(F.col("vec_id") != 0)
+    )
+    return (
+        # pin n2 AFTER the probe join so the fold runs only on probed
+        # rows, and behind a barrier so the guard can't re-inline it
+        _pin_n2(probed)
         .crossJoin(q)
-        .withColumn("n2", norm2_dec("v"))
         # n2/qnorm2 > 0: zero-norm vectors are similar to nothing (r9/r10)
         .filter((F.col("n2") > 0) & (F.col("qnorm2") > 0))
         .select(
@@ -533,10 +568,11 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(_SRP_BANDS):
         m = F.col(f"s{b}") == F.col(f"qs{b}")
         match_any = m if match_any is None else (match_any | m)
+    matched = sigged.crossJoin(qside).filter(match_any)
     return (
-        sigged.crossJoin(qside)
-        .filter(match_any)
-        .withColumn("n2", norm2_dec("v"))
+        # pin n2 AFTER the band-match filter (fold only candidates) and
+        # behind a barrier so the guard can't re-inline it (r10)
+        _pin_n2(matched, "qv", "qnorm2")
         # zero-norm vectors can share the all-zero-sign bucket with the
         # query, but cosine is undefined for them: similar to nothing
         .filter((F.col("n2") > 0) & (F.col("qnorm2") > 0))
@@ -783,10 +819,10 @@ def sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_NPROBE)
         .select("qid", "label")
     )
-    labeled = (
-        _corpus(spark, sf_dir, with_label=True, fan_out=True)
-        .select("vec_id", "label", "v", norm2_dec("v").alias("n2"))
-        .filter(F.col("n2") > 0)
+    # n2 behind the barrier: the r9 select+filter form paid the fold
+    # twice per corpus row (Filter inline + projection re-eval, r10)
+    labeled = _corpus_n2(spark, sf_dir, with_label=True).filter(
+        F.col("n2") > 0
     )
     scored = (
         labeled.join(F.broadcast(probe), "label")
@@ -1025,9 +1061,9 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # qn2 > 0: a zero-norm query has no neighbors (r9/r10 convention)
         .filter(F.col("qn2") > 0)
     )
-    c = _corpus(spark, sf_dir, fan_out=True).withColumn(
-        "n2", norm2_dec("v")
-    ).filter(F.col("n2") > 0)
+    # n2 behind the barrier (see _corpus_n2: the withColumn+filter form
+    # re-inlined the fold into the Filter, r10)
+    c = _corpus_n2(spark, sf_dir).filter(F.col("n2") > 0)
     cos = dot_dec("v", "qv") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
     return (
         c.crossJoin(q)
@@ -1134,9 +1170,9 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, trading plan purity for linear pass count. The
     trajectory (argmax per step, min-id tie-break) is replayed layer by
     layer by the generated CTE oracle, like sim_kmeans_iterations."""
-    c = _corpus(spark, sf_dir, fan_out=True).withColumn(
-        "n2", norm2_dec("v")
-    )
+    # n2 behind the barrier (see _corpus_n2, r10): rel's guard filter
+    # would otherwise re-inline the fold per corpus row
+    c = _corpus_n2(spark, sf_dir)
     q = F.broadcast(
         c.filter(F.col("vec_id") == 0)
         .select(F.col("v").alias("qv"), F.col("n2").alias("qn2"))
@@ -1495,14 +1531,14 @@ def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
     )
-    c = _corpus(spark, sf_dir, fan_out=True)
     # qnorm2/n2 > 0: zero-norm rows rank nowhere in the vector leg (the
-    # lexical leg is unaffected) — r9/r10 similar-to-nothing convention
+    # lexical leg is unaffected) — r9/r10 similar-to-nothing convention;
+    # n2 behind the _corpus_n2 barrier (r10 fold-reinline fix)
+    c = _corpus_n2(spark, sf_dir)
     q = _query_vec(spark, sf_dir).filter(F.col("qnorm2") > 0)
     cos = dot_dec("v", "qv") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qnorm2")))
     cos_leg = (
         c.crossJoin(q)
-        .withColumn("n2", norm2_dec("v"))
         .filter((F.col("vec_id") != 0) & (F.col("n2") > 0))
         .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), "doc_id")
@@ -1939,10 +1975,9 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("qn2") > 0)
     )
-    probe = (
-        _corpus(spark, sf_dir, with_label=True, fan_out=True)
-        .select("vec_id", "label", "v", norm2_dec("v").alias("n2"))
-        .filter(F.col("n2") > 0)
+    # n2 behind the barrier (r10 fold-reinline fix, see _corpus_n2)
+    probe = _corpus_n2(spark, sf_dir, with_label=True).filter(
+        F.col("n2") > 0
     )
     scored = (
         probe.crossJoin(ablock)
@@ -2055,21 +2090,24 @@ def sim_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical operands.
     Emits every source row with its margin and the accept decision, so
     the gate hashes the criterion itself, not just the survivors."""
-    corpus = _corpus(spark, sf_dir, with_label=True)
+    corpus = _corpus(spark, sf_dir, with_label=True, fan_out=True)
+    # norms behind _pin_n2 barriers AFTER the language filters (fold only
+    # each side's rows, once — the r9 select+filter form re-inlined the
+    # fold into the guard Filter; r10)
     tgt = F.broadcast(
-        corpus.filter(F.col("label") == 1).select(
+        _pin_n2(corpus.filter(F.col("label") == 1))
+        .select(
             F.col("vec_id").alias("tid"),
             F.col("v").alias("tv"),
-            norm2_dec("v").alias("tn2"),
+            F.col("n2").alias("tn2"),
         )
         # tn2 > 0: a zero-norm target is never mined (r9/r10 convention)
         .filter(F.col("tn2") > 0)
     )
     src = (
-        _corpus(spark, sf_dir, with_label=True, fan_out=True)
-        .filter(F.col("label") == 0)
+        _pin_n2(corpus.filter(F.col("label") == 0))
         .select(
-            F.col("vec_id").alias("sid"), "v", norm2_dec("v").alias("sn2")
+            F.col("vec_id").alias("sid"), "v", F.col("n2").alias("sn2")
         )
         # sn2 > 0: a zero-norm source mines nothing (r9/r10 convention)
         .filter(F.col("sn2") > 0)
@@ -2478,11 +2516,12 @@ def sim_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seed_v").alias("coarse_v"),
         )
     )
-    delta = (
-        _corpus(spark, sf_dir, fan_out=True)
-        .filter(F.col("vec_id") % 5 == 0)
-        .withColumn("dn2", norm2_dec("v"))
-    )
+    # dn2 behind a barrier AFTER the delta filter: the withColumn form
+    # let CollapseProject merge the fold into the post-crossJoin
+    # projection — k redundant folds per delta row (r10)
+    delta = _pin_n2(
+        _corpus(spark, sf_dir, fan_out=True).filter(F.col("vec_id") % 5 == 0)
+    ).withColumnRenamed("n2", "dn2")
     wa = Window.partitionBy("vec_id").orderBy("dist", "cid")
     lab_assigned = (
         delta.crossJoin(cent)
