@@ -2504,9 +2504,23 @@ def sim_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels with the r9/r10 zero-norm guards — a zero-norm delta row
     routes normally (L2 distance is defined) but has no neighbor:
     verdict 'new' with NULL nn, in both engines."""
+    # dn2 behind a barrier AFTER the delta filter: the withColumn form
+    # let CollapseProject merge the fold into the post-crossJoin
+    # projection — k redundant folds per delta row (r10)
+    delta = _pin_n2(
+        _corpus(spark, sf_dir, fan_out=True).filter(F.col("vec_id") % 5 == 0)
+    ).withColumnRenamed("n2", "dn2")
+    return _ivf_classify_delta(spark, delta, _ivf_index_dir(spark, sf_dir))
+
+
+def _ivf_classify_delta(
+    spark: SparkSession, delta: DataFrame, base: str
+) -> DataFrame:
+    """Classify a (vec_id, v, dn2) delta frame against the stored index
+    at `base` — shared by the batch row above and the streaming
+    foreachBatch row below (one logic, two ingestion modes)."""
     import os
 
-    base = _ivf_index_dir(spark, sf_dir)
     cent = F.broadcast(spark.read.parquet(os.path.join(base, "centroids")))
     seeds = spark.read.parquet(os.path.join(base, "seeds"))
     coarse = F.broadcast(
@@ -2516,12 +2530,6 @@ def sim_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seed_v").alias("coarse_v"),
         )
     )
-    # dn2 behind a barrier AFTER the delta filter: the withColumn form
-    # let CollapseProject merge the fold into the post-crossJoin
-    # projection — k redundant folds per delta row (r10)
-    delta = _pin_n2(
-        _corpus(spark, sf_dir, fan_out=True).filter(F.col("vec_id") % 5 == 0)
-    ).withColumnRenamed("n2", "dn2")
     wa = Window.partitionBy("vec_id").orderBy("dist", "cid")
     lab_assigned = (
         delta.crossJoin(cent)
@@ -2597,3 +2605,70 @@ def sim_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+_IVF_STREAM_SRC: dict[str, str] = {}
+
+
+@register(
+    "stream_ivf_delta_classify",
+    oracle=_IVF_MAINT_ORACLE,
+    tags=("similarity", "ivf", "incremental", "streaming"),
+)
+def stream_ivf_delta_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS form of sim_ivf_index_maintenance: delta embeddings
+    arrive as a stream and every micro-batch classifies against the same
+    STORED index via foreachBatch — the always-on ingest posture (new
+    embeddings classified as they land) vs the batch row's nightly-delta
+    posture, sharing one classification body (_ivf_classify_delta), so
+    the two can never drift. foreachBatch rather than a pure streaming
+    plan because the routing argmins are per-key windows/aggregates —
+    three chained stateful operators, beyond what a single streaming
+    query may hold; per-batch batch-plans are exactly how production
+    runs this (the upsert_parquet_sink pattern). Under availableNow the
+    processed set is the whole delta, so the append sink equals the
+    batch job and the SAME oracle hash-gates it. Per-row classification
+    is batch-independent, so the equality holds for ANY micro-batch
+    partitioning of the delta — a batch-boundary dependence would be a
+    bug this gate catches."""
+    import os
+    import shutil
+    import tempfile
+
+    base = _ivf_index_dir(spark, sf_dir)
+    src = _IVF_STREAM_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="ivf-delta-src-")
+        load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 5 == 0
+        ).write.mode("overwrite").parquet(src)
+        _IVF_STREAM_SRC[sf_dir] = src
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="ivf-delta-out-")
+    ckpt = tempfile.mkdtemp(prefix="ivf-delta-ckpt-")
+    n_part = spark.sparkContext.defaultParallelism
+
+    def classify_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        delta = _pin_n2(
+            batch_df.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            ).repartition(n_part, "vec_id")
+        ).withColumnRenamed("n2", "dn2")
+        _ivf_classify_delta(spark, delta, base).write.mode("append").parquet(
+            out_dir
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(classify_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir)
