@@ -274,3 +274,64 @@ def test_bitext_margin_accepts_true_pair_rejects_hub(spark, tmp_path):
     assert out[0].margin > 1.5
     # the hub's best neighbor is not meaningfully better than its top-4
     assert not out[1].accepted, out[1]
+
+
+def test_stream_ivf_classify_batch_boundary_independent(spark, tmp_path):
+    """stream_ivf_delta_classify's docstring claims per-row classification
+    is micro-batch-independent. Force MANY micro-batches (one source file
+    per delta row bucket, maxFilesPerTrigger=1) and pin that the union of
+    per-batch outputs equals the single-batch run row-for-row."""
+    import pyspark.sql.functions as F
+
+    from stateflow_spark.queries.similarity import (
+        _ivf_classify_delta,
+        _ivf_index_dir,
+        _pin_n2,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = _ivf_index_dir(spark, sf_dir)
+    from stateflow_spark.catalog import load as cat_load
+
+    delta_rows = cat_load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    # 5 source files → 5 micro-batches under maxFilesPerTrigger=1
+    src = str(tmp_path / "delta_src")
+    delta_rows.repartition(5).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out_dir = str(tmp_path / "out")
+    n_part = spark.sparkContext.defaultParallelism
+
+    def classify(batch_df, _bid):
+        d = _pin_n2(
+            batch_df.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ).repartition(n_part, "vec_id")
+        ).withColumnRenamed("n2", "dn2")
+        _ivf_classify_delta(spark, d, base).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(classify)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    streamed = {
+        r.vec_id: (r.cid, r.subcell, r.nn_id, r.nn_cosine, r.verdict)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r.vec_id: (r.cid, r.subcell, r.nn_id, r.nn_cosine, r.verdict)
+        for r in REGISTRY["sim_ivf_index_maintenance"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch
