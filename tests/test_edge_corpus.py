@@ -47,6 +47,10 @@ EDGE_QUERIES = [
     "dedup_normalized",
     "dedup_simhash",
     "curation_length_buckets",
+    # round 10: the stored-postings probe — this corpus's delta ({5},
+    # a single one-token doc) falls below the shingle minimum, so both
+    # engines must agree on the EMPTY universe, not error on it
+    "dedup_minhash_index_maintenance",
 ]
 
 
@@ -111,6 +115,11 @@ EDGE_EMB_QUERIES = [
     "sim_power_iteration",
     "sim_kmeans_iterations",
     "multimodal_crossmodal_retrieval",
+    # round 10: the stored-index maintenance family — the delta set on
+    # this corpus ({0,5,10,15,20,25}) contains the zero-norm-adjacent
+    # rows (denormal 5), so the 'new'-with-NULL-nn convention is pinned
+    "sim_ivf_index_maintenance",
+    "stream_ivf_delta_classify",
 ]
 
 # queries whose result is anchored on the vec_id-0 query vector: these run
