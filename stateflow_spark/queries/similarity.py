@@ -2312,11 +2312,10 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
-# the two-level routing is replayed layer by layer: fine seeds + coarse
-# flags, fine→coarse parents, old-row routing, delta routing — every
-# argmin a ROW_NUMBER over the shared fixed-point distance kernel
-_IVF_MAINT_ORACLE = f"""
-    WITH ex AS ({_EX_SQL}),
+# shared routing CTE block (fine seeds + coarse flags, fine→coarse
+# parents, old-row routing, delta routing) — composed into the
+# maintenance AND merge oracles so the replayed tree cannot diverge
+_IVF_ROUTE_CTES = f"""ex AS ({_EX_SQL}),
     old AS (
         SELECT e.vec_id, emb.label AS cid, e.pos, e.x
         FROM ex e JOIN embeddings emb ON emb.vec_id = e.vec_id
@@ -2424,7 +2423,13 @@ _IVF_MAINT_ORACLE = f"""
                          AND p.parent = dc.coarse_id
             JOIN sqd q ON q.va = a.vec_id AND q.vb = f.seed_id
         ) WHERE rn = 1
-    ),
+    )"""
+
+
+# the two-level routing is replayed layer by layer: every argmin a
+# ROW_NUMBER over the shared fixed-point distance kernel
+_IVF_MAINT_ORACLE = f"""
+    WITH {_IVF_ROUTE_CTES},
     norms AS (
         SELECT vec_id,
                CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR)
@@ -2513,12 +2518,13 @@ def sim_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_classify_delta(spark, delta, _ivf_index_dir(spark, sf_dir))
 
 
-def _ivf_classify_delta(
+def _ivf_route_delta(
     spark: SparkSession, delta: DataFrame, base: str
 ) -> DataFrame:
-    """Classify a (vec_id, v, dn2) delta frame against the stored index
-    at `base` — shared by the batch row above and the streaming
-    foreachBatch row below (one logic, two ingestion modes)."""
+    """Route a (vec_id, v, dn2) delta frame through the stored index's
+    two assignment levels → (vec_id, v, dn2, cid, subcell). Shared by
+    the classifier (which then probes the cell for a neighbor) and the
+    merge-accounting row (which only needs the routed cell)."""
     import os
 
     cent = F.broadcast(spark.read.parquet(os.path.join(base, "centroids")))
@@ -2567,6 +2573,18 @@ def _ivf_classify_delta(
         .select("vec_id", "v", "dn2", "cid",
                 F.col("seed_id").alias("subcell"))
     )
+    return assigned
+
+
+def _ivf_classify_delta(
+    spark: SparkSession, delta: DataFrame, base: str
+) -> DataFrame:
+    """Classify a (vec_id, v, dn2) delta frame against the stored index
+    at `base` — shared by the batch row above and the streaming
+    foreachBatch row below (one logic, two ingestion modes)."""
+    import os
+
+    assigned = _ivf_route_delta(spark, delta, base)
     stored = spark.read.parquet(os.path.join(base, "corpus"))
     probe = stored.join(F.broadcast(assigned), ["cid", "subcell"])
     scored = (
@@ -2672,3 +2690,90 @@ def stream_ivf_delta_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+# a routed cell holding more than 2x its target population is flagged for
+# re-split at the next nightly build (daily merges stay cheap appends;
+# structural work is deferred to the job that already pays a corpus pass)
+_IVF_SPLIT_FACTOR = 2
+
+
+@register(
+    "sim_ivf_index_merge",
+    oracle=f"""
+    WITH {_IVF_ROUTE_CTES},
+    oldcnt AS (
+        SELECT o.cid, oc.subcell, COUNT(*) AS old_n
+        FROM oldrows o JOIN oldcell oc ON oc.vec_id = o.vec_id
+        GROUP BY o.cid, oc.subcell
+    ),
+    addcnt AS (
+        SELECT a.cid, dc.subcell, COUNT(*) AS added_n
+        FROM asg a JOIN dcell dc ON dc.vec_id = a.vec_id
+        GROUP BY a.cid, dc.subcell
+    )
+    SELECT ad.cid, ad.subcell,
+           CAST(COALESCE(oc.old_n, 0) AS BIGINT) AS old_n,
+           CAST(ad.added_n AS BIGINT) AS added_n,
+           CAST(COALESCE(oc.old_n, 0) + ad.added_n AS BIGINT) AS new_n,
+           COALESCE(oc.old_n, 0) + ad.added_n
+               > {_IVF_SPLIT_FACTOR * _IVF_SUBCELL_POP} AS needs_split
+    FROM addcnt ad LEFT JOIN oldcnt oc
+      ON oc.cid = ad.cid AND oc.subcell = ad.subcell
+    """,
+    tags=("similarity", "ivf", "incremental", "merge"),
+)
+def sim_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge accounting for the daily delta: route today's arrivals into
+    their stored sub-cells (the classifier's routing, shared code) and
+    emit, per TOUCHED cell, the stored population, the appended count,
+    the merged total, and whether the cell now exceeds 2× its target
+    population — the re-split worklist for the next nightly build. This
+    completes the index LIFECYCLE: build (nightly) → probe/classify
+    (daily, batch + streaming) → merge + deferred split (this row).
+    Appending routed rows to a hive-partitioned layout is a partition-
+    local file write; the structural decision (which cells to re-seed)
+    is exactly this output.
+
+    Scale shape: the delta routes through the same ~2·sqrt(S)-fold tree
+    as the classifier; the stored side is counted ONLY for touched
+    cells — the count aggregate runs UNDER the broadcast join with the
+    delta's (cid, subcell) set, so dynamic partition pruning skips
+    untouched cid partitions entirely and the output is bounded by the
+    delta's cell set, never the index size. Exactness: routing is the
+    shared fixed-point tree (oracle-replayed); counts are exact; the
+    split flag is integer arithmetic."""
+    import os
+
+    base = _ivf_index_dir(spark, sf_dir)
+    delta = _pin_n2(
+        _corpus(spark, sf_dir, fan_out=True).filter(F.col("vec_id") % 5 == 0)
+    ).withColumnRenamed("n2", "dn2")
+    routed = _ivf_route_delta(spark, delta, base)
+    touched = routed.groupBy("cid", "subcell").agg(
+        F.count(F.lit(1)).alias("added_n")
+    )
+    stored = spark.read.parquet(os.path.join(base, "corpus"))
+    old_cnt = (
+        stored.join(F.broadcast(touched.select("cid", "subcell")),
+                    ["cid", "subcell"])
+        .groupBy("cid", "subcell")
+        .agg(F.count(F.lit(1)).alias("old_n"))
+    )
+    merged = (
+        touched.join(old_cnt, ["cid", "subcell"], "left")
+        .select(
+            "cid",
+            "subcell",
+            F.coalesce(F.col("old_n"), F.lit(0)).alias("old_n"),
+            "added_n",
+            (F.coalesce(F.col("old_n"), F.lit(0)) + F.col("added_n")).alias(
+                "new_n"
+            ),
+        )
+        .withColumn(
+            "needs_split",
+            F.col("new_n") > _IVF_SPLIT_FACTOR * _IVF_SUBCELL_POP,
+        )
+    )
+    return merged

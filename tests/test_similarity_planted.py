@@ -335,3 +335,62 @@ def test_stream_ivf_classify_batch_boundary_independent(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_ivf_index_merge_flags_overfull_cell(spark, tmp_path):
+    """The merge row's needs_split flag never fires on the shipped corpora
+    (cells sit near their 64-row target), so plant one: label 1 holds 64
+    old rows (one cell) and 70 delta rows routed into it — 134 > 2x64
+    must flag; label 2 stays tiny and must not."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from stateflow_spark.queries import REGISTRY
+
+    rng = random.Random(3)
+
+    def near(center, eps=0.01):
+        return [c + rng.uniform(-eps, eps) for c in center]
+
+    c1 = [rng.uniform(-1, 1) for _ in range(16)]
+    c2 = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = []
+    vid = 1
+    made_old1 = 0
+    while made_old1 < 64:  # 64 old rows for label 1 (ids not % 5 == 0)
+        if vid % 5 != 0:
+            rows.append((vid, near(c1), 1))
+            made_old1 += 1
+        vid += 1
+    made_new1 = 0
+    while made_new1 < 70:  # 70 delta rows routed to the same cell
+        if vid % 5 == 0:
+            rows.append((vid, near(c1), 1))
+            made_new1 += 1
+        vid += 1
+    # label 2: 4 old + 1 delta — far below the split threshold
+    for _ in range(4):
+        if vid % 5 == 0:
+            vid += 1
+        rows.append((vid, near(c2), 2))
+        vid += 1
+    while vid % 5 != 0:
+        vid += 1
+    rows.append((vid, near(c2), 2))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {
+        (r.cid,): r
+        for r in REGISTRY["sim_ivf_index_merge"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    big = out[(1,)]
+    assert big.old_n == 64 and big.added_n == 70 and big.new_n == 134
+    assert big.needs_split
+    small = out[(2,)]
+    assert small.new_n < 128 and not small.needs_split
