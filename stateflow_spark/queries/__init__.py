@@ -36,10 +36,10 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 5 round-10 additions
+#   (a) every query with NO driver stamp ever — the 6 round-10 additions
 #       (sim_ivf_index_maintenance, sim_ivf_index_merge,
-#       dedup_minhash_index_maintenance, stream_ivf_delta_classify,
-#       multimodal_audio_fingerprint_nn);
+#       dedup_minhash_index_maintenance, dedup_minhash_index_merge,
+#       stream_ivf_delta_classify, multimodal_audio_fingerprint_nn);
 #   (b) every query whose results or plan changed this round
 #       (CHANGED_THIS_ROUND below) = 12: 9 from the round-10 zero-norm
 #       sweep closure + 3 r9-guarded rows whose PLAN changed in the
@@ -48,11 +48,12 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 #       r05-tier rows deferred in round 9 (sim_kmeans_iterations,
 #       stream_append_late_drop, stream_dedup_watermark,
 #       stream_incremental_rollup, window_topk_orders_per_customer)
-#       lead, then 28 of the 38 r06-tier rows (stream_static_enrich,
-#       stream_stream_join_outer, text_bm25_retrieval, text_chunking,
-#       text_pii_scrub, text_repetition_filter, text_token_rarity,
-#       text_vocab_coverage, window_equidepth_histogram,
-#       window_pareto_frontier — same r06 tier — rotate to round 11;
+#       lead, then 27 of the 38 r06-tier rows (stream_state_runs,
+#       stream_static_enrich, stream_stream_join_outer,
+#       text_bm25_retrieval, text_chunking, text_pii_scrub,
+#       text_repetition_filter, text_token_rarity, text_vocab_coverage,
+#       window_equidepth_histogram, window_pareto_frontier — same r06
+#       tier — rotate to round 11;
 #       tier-splitting is allowed: nothing OUTSIDE the prefix is
 #       strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
@@ -95,6 +96,7 @@ _R10_PREFIX = [
     "sim_ivf_index_maintenance",
     "sim_ivf_index_merge",
     "dedup_minhash_index_maintenance",
+    "dedup_minhash_index_merge",
     "stream_ivf_delta_classify",
     "multimodal_audio_fingerprint_nn",
     # (b) changed this round
@@ -105,8 +107,8 @@ _R10_PREFIX = [
     "stream_dedup_watermark",
     "stream_incremental_rollup",
     "window_topk_orders_per_customer",
-    # ...then 28 of the 38 r06 rows (ten rotate to round 11, named in
-    # the composition note above)
+    # ...then 27 of the 38 r06 rows (eleven rotate to round 11, named
+    # in the composition note above)
     "agg_approx_sketches",
     "agg_bloom_filter_membership",
     "agg_countmin_heavy_hitters",
@@ -134,7 +136,6 @@ _R10_PREFIX = [
     "source_corrupt_json",
     "source_schema_evolution",
     "stream_countmin_sketch",
-    "stream_state_runs",
 ]
 assert len(_R10_PREFIX) == 50, len(_R10_PREFIX)
 assert len(set(_R10_PREFIX)) == 50

@@ -2648,3 +2648,74 @@ def dedup_minhash_index_maintenance(
         .otherwise(F.lit("new"))
         .alias("verdict"),
     )
+
+
+# a posting past this size does >cap² in-bucket pair work per probe — the
+# documented exact-dedup-first / hot-bucket posture's trigger; daily merges
+# flag it, the nightly rebuild (or an upstream exact-dedup) drains it
+_MH_HOT_POSTING_CAP = 8
+
+
+@register(
+    "dedup_minhash_index_merge",
+    oracle=f"""
+    WITH {_MH_STACKED_SQL},
+    oldp AS (
+        SELECT bkey, COUNT(*) AS old_n FROM stacked
+        WHERE doc_id % 5 <> 0 GROUP BY bkey
+    ),
+    addp AS (
+        SELECT bkey, COUNT(*) AS added_n FROM stacked
+        WHERE doc_id % 5 = 0 GROUP BY bkey
+    )
+    SELECT a.bkey,
+           CAST(COALESCE(o.old_n, 0) AS BIGINT) AS old_n,
+           CAST(a.added_n AS BIGINT) AS added_n,
+           CAST(COALESCE(o.old_n, 0) + a.added_n AS BIGINT) AS new_n,
+           COALESCE(o.old_n, 0) + a.added_n > {_MH_HOT_POSTING_CAP}
+               AS is_hot
+    FROM addp a LEFT JOIN oldp o ON o.bkey = a.bkey
+    """,
+    tags=("dedup", "minhash", "incremental", "merge"),
+)
+def dedup_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge accounting for the postings index — the dedup sibling of
+    sim_ivf_index_merge, completing the MinHash lifecycle build →
+    probe/classify → merge: the delta's banded signature rows are the
+    APPEND set (bucketBy append keeps the layout), and this row emits,
+    per touched band key, the stored posting size, the appended count,
+    the merged size, and the hot-posting flag (> {_MH_HOT_POSTING_CAP}
+    docs — the in-bucket pair cost k² trigger for the exact-dedup-first
+    posture; a mass-duplicated document group is exactly what trips it,
+    planted test pins it).
+
+    Scale shape: the delta's signature build is the shared
+    _minhash_stacked body; the stored side is counted ONLY for touched
+    keys — the count aggregate runs under the bucket-aligned join with
+    the broadcast touched-key set, zero corpus-side exchange (the
+    bucketed layout again), output bounded by the delta's key set."""
+    tbl = _minhash_index_table(spark, sf_dir)
+    postings = spark.table(tbl)
+    touched = (
+        _minhash_stacked(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("added_n"))
+    )
+    old_cnt = (
+        postings.join(F.broadcast(touched.select("bkey")), "bkey")
+        .groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("old_n"))
+    )
+    return (
+        touched.join(old_cnt, "bkey", "left")
+        .select(
+            "bkey",
+            F.coalesce(F.col("old_n"), F.lit(0)).alias("old_n"),
+            "added_n",
+            (F.coalesce(F.col("old_n"), F.lit(0)) + F.col("added_n")).alias(
+                "new_n"
+            ),
+        )
+        .withColumn("is_hot", F.col("new_n") > _MH_HOT_POSTING_CAP)
+    )

@@ -550,3 +550,38 @@ def test_minhash_index_maintenance_classifies_planted_delta(
     assert out[5][0] == 4 and out[5][1] == 1.0 and out[5][2] == "dup"
     assert out[10][0] == 4 and out[10][2] == "dup" and out[10][1] > 0.5
     assert out[15][2] == "new" and out[15][0] is None
+
+
+def test_minhash_index_merge_flags_hot_posting(spark, tmp_path_factory):
+    """The hot-posting flag never fires on the shipped corpora (touched
+    postings max out at 3 docs at sf0.01), so plant a mass-duplicated
+    document group: 6 old copies + 4 delta copies of one text share every
+    band key — new_n 10 > 8 must flag; a singleton delta doc must not."""
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(500)]
+    hot = " ".join(rng.choice(vocab) for _ in range(60))
+    lone = " ".join(rng.choice(vocab) for _ in range(60))
+    rows, vid, n_old, n_new = [], 1, 0, 0
+    while n_old < 6 or n_new < 4:
+        if vid % 5 != 0 and n_old < 6:
+            rows.append((vid, hot)); n_old += 1
+        elif vid % 5 == 0 and n_new < 4:
+            rows.append((vid, hot)); n_new += 1
+        vid += 1
+    while vid % 5 != 0:
+        vid += 1
+    rows.append((vid, lone))
+    d = tmp_path_factory.mktemp("planted_hot")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = REGISTRY["dedup_minhash_index_merge"].fn(spark, str(d)).collect()
+    hot_rows = [r for r in out if r.is_hot]
+    cold_rows = [r for r in out if not r.is_hot]
+    # the duplicated group shares all 4 band keys: 4 hot rows at 6+4=10
+    assert len(hot_rows) == 4
+    assert all(r.old_n == 6 and r.added_n == 4 and r.new_n == 10 for r in hot_rows)
+    # the singleton delta doc's 4 band keys stay cold at new_n 1
+    assert len(cold_rows) == 4
+    assert all(r.new_n == 1 for r in cold_rows)
