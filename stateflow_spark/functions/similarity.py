@@ -237,16 +237,9 @@ def banded_hamming_pairs(
     assert n_bands > max_hamming, (
         f"pigeonhole needs n_bands > max_hamming ({n_bands} <= {max_hamming})"
     )
-    # the pigeonhole recall-1 guarantee ALSO needs the bands to cover
-    # every signature bit — a 64-bit signature banded 4×15 leaves 4 bits
-    # no band sees, and two signatures differing only there would never
-    # share a bucket (round-9 ADVICE low #4: silent recall loss for a
-    # future caller; both current callers use 60-bit signatures)
-    assert n_bands * band_bits >= sig_bits, (
-        f"bands must cover the signature: {n_bands}×{band_bits} "
-        f"= {n_bands * band_bits} < {sig_bits} bits"
+    pairs = banded_candidate_pairs(
+        sig, id_col, sig_col, n_bands, band_bits, sig_bits=sig_bits
     )
-    pairs = banded_candidate_pairs(sig, id_col, sig_col, n_bands, band_bits)
     return pairs.filter(F.col("hamming") <= max_hamming).distinct()
 
 
@@ -256,16 +249,30 @@ def banded_candidate_pairs(
     sig_col: str,
     n_bands: int,
     band_bits: int,
+    sig_bits: int = 60,
 ) -> DataFrame:
     """The candidate stage of ``banded_hamming_pairs``: every ordered
     (id_a < id_b) pair sharing at least one (band, band_val) bucket, with
     the exact Hamming distance — BEFORE the threshold filter, and NOT
     dedup'd (a pair agreeing on k bands appears k times; callers that
-    need set semantics distinct(), callers that aggregate per id — the
-    audio nearest-neighbor row — don't pay the extra shuffle since MIN
-    is duplicate-insensitive). Split out in round 10 so the blocking
-    machinery itself is driver-gate-checkable on corpora where the
-    thresholded pair set is empty."""
+    need set semantics distinct(); per-id MIN aggregations are
+    duplicate-insensitive and skip it). Split out in round 10 so the
+    blocking machinery itself is unit-checkable on corpora where the
+    thresholded pair set is empty — it uses the in-bucket array
+    expansion, so it wants band-value spaces wide relative to the
+    corpus; callers with pathological hot buckets (the audio
+    fingerprint NN at sf10) stream an equivalent (band, band_val)
+    self-join through AQE's skew split instead."""
+    # any blocking guarantee needs the bands to COVER every signature
+    # bit — a 64-bit signature banded 4×15 leaves 4 bits no band sees,
+    # and two signatures differing only there never share a bucket
+    # (round-9 ADVICE low #4; round-10 ADVICE moved the check here so
+    # direct candidate-stage callers validate too, not only the
+    # thresholded entry point)
+    assert n_bands * band_bits >= sig_bits, (
+        f"bands must cover the signature: {n_bands}×{band_bits} "
+        f"= {n_bands * band_bits} < {sig_bits} bits"
+    )
     bands = sig.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),

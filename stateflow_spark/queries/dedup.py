@@ -2492,15 +2492,29 @@ def _minhash_index_table(spark: SparkSession, sf_dir: str) -> str:
         return tbl
     path = os.path.join(tempfile.gettempdir(), f"stateflow_mh_index_{key}")
     ddl = (
-        f"CREATE TABLE {tbl} (bkey STRING, sid BIGINT, sn INT,"
-        f" shs ARRAY<BIGINT>) USING PARQUET CLUSTERED BY (bkey)"
+        f"CREATE TABLE IF NOT EXISTS {tbl} (bkey STRING, sid BIGINT,"
+        f" sn INT, shs ARRAY<BIGINT>) USING PARQUET CLUSTERED BY (bkey)"
         f" INTO {_MH_IDX_BUCKETS} BUCKETS LOCATION '{path}'"
     )
     if os.path.exists(os.path.join(path, "_INDEX_READY")):
         spark.sql(ddl)
         return tbl
+    # build into a scratch dir (scratch catalog name, since bucketed
+    # writes go through saveAsTable) and PUBLISH with an atomic
+    # os.rename — the r10 overwrite-into-final-location write let two
+    # concurrent sessions, both seeing no READY marker, clobber a
+    # half-built postings dir (round-10 ADVICE low; same pattern as
+    # _ivf_index_dir). Bucket ids ride the file names, so dropping the
+    # scratch table's metadata and re-registering the renamed files
+    # under the final DDL preserves the bucketed layout.
+    import shutil
+    import uuid
+
     from stateflow_spark.storage import write_bucketed
 
+    token = uuid.uuid4().hex[:8]
+    tmp_path = f"{path}.building.{token}"
+    tmp_tbl = f"{tbl}_building_{token}"
     postings = (
         _minhash_stacked(spark, sf_dir)
         .filter(F.col("doc_id") % 5 != 0)
@@ -2511,9 +2525,15 @@ def _minhash_index_table(spark: SparkSession, sf_dir: str) -> str:
             F.col("hs").alias("shs"),
         )
     )
-    write_bucketed(postings, tbl, ["bkey"], _MH_IDX_BUCKETS, path,
+    write_bucketed(postings, tmp_tbl, ["bkey"], _MH_IDX_BUCKETS, tmp_path,
                    sort_keys=["bkey"])
-    open(os.path.join(path, "_INDEX_READY"), "w").close()
+    spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files stay put
+    open(os.path.join(tmp_path, "_INDEX_READY"), "w").close()
+    try:
+        os.rename(tmp_path, path)
+    except OSError:
+        shutil.rmtree(tmp_path, ignore_errors=True)  # a concurrent build won
+    spark.sql(ddl)
     return tbl
 
 

@@ -772,8 +772,6 @@ def multimodal_audio_fingerprint_nn(
     join yields both orientations directly (a ≠ b), and the per-doc
     min-struct aggregate does partial MIN map-side — duplicates from
     multi-band agreement are free under MIN."""
-    from stateflow_spark.storage import unpersist_local_checkpoint
-
     mask = (1 << _AFP_BAND_BITS) - 1
     sig = _afp_df(spark, sf_dir).localCheckpoint(eager=False)
     bands = sig.select(

@@ -88,6 +88,10 @@ class _GroupStateStore(StateStore):
         self.key = key
         self.state = state
         self.touched = False
+        # monotone put() counter: the DLQ rollback snapshot re-copies
+        # only when this moved (touched alone can't distinguish "mutated
+        # again" once it has latched True)
+        self.version = 0
 
     def owns(self, ref: EntityRef) -> bool:
         return ref.entity == self.entity and ref.key == self.key
@@ -100,6 +104,7 @@ class _GroupStateStore(StateStore):
         assert self.owns(ref)
         self.state = state
         self.touched = True
+        self.version += 1
 
 
 def _cold_load(cold_dir: str, entity: str, key: str) -> Optional[dict]:
@@ -231,25 +236,33 @@ def _make_stateful_fn(
                         )
                     )
         events.sort(key=lambda t: t[0])
+        # DLQ rollback snapshot, ONCE per key per batch: a handler
+        # exception that ESCAPES handle() must not persist a half-mutated
+        # state. Known escapes are pre-mutation (unknown entity type,
+        # malformed payload keys — user-code failures inside flows/invokes
+        # become error replies in Interpreter.run / handle's own try), but
+        # the restore must hold even if that invariant rots: a REAL copy,
+        # because an in-place state mutation would survive a reference
+        # snapshot (r9 ADVICE). The copy re-runs only after a handle()
+        # that actually called put() (store.version moved) — the r10
+        # per-EVENT deepcopy made every DLQ-enabled key pay
+        # O(state_size × events) even when no handler ever failed
+        # (r10 ADVICE). Without a DLQ the exception re-raises and kills
+        # the query, so no snapshot at all.
+        if dead_letter:
+            pre_state = copy.deepcopy(store.state)
+            pre_touched, pre_version = store.touched, store.version
         for _, ev in events:
-            # snapshot so a handler exception that ESCAPES handle() cannot
-            # persist a half-mutated state for this key. Known escapes are
-            # pre-mutation (unknown entity type, malformed payload keys —
-            # user-code failures inside flows/invokes become error replies
-            # in Interpreter.run / handle's own try), but the restore must
-            # hold even if that invariant rots: a REAL copy, because an
-            # in-place state mutation would survive a reference snapshot
-            # (r9 ADVICE). deepcopy only on the DLQ path — without a DLQ
-            # the exception re-raises and kills the query anyway.
-            if dead_letter:
-                pre_state = copy.deepcopy(store.state)
-                pre_touched = store.touched
             try:
                 res = operator.handle(ev, store)
             except Exception as ex:
                 if not dead_letter:
                     raise
-                store.state, store.touched = pre_state, pre_touched
+                # restore a COPY so the pristine snapshot never becomes
+                # the live object (a later in-place mutation would
+                # corrupt it); deepcopy here is on the rare error path
+                store.state = copy.deepcopy(pre_state)
+                store.touched, store.version = pre_touched, pre_version
                 rows.append(
                     (
                         "dead",
@@ -278,6 +291,12 @@ def _make_stateful_fn(
                 rows.append(("reply", r.entity, r.key or "", r.seq, r.to_bytes()))
             for h in res.hops:
                 rows.append(("hop", h.entity, h.key, h.seq, h.to_bytes()))
+            if dead_letter and store.version != pre_version:
+                # a successful put() advanced the committed baseline —
+                # re-snapshot so a LATER failure rolls back to here, not
+                # to the batch start (read-only handles skip the copy)
+                pre_state = copy.deepcopy(store.state)
+                pre_touched, pre_version = store.touched, store.version
 
         if (store.touched or reheated) and store.state is not None:
             state.update((pickle.dumps(store.state),))

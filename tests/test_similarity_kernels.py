@@ -210,6 +210,33 @@ def test_banded_hamming_rejects_uncovered_signature_bits(spark):
     )
 
 
+def test_banded_candidate_pairs_direct(spark):
+    """Round-10 ADVICE low #4: the candidate stage is a public entry point
+    of its own — it must (a) enforce the band-coverage assertion itself,
+    not only via the thresholded wrapper, and (b) emit one row per shared
+    band with the exact Hamming distance, UN-thresholded and UN-dedup'd."""
+    import pytest
+
+    from stateflow_spark.functions.similarity import banded_candidate_pairs
+
+    # 16-bit signatures, 4 bands × 4 bits: 0x1234 vs 0x1235 share bands
+    # 1,2,3 (differ only in band 0) → 3 candidate rows, hamming=1;
+    # 0xFFFF shares no band with either → no rows for it
+    df = spark.createDataFrame(
+        [(1, 0x1234), (2, 0x1235), (3, 0xFFFF)], "id long, sig long"
+    )
+    rows = (
+        banded_candidate_pairs(df, "id", "sig", 4, 4, sig_bits=16)
+        .orderBy("id_a", "id_b")
+        .collect()
+    )
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 1)] * 3
+
+    # direct caller with an uncovered signature must be rejected loudly
+    with pytest.raises(AssertionError, match="cover the signature"):
+        banded_candidate_pairs(df, "id", "sig", 3, 4, sig_bits=16)
+
+
 def test_sqdist_fxp_guard_raises_on_overflow_range(spark):
     """Round-9 ADVICE low #5: out-of-range inputs wrap silently in the
     bigint sum (cross-engine argmin mismatch) — the debug guard must turn
