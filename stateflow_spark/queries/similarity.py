@@ -62,24 +62,65 @@ def _corpus(
     return df
 
 
+def _norms_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once NORM-MATERIALIZED corpus layout for `sf_dir`'s
+    embeddings: (vec_id, label, v, n2) with the exact decimal squared
+    norm computed once at write time — the scan-side sibling of the
+    stored IVF index's `sn2` column (round-10 VERDICT #1). Before this,
+    every pure-scan cosine query re-ran the interpreted 64-element
+    decimal norm fold over the whole corpus per execution just to guard
+    n2 > 0 (an inherent 1.3-1.4× on the guarded rows, measured by the
+    r10 interleaved A/B); now the guard reads a plain parquet column.
+    At 100 TB this is part of the same nightly layout job as the stored
+    indexes — norms change only when vectors do. Cached per
+    (abspath, mtime) with the scratch-dir + atomic-rename publish
+    discipline of _ivf_index_dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"stateflow_corpus_n2_{key}")
+    if os.path.exists(os.path.join(base, "_INDEX_READY")):
+        return base
+    tmp = base + ".building." + uuid.uuid4().hex[:8]
+    _corpus(spark, sf_dir, with_label=True, fan_out=True).select(
+        "vec_id", "label", "v", norm2_dec("v").alias("n2")
+    ).write.parquet(os.path.join(tmp, "corpus"))
+    open(os.path.join(tmp, "_INDEX_READY"), "w").close()
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent build won
+    return base
+
+
 def _corpus_n2(
     spark: SparkSession, sf_dir: str, with_label: bool = False
 ) -> DataFrame:
-    """Fanned-out corpus with the exact squared norm PINNED behind a
-    keyed-aggregate barrier (exchange-free atop the fan-out repartition —
-    vec_id is its hash key, so the groupBy reuses the partitioning).
+    """Packed corpus WITH its exact squared norm, read from the
+    norm-materialized layout (_norms_dir) — n2 arrives as a stored
+    parquet column, so the zero-norm guard's `.filter(n2 > 0)` can never
+    re-inline the decimal fold (the r10 barrier existed solely to stop
+    PushPredicateThroughProject substituting the fold into the filter;
+    a scan column needs no barrier) and the fold itself runs once per
+    corpus VERSION instead of once per query. The fan-out repartition
+    stays: the downstream per-query dot folds are interpreted, and the
+    small-file layout would otherwise pack into one partition."""
+    import os
 
-    The barrier exists because the r9/r10 zero-norm guards introduced a
-    `.filter(n2 > 0)` between the n2 projection and the cosine that
-    consumes it: PushPredicateThroughProject SUBSTITUTES the norm fold
-    into the filter condition, so every corpus row paid the interpreted
-    64-element decimal fold twice — once in the Filter, once again in
-    the cosine projection (measured ~1.4× on the guarded bench rows;
-    the same inlining trap _shingles_df documents for dedup). An
-    aggregate is a substitution barrier: downstream filters reference
-    n2 as a plain attribute."""
-    c = _corpus(spark, sf_dir, with_label=with_label, fan_out=True)
-    return _pin_n2(c, *(["label"] if with_label else []))
+    base = _norms_dir(spark, sf_dir)
+    cols = ["vec_id"] + (["label"] if with_label else []) + ["v", "n2"]
+    return (
+        spark.read.parquet(os.path.join(base, "corpus"))
+        .select(*cols)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
 
 
 def _pin_n2(df: DataFrame, *extra: str) -> DataFrame:
@@ -419,14 +460,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label")
     )
     probed = (
-        _corpus(spark, sf_dir, with_label=True, fan_out=True)
+        _corpus_n2(spark, sf_dir, with_label=True)
         .join(F.broadcast(probed_labels), "label")
         .filter(F.col("vec_id") != 0)
     )
     return (
-        # pin n2 AFTER the probe join so the fold runs only on probed
-        # rows, and behind a barrier so the guard can't re-inline it
-        _pin_n2(probed)
+        # n2 is a stored column of the norm-materialized layout (r11):
+        # no per-query fold at all, and a scan column can't re-inline
+        probed
         .crossJoin(q)
         # n2/qnorm2 > 0: zero-norm vectors are similar to nothing (r9/r10)
         .filter((F.col("n2") > 0) & (F.col("qnorm2") > 0))
@@ -548,11 +589,11 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest) — the IVF alternative when no cluster labels exist.
     Signature arithmetic is engine-exact (see _srp_plane), so the oracle
     pins recall: a banding bug flips the hash gate, not just the score."""
-    corpus = _corpus(spark, sf_dir, fan_out=True)
+    corpus = _corpus_n2(spark, sf_dir)
     qside = F.broadcast(
         corpus.filter(F.col("vec_id") == 0).select(
             F.col("v").alias("qv"),
-            norm2_dec("v").alias("qnorm2"),
+            F.col("n2").alias("qnorm2"),
             *[
                 _srp_band_sig(b).alias(f"qs{b}")
                 for b in range(_SRP_BANDS)
@@ -562,6 +603,7 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigged = corpus.filter(F.col("vec_id") != 0).select(
         "vec_id",
         "v",
+        "n2",
         *[_srp_band_sig(b).alias(f"s{b}") for b in range(_SRP_BANDS)],
     )
     match_any = None
@@ -570,9 +612,10 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         match_any = m if match_any is None else (match_any | m)
     matched = sigged.crossJoin(qside).filter(match_any)
     return (
-        # pin n2 AFTER the band-match filter (fold only candidates) and
-        # behind a barrier so the guard can't re-inline it (r10)
-        _pin_n2(matched, "qv", "qnorm2")
+        # n2/qnorm2 are stored columns of the norm-materialized layout
+        # (r11): the signature folds are the query's own work, the norm
+        # fold is the corpus version's
+        matched
         # zero-norm vectors can share the all-zero-sign bucket with the
         # query, but cosine is undefined for them: similar to nothing
         .filter((F.col("n2") > 0) & (F.col("qnorm2") > 0))
