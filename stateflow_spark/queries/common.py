@@ -121,3 +121,30 @@ def oracle_davg(expr: str, alias: str, scale: int = 4) -> str:
         _d2d(f"SUM(CAST({expr} AS DECIMAL(38,{scale})))")
         + f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
     )
+
+
+def stream_delta_src(
+    spark: SparkSession, sf_dir: str, table: str, id_col: str,
+    cache: dict, prefix: str,
+) -> str:
+    """Materialized delta dump (rows with id % 5 == 0) used as a file
+    stream source by the stream_*_delta_classify rows, cached per
+    (abspath, mtime) of the source parquet — the SAME key the stored-
+    index caches use, so a rewrite of the source at the same path
+    re-dumps the delta instead of silently streaming stale rows against
+    a rebuilt index (round-10 ADVICE medium)."""
+    import os
+    import tempfile
+
+    from stateflow_spark.catalog import load
+
+    src_parquet = os.path.join(sf_dir, f"{table}.parquet")
+    key = (os.path.abspath(src_parquet), os.path.getmtime(src_parquet))
+    src = cache.get(key)
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix=prefix)
+        load(spark, sf_dir, table).filter(
+            F.col(id_col) % 5 == 0
+        ).write.mode("overwrite").parquet(src)
+        cache[key] = src
+    return src

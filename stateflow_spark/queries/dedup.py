@@ -64,7 +64,14 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     by direct element indexing (w[i-1..i+1]), not slice()+concat_ws —
     same strings, ~2× cheaper per element."""
     n_part = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    return _shingles_from(load(spark, sf_dir, "documents"), n_part)
+
+
+def _shingles_from(docs: DataFrame, n_part: int) -> DataFrame:
+    """_shingles_df's body over an arbitrary (doc_id, text) frame — shared
+    with the streaming classify leg, whose micro-batches arrive as frames
+    rather than a parquet path (round-10 VERDICT #3)."""
+    d = docs.repartition(n_part, "doc_id")
     w = (
         d.select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 3)
@@ -2431,7 +2438,12 @@ def _minhash_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh signature stage reshaped to one row per (doc, band)
     with a single string band key, the join/bucket key of the stored
     postings layout."""
-    sh = _shingles_df(spark, sf_dir)
+    return _minhash_stacked_from(_shingles_df(spark, sf_dir))
+
+
+def _minhash_stacked_from(sh: DataFrame) -> DataFrame:
+    """_minhash_stacked's body over an arbitrary (doc_id, shingles) frame
+    (shared with the streaming classify leg, round-10 VERDICT #3)."""
     h60_sql = "CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)"
     hr = sh.select(
         "doc_id",
@@ -2560,9 +2572,10 @@ _MH_STACKED_SQL = f"""
 """
 
 
-@register(
-    "dedup_minhash_index_maintenance",
-    oracle=f"""
+# shared by the batch maintenance row and its streaming leg (the stream's
+# availableNow union over micro-batches equals the batch job row-for-row,
+# so ONE oracle hash-gates both)
+_MH_MAINT_ORACLE = f"""
     WITH {_MH_STACKED_SQL},
     cand AS (
         SELECT DISTINCT n.doc_id, o.doc_id AS sid
@@ -2597,7 +2610,55 @@ _MH_STACKED_SQL = f"""
                 ELSE 'new' END AS verdict
     FROM (SELECT doc_id FROM sig WHERE doc_id % 5 = 0) d
     LEFT JOIN best ON best.doc_id = d.doc_id
-    """,
+    """
+
+
+def _mh_classify_delta(
+    spark: SparkSession, delta_docs: DataFrame, tbl: str
+) -> DataFrame:
+    """The shared classify body of dedup_minhash_index_maintenance and
+    stream_minhash_delta_classify: banded signatures for the delta docs,
+    probe the STORED postings by band key, exact-Jaccard verify over the
+    stored hash sets, best match + verdict per delta doc. Per-doc work
+    depends only on that doc and the stored index, so the streaming leg's
+    per-micro-batch runs union to exactly the batch result."""
+    from pyspark.sql import Window
+
+    n_part = spark.sparkContext.defaultParallelism
+    postings = spark.table(tbl)
+    sh = _shingles_from(delta_docs, n_part)
+    delta = _minhash_stacked_from(sh)
+    cand = postings.join(delta, "bkey").select(
+        "doc_id",
+        "sid",
+        "n",
+        "sn",
+        F.size(F.array_intersect("hs", "shs")).alias("n_common"),
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n") + F.col("sn") - F.col("n_common")
+    ).cast("double")
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), "sid")
+    best = (
+        cand.withColumn("jaccard", jac)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("sid").alias("match_id"), "jaccard")
+    )
+    universe = sh.select("doc_id")
+    return universe.join(best, "doc_id", "left").select(
+        "doc_id",
+        "match_id",
+        "jaccard",
+        F.when(F.col("jaccard") >= JACCARD_THRESHOLD, F.lit("dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+    )
+
+
+@register(
+    "dedup_minhash_index_maintenance",
+    oracle=_MH_MAINT_ORACLE,
     tags=("dedup", "minhash", "incremental", "delta"),
 )
 def dedup_minhash_index_maintenance(
@@ -2633,41 +2694,11 @@ def dedup_minhash_index_maintenance(
     break on (jaccard DESC, sid) in both engines; delta docs with no
     colliding bucket emit NULL match + 'new' through the same LEFT
     join in both engines."""
-    from pyspark.sql import Window
-
     tbl = _minhash_index_table(spark, sf_dir)
-    postings = spark.table(tbl)
-    delta = _minhash_stacked(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
-    cand = postings.join(delta, "bkey").select(
-        "doc_id",
-        "sid",
-        "n",
-        "sn",
-        F.size(F.array_intersect("hs", "shs")).alias("n_common"),
+    delta_docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n") + F.col("sn") - F.col("n_common")
-    ).cast("double")
-    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), "sid")
-    best = (
-        cand.withColumn("jaccard", jac)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("sid").alias("match_id"), "jaccard")
-    )
-    universe = (
-        _shingles_df(spark, sf_dir)
-        .filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id")
-    )
-    return universe.join(best, "doc_id", "left").select(
-        "doc_id",
-        "match_id",
-        "jaccard",
-        F.when(F.col("jaccard") >= JACCARD_THRESHOLD, F.lit("dup"))
-        .otherwise(F.lit("new"))
-        .alias("verdict"),
-    )
+    return _mh_classify_delta(spark, delta_docs, tbl)
 
 
 # a posting past this size does >cap² in-bucket pair work per probe — the
@@ -2739,3 +2770,63 @@ def dedup_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_hot", F.col("new_n") > _MH_HOT_POSTING_CAP)
     )
+
+
+_MH_STREAM_SRC: dict[tuple[str, float], str] = {}
+
+
+@register(
+    "stream_minhash_delta_classify",
+    oracle=_MH_MAINT_ORACLE,
+    tags=("dedup", "minhash", "incremental", "streaming"),
+)
+def stream_minhash_delta_classify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CONTINUOUS form of dedup_minhash_index_maintenance — the
+    MinHash sibling of stream_ivf_delta_classify, completing lifecycle
+    symmetry between the two stored-index families (round-10 VERDICT #3):
+    delta documents arrive as a stream and every micro-batch classifies
+    against the same STORED postings table via foreachBatch, sharing ONE
+    classification body (_mh_classify_delta) with the batch row so the
+    two can never drift. foreachBatch because the classify body holds a
+    per-doc best-match window over the probe join — beyond what a single
+    streaming plan may hold; per-batch batch-plans are exactly how a
+    continuous dedup-ingest pipeline runs this. Under availableNow the
+    processed set is the whole delta, so the append sink equals the
+    batch job and the SAME oracle hash-gates it. Per-doc classification
+    depends only on that doc + the stored index, so the equality holds
+    for ANY micro-batch partitioning of the delta (batch-boundary
+    independence is pinned by a maxFilesPerTrigger=1 test)."""
+    import shutil
+    import tempfile
+
+    from stateflow_spark.queries.common import stream_delta_src
+
+    tbl = _minhash_index_table(spark, sf_dir)
+    src = stream_delta_src(
+        spark, sf_dir, "documents", "doc_id", _MH_STREAM_SRC,
+        "mh-delta-src-",
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="mh-delta-out-")
+    ckpt = tempfile.mkdtemp(prefix="mh-delta-ckpt-")
+
+    def classify_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        _mh_classify_delta(spark, batch_df, tbl).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(classify_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir)

@@ -2671,30 +2671,6 @@ def _ivf_classify_delta(
 _IVF_STREAM_SRC: dict[tuple[str, float], str] = {}
 
 
-def _stream_delta_src(
-    spark: SparkSession, sf_dir: str, table: str, id_col: str,
-    cache: dict[tuple[str, float], str], prefix: str,
-) -> str:
-    """Materialized delta dump (rows with id % 5 == 0) used as a file
-    stream source, cached per (abspath, mtime) of the source parquet —
-    the SAME key the stored-index caches use, so a rewrite of the source
-    at the same path re-dumps the delta instead of silently streaming
-    stale rows against a rebuilt index (round-10 ADVICE medium)."""
-    import os
-    import tempfile
-
-    src_parquet = os.path.join(sf_dir, f"{table}.parquet")
-    key = (os.path.abspath(src_parquet), os.path.getmtime(src_parquet))
-    src = cache.get(key)
-    if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix=prefix)
-        load(spark, sf_dir, table).filter(
-            F.col(id_col) % 5 == 0
-        ).write.mode("overwrite").parquet(src)
-        cache[key] = src
-    return src
-
-
 @register(
     "stream_ivf_delta_classify",
     oracle=_IVF_MAINT_ORACLE,
@@ -2719,8 +2695,10 @@ def stream_ivf_delta_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from stateflow_spark.queries.common import stream_delta_src
+
     base = _ivf_index_dir(spark, sf_dir)
-    src = _stream_delta_src(
+    src = stream_delta_src(
         spark, sf_dir, "embeddings", "vec_id", _IVF_STREAM_SRC,
         "ivf-delta-src-",
     )

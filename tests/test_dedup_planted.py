@@ -552,6 +552,59 @@ def test_minhash_index_maintenance_classifies_planted_delta(
     assert out[15][2] == "new" and out[15][0] is None
 
 
+def test_stream_minhash_classify_batch_boundary_independent(spark, tmp_path):
+    """stream_minhash_delta_classify's docstring claims per-doc
+    classification is micro-batch-independent. Force MANY micro-batches
+    (5 source files, maxFilesPerTrigger=1) and pin that the union of
+    per-batch outputs equals the single-batch run row-for-row — the
+    MinHash sibling of the stream_ivf boundary test."""
+    import pyspark.sql.functions as F
+
+    from stateflow_spark.catalog import load as cat_load
+    from stateflow_spark.queries.dedup import (
+        _mh_classify_delta,
+        _minhash_index_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    tbl = _minhash_index_table(spark, sf_dir)
+    delta_docs = cat_load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    src = str(tmp_path / "delta_src")
+    delta_docs.repartition(5).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out_dir = str(tmp_path / "out")
+
+    def classify(batch_df, _bid):
+        _mh_classify_delta(spark, batch_df, tbl).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(classify)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    streamed = {
+        r.doc_id: (r.match_id, r.jaccard, r.verdict)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r.doc_id: (r.match_id, r.jaccard, r.verdict)
+        for r in REGISTRY["dedup_minhash_index_maintenance"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch
+
+
 def test_minhash_index_merge_flags_hot_posting(spark, tmp_path_factory):
     """The hot-posting flag never fires on the shipped corpora (touched
     postings max out at 3 docs at sf0.01), so plant a mass-duplicated
