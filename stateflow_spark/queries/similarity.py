@@ -2784,13 +2784,32 @@ def sim_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta's cell set, never the index size. Exactness: routing is the
     shared fixed-point tree (oracle-replayed); counts are exact; the
     split flag is integer arithmetic."""
-    import os
-
     base = _ivf_index_dir(spark, sf_dir)
+    routed = _ivf_routed_delta_df(spark, sf_dir, base)
+    return _ivf_merged_cells(
+        spark, base, routed, cap=_IVF_SPLIT_FACTOR * _IVF_SUBCELL_POP
+    )
+
+
+def _ivf_routed_delta_df(
+    spark: SparkSession, sf_dir: str, base: str
+) -> DataFrame:
+    """Today's arrivals routed through the stored index's assignment
+    tree — shared by the merge-accounting and re-split rows."""
     delta = _pin_n2(
         _corpus(spark, sf_dir, fan_out=True).filter(F.col("vec_id") % 5 == 0)
     ).withColumnRenamed("n2", "dn2")
-    routed = _ivf_route_delta(spark, delta, base)
+    return _ivf_route_delta(spark, delta, base)
+
+
+def _ivf_merged_cells(
+    spark: SparkSession, base: str, routed: DataFrame, cap: int
+) -> DataFrame:
+    """Per-TOUCHED-cell merge accounting (old_n, added_n, new_n,
+    needs_split vs `cap`) — the body of sim_ivf_index_merge, shared with
+    the re-split job that consumes its worklist."""
+    import os
+
     touched = routed.groupBy("cid", "subcell").agg(
         F.count(F.lit(1)).alias("added_n")
     )
@@ -2801,7 +2820,7 @@ def sim_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid", "subcell")
         .agg(F.count(F.lit(1)).alias("old_n"))
     )
-    merged = (
+    return (
         touched.join(old_cnt, ["cid", "subcell"], "left")
         .select(
             "cid",
@@ -2812,9 +2831,301 @@ def sim_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "new_n"
             ),
         )
-        .withColumn(
-            "needs_split",
-            F.col("new_n") > _IVF_SPLIT_FACTOR * _IVF_SUBCELL_POP,
+        .withColumn("needs_split", F.col("new_n") > cap)
+    )
+
+
+# Registered-row re-split constants: same FORMULAS as production (cap =
+# 2x target pop, split into ceil(n/pop) cells) but a smaller target
+# population, so the driver's sf0.01/sf0.1 gates exercise real splits —
+# at the production 64-row target no synthetic-corpus cell ever flags
+# (max merged cell 59 at sf0.01 / 120 at sf0.1) and the row would emit
+# zero rows at every shipped scale, the vacuous-stamp failure mode r10
+# fixed for the audio row. The planted test runs the production
+# constants against a genuinely over-full cell.
+_IVF_RESPLIT_POP = 16
+
+
+def _ivf_resplit_cells(
+    spark: SparkSession, base: str, routed: DataFrame, pop: int, cap: int
+) -> DataFrame:
+    """Consume the merge worklist: for every cell whose merged population
+    exceeds `cap`, pick ceil(n/pop) sub-seeds among the MERGED members —
+    the old seed always stays seed #1 (its row in the stored seeds table
+    keeps both its fine and possible coarse roles, so the seeds update is
+    append-only and no cell is ever orphaned), the rest are the
+    smallest-md5 members (the build's deterministic-sampling rule) — and
+    reassign every member to its nearest new seed by the tie-free
+    fixed-point kernel. Returns the post-split accounting
+    (cid, subcell, new_subcell, n_members, still_hot).
+
+    Scale shape: members come only from FLAGGED cells — the stored scan
+    is pruned to flagged cids at runtime (broadcast join → dynamic
+    partition pruning, plan-gated) and the work is bounded by the
+    worklist, never the index. The within-cell windows partition by
+    (cid, subcell): a cell is at most a few multiples of `pop` rows by
+    construction, so per-partition sorts are tiny."""
+    reasg = _ivf_resplit_cells_assignments(spark, base, routed, pop, cap)
+    return (
+        reasg.groupBy("cid", "subcell", "new_subcell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn("still_hot", F.col("n_members") > cap)
+    )
+
+
+def _ivf_resplit_oracle(pop: int, cap: int) -> str:
+    """DuckDB replay of _ivf_resplit_cells atop the shared routing tree."""
+    return f"""
+    WITH {_IVF_ROUTE_CTES},
+    oldcnt AS (
+        SELECT o.cid, oc.subcell, COUNT(*) AS old_n
+        FROM oldrows o JOIN oldcell oc ON oc.vec_id = o.vec_id
+        GROUP BY o.cid, oc.subcell
+    ),
+    addcnt AS (
+        SELECT a.cid, dc.subcell, COUNT(*) AS added_n
+        FROM asg a JOIN dcell dc ON dc.vec_id = a.vec_id
+        GROUP BY a.cid, dc.subcell
+    ),
+    flagged AS (
+        SELECT ad.cid, ad.subcell
+        FROM addcnt ad LEFT JOIN oldcnt oc
+          ON oc.cid = ad.cid AND oc.subcell = ad.subcell
+        WHERE COALESCE(oc.old_n, 0) + ad.added_n > {cap}
+    ),
+    members AS (
+        SELECT f.cid, f.subcell, oc.vec_id
+        FROM flagged f
+        JOIN oldrows o ON o.cid = f.cid
+        JOIN oldcell oc ON oc.vec_id = o.vec_id AND oc.subcell = f.subcell
+        UNION ALL
+        SELECT f.cid, f.subcell, dc.vec_id
+        FROM flagged f
+        JOIN asg a ON a.cid = f.cid
+        JOIN dcell dc ON dc.vec_id = a.vec_id AND dc.subcell = f.subcell
+    ),
+    ranked AS (
+        SELECT cid, subcell, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cid, subcell
+                   ORDER BY CASE WHEN vec_id = subcell THEN 0 ELSE 1 END,
+                            md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+               COUNT(*) OVER (PARTITION BY cid, subcell) AS n
+        FROM members
+    ),
+    seeds2 AS (
+        SELECT cid, subcell, vec_id AS new_subcell FROM ranked
+        WHERE rk <= CAST(ceil(CAST(n AS DOUBLE) / {pop}) AS INT)
+    ),
+    reasg AS (
+        SELECT cid, subcell, vec_id, new_subcell FROM (
+            SELECT m.cid, m.subcell, m.vec_id, s.new_subcell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY m.cid, m.subcell, m.vec_id
+                       ORDER BY q.d, s.new_subcell) AS rn
+            FROM members m
+            JOIN seeds2 s ON s.cid = m.cid AND s.subcell = m.subcell
+            JOIN sqd q ON q.va = m.vec_id AND q.vb = s.new_subcell
+        ) WHERE rn = 1
+    )
+    SELECT cid, subcell, new_subcell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           COUNT(*) > {cap} AS still_hot
+    FROM reasg GROUP BY cid, subcell, new_subcell
+    """
+
+
+@register(
+    "sim_ivf_index_resplit",
+    oracle=_ivf_resplit_oracle(_IVF_RESPLIT_POP, 2 * _IVF_RESPLIT_POP),
+    tags=("similarity", "ivf", "incremental", "resplit"),
+)
+def sim_ivf_index_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute sim_ivf_index_merge's re-split worklist (round-10 VERDICT
+    #4): cells whose merged population exceeds 2× the target are re-
+    seeded in place — ceil(n/pop) sub-seeds (old seed retained as #1,
+    rest by smallest md5), members reassigned by the shared fixed-point
+    argmin — and the output is the post-split population per new cell
+    with the cleared/uncleared flag. ivf_apply_resplit below performs
+    the corresponding partition-local rewrite; this row is the
+    structural decision + accounting, oracle-replayed end to end.
+
+    The registered row runs the production FORMULAS at a 16-row target
+    population (cap 32) so the driver gates hash real splits at
+    sf0.01/sf0.1 (see _IVF_RESPLIT_POP note); the planted test exercises
+    the production 64/128 constants on a genuinely over-full cell and
+    pins that the flag clears."""
+    base = _ivf_index_dir(spark, sf_dir)
+    routed = _ivf_routed_delta_df(spark, sf_dir, base)
+    return _ivf_resplit_cells(
+        spark, base, routed, _IVF_RESPLIT_POP, 2 * _IVF_RESPLIT_POP
+    )
+
+
+def ivf_apply_resplit(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    pop: int = _IVF_SUBCELL_POP,
+    cap: int = _IVF_SPLIT_FACTOR * _IVF_SUBCELL_POP,
+) -> str:
+    """EXECUTE the re-split against an index directory: fold the routed
+    delta into the flagged cids' partitions, rewrite ONLY those
+    partitions (dynamic partition overwrite — untouched cids' files are
+    never opened, let alone rewritten), and append the new fine seeds
+    (parent = the split cell's parent, so probes route to them through
+    the same coarse level; the old seed keeps its row and roles). The
+    work is delta-sized: members and rewritten rows are bounded by the
+    flagged cells' cids.
+
+    By default operates on a private COPY of the session-cached index —
+    the registered rows assume the nightly snapshot stays immutable for
+    the life of the session; production passes its real index dir and
+    skips the copy. Returns the directory operated on."""
+    import os
+    import shutil
+    import uuid
+
+    base = _ivf_index_dir(spark, sf_dir)
+    if index_dir is None:
+        index_dir = base + ".applied." + uuid.uuid4().hex[:8]
+        shutil.copytree(base, index_dir)
+    routed = _ivf_routed_delta_df(spark, sf_dir, base)
+    flagged = (
+        _ivf_merged_cells(spark, base, routed, cap)
+        .filter("needs_split")
+        .select("cid", "subcell")
+    )
+    flagged_cids = flagged.select("cid").distinct()
+    if not flagged_cids.take(1):
+        return index_dir  # empty worklist: nothing to rewrite
+    # post-split assignment for the flagged cells
+    reasg = _ivf_resplit_cells_assignments(spark, base, routed, pop, cap)
+    stored = spark.read.parquet(os.path.join(base, "corpus"))
+    merged_rows = (
+        stored.join(F.broadcast(flagged_cids), "cid")
+        .select("cid", "subcell", "sid", "sv", "sn2")
+        .unionByName(
+            routed.join(F.broadcast(flagged_cids), "cid").select(
+                "cid", "subcell", F.col("vec_id").alias("sid"),
+                F.col("v").alias("sv"), F.col("dn2").alias("sn2"),
+            )
         )
     )
-    return merged
+    rewritten = (
+        merged_rows.join(
+            reasg.select(
+                "cid", "subcell", F.col("vec_id").alias("sid"),
+                "new_subcell",
+            ),
+            ["cid", "subcell", "sid"],
+            "left",
+        )
+        .select(
+            "cid",
+            F.coalesce(F.col("new_subcell"), F.col("subcell")).alias(
+                "subcell"
+            ),
+            "sid", "sv", "sn2",
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rewritten.select("subcell", "sid", "sv", "sn2", "cid").write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(os.path.join(index_dir, "corpus"))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # append-only seeds update: the NEW seeds (old seed excluded — its
+    # row already exists) hang off the old cell's parent
+    seeds = spark.read.parquet(os.path.join(base, "seeds"))
+    new_seed_rows = (
+        reasg.select("cid", "subcell", "new_subcell")
+        .distinct()
+        .filter(F.col("new_subcell") != F.col("subcell"))
+        .join(
+            seeds.select(
+                F.col("cid").alias("cid"),
+                F.col("seed_id").alias("subcell"),
+                "parent",
+            ),
+            ["cid", "subcell"],
+        )
+        .join(
+            stored.select(
+                "cid", F.col("sid").alias("new_subcell"),
+                F.col("sv").alias("seed_v"),
+            ).unionByName(
+                routed.select(
+                    "cid", F.col("vec_id").alias("new_subcell"),
+                    F.col("v").alias("seed_v"),
+                )
+            ).distinct(),
+            ["cid", "new_subcell"],
+        )
+        .select(
+            "cid", F.col("new_subcell").alias("seed_id"), "seed_v",
+            F.lit(False).alias("is_coarse"), "parent",
+        )
+    )
+    new_seed_rows.write.mode("append").parquet(
+        os.path.join(index_dir, "seeds")
+    )
+    return index_dir
+
+
+def _ivf_resplit_cells_assignments(
+    spark: SparkSession, base: str, routed: DataFrame, pop: int, cap: int
+) -> DataFrame:
+    """Per-member post-split assignment (cid, subcell, vec_id,
+    new_subcell) — the row-level form of _ivf_resplit_cells, consumed by
+    the apply job's partition rewrite."""
+    import os
+
+    flagged = (
+        _ivf_merged_cells(spark, base, routed, cap)
+        .filter("needs_split")
+        .select("cid", "subcell")
+    )
+    stored = spark.read.parquet(os.path.join(base, "corpus"))
+    m_old = stored.join(F.broadcast(flagged), ["cid", "subcell"]).select(
+        "cid", "subcell", F.col("sid").alias("vec_id"),
+        F.col("sv").alias("v"),
+    )
+    m_new = routed.join(F.broadcast(flagged), ["cid", "subcell"]).select(
+        "cid", "subcell", "vec_id", "v"
+    )
+    members = m_old.unionByName(m_new)
+    wcell = Window.partitionBy("cid", "subcell")
+    wrank = wcell.orderBy(
+        (F.col("vec_id") != F.col("subcell")).cast("int"),
+        F.md5(F.col("vec_id").cast("string")),
+        "vec_id",
+    )
+    ranked = members.select(
+        "cid", "subcell", "vec_id", "v",
+        F.row_number().over(wrank).alias("rk"),
+        F.count(F.lit(1)).over(wcell).alias("n"),
+    )
+    seeds2 = ranked.filter(
+        F.col("rk") <= F.ceil(F.col("n") / F.lit(pop)).cast("int")
+    ).select(
+        "cid", "subcell", F.col("vec_id").alias("new_subcell"),
+        F.col("v").alias("seed_v"),
+    )
+    return (
+        members.join(F.broadcast(seeds2), ["cid", "subcell"])
+        .select(
+            "cid", "subcell", "vec_id",
+            F.struct(
+                _sqdist_fx("v", "seed_v").alias("d"), F.col("new_subcell")
+            ).alias("ds"),
+        )
+        .groupBy("cid", "subcell", "vec_id")
+        .agg(F.min("ds").alias("m"))
+        .select("cid", "subcell", "vec_id", F.col("m.new_subcell").alias("new_subcell"))
+    )

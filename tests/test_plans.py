@@ -774,3 +774,20 @@ def test_minhash_index_maintenance_bucketed_probe(spark):
     # bucketed scan and push this count up
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) <= 5, (len(shuffles), plan)
+
+
+def test_ivf_resplit_prunes_stored_partitions(spark):
+    """sim_ivf_index_resplit (r11): the re-split touches only FLAGGED
+    cells — both stored-corpus reads (the merge accounting's count and
+    the member fetch) must carry runtime partition filters from the
+    broadcast worklist, so the job's I/O is bounded by the worklist,
+    never the index size. No cartesian product anywhere."""
+    df = REGISTRY["sim_ivf_index_resplit"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert pf, plan

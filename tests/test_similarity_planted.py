@@ -394,3 +394,122 @@ def test_ivf_index_merge_flags_overfull_cell(spark, tmp_path):
     assert big.needs_split
     small = out[(2,)]
     assert small.new_n < 128 and not small.needs_split
+
+
+def _plant_overfull_corpus(spark, tmp_path):
+    """The merge test's planted corpus: label 1 = one 64-row cell + 70
+    delta rows routed into it (134 > 2x64 flags at PRODUCTION constants);
+    label 2 tiny (4 old + 1 delta, never flags)."""
+    import random
+
+    rng = random.Random(3)
+
+    def near(center, eps=0.01):
+        return [c + rng.uniform(-eps, eps) for c in center]
+
+    c1 = [rng.uniform(-1, 1) for _ in range(16)]
+    c2 = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = []
+    vid = 1
+    made_old1 = 0
+    while made_old1 < 64:
+        if vid % 5 != 0:
+            rows.append((vid, near(c1), 1))
+            made_old1 += 1
+        vid += 1
+    made_new1 = 0
+    while made_new1 < 70:
+        if vid % 5 == 0:
+            rows.append((vid, near(c1), 1))
+            made_new1 += 1
+        vid += 1
+    for _ in range(4):
+        if vid % 5 == 0:
+            vid += 1
+        rows.append((vid, near(c2), 2))
+        vid += 1
+    while vid % 5 != 0:
+        vid += 1
+    rows.append((vid, near(c2), 2))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_ivf_resplit_clears_flag_at_production_constants(spark, tmp_path):
+    """Round-10 VERDICT #4's done-gate: the re-split job consumes the
+    merge worklist at the PRODUCTION constants (pop 64, cap 128) on a
+    genuinely over-full planted cell — post-split populations all clear
+    the flag, no member is lost, and ivf_apply_resplit rewrites ONLY the
+    flagged cid's partition (the untouched cid's files are bit-identical
+    to the nightly build's)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from stateflow_spark.queries.similarity import (
+        _IVF_SPLIT_FACTOR,
+        _IVF_SUBCELL_POP,
+        _ivf_index_dir,
+        _ivf_resplit_cells,
+        _ivf_routed_delta_df,
+        ivf_apply_resplit,
+    )
+
+    sf_dir = _plant_overfull_corpus(spark, tmp_path)
+    cap = _IVF_SPLIT_FACTOR * _IVF_SUBCELL_POP
+    base = _ivf_index_dir(spark, sf_dir)
+    routed = _ivf_routed_delta_df(spark, sf_dir, base)
+
+    # accounting at production constants: the 134-row cell splits into
+    # ceil(134/64)=3 cells covering all 134 members, every one <= cap
+    acct = _ivf_resplit_cells(
+        spark, base, routed, _IVF_SUBCELL_POP, cap
+    ).collect()
+    assert {r.cid for r in acct} == {1}
+    assert len(acct) == 3
+    assert sum(r.n_members for r in acct) == 134
+    assert all(not r.still_hot for r in acct)
+
+    # execute: only cid=1's partition is rewritten
+    applied = ivf_apply_resplit(spark, sf_dir)
+    assert applied != base
+
+    def part_files(root, cid):
+        d = os.path.join(root, "corpus", f"cid={cid}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert part_files(applied, 2) == part_files(base, 2)  # untouched
+    assert part_files(applied, 1) != part_files(base, 1)  # rewritten
+
+    # post-apply: the delta is folded in, every cell clears the cap,
+    # and no member was lost
+    post = spark.read.parquet(os.path.join(applied, "corpus"))
+    cid1 = post.filter(F.col("cid") == 1)
+    assert cid1.count() == 134
+    sizes = {
+        r.subcell: r.n
+        for r in cid1.groupBy("subcell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(sizes) == 3 and all(n <= cap for n in sizes.values())
+    # cid=2 stays the nightly build (its delta is a plain append, not
+    # this job's concern)
+    assert post.filter(F.col("cid") == 2).count() == 4
+
+    # the new fine seeds are registered and routable: every post-split
+    # subcell of cid=1 exists in the seeds table with the SAME coarse
+    # parent as the split cell, so probes reach them through the
+    # unchanged coarse level
+    seeds = spark.read.parquet(os.path.join(applied, "seeds"))
+    s1 = {r.seed_id: r.parent for r in seeds.filter("cid = 1").collect()}
+    parents = {s1[sc] for sc in sizes}
+    assert set(sizes) <= set(s1) and len(parents) == 1
