@@ -2772,6 +2772,141 @@ def dedup_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered-row compaction cap: the production cap is
+# _MH_HOT_POSTING_CAP (8), but no synthetic-corpus posting ever exceeds
+# 3 docs (max 2 at sf0.01, 3 at sf0.1) — at cap 8 the row would emit
+# zero rows at every shipped scale, the vacuous-stamp failure mode. Same
+# calibration pattern as _IVF_RESPLIT_POP: identical formulas, smaller
+# constant (cap 1 compacts 38 keys at sf0.01 / 521 at sf0.1); the
+# planted mass-dup test runs the production cap.
+_MH_COMPACT_ROW_CAP = 1
+
+
+def _mh_compact_kept(
+    spark: SparkSession, tbl: str, cap: int
+) -> DataFrame:
+    """Per HOT band key (posting > cap docs): the `cap` representatives
+    kept by the compaction — smallest (md5(sid), sid), the deterministic-
+    sampling rule the IVF seed pick uses — with the pre-compaction size.
+    Runs entirely on the bucketed postings layout: both windows partition
+    by bkey, the table's bucket/sort key, so the plan has no exchange at
+    all (gated)."""
+    from pyspark.sql import Window
+
+    postings = spark.table(tbl)
+    wb = Window.partitionBy("bkey")
+    ranked = postings.select(
+        "bkey",
+        "sid",
+        F.row_number()
+        .over(wb.orderBy(F.md5(F.col("sid").cast("string")), "sid"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wb).alias("old_n"),
+    )
+    return ranked.filter(
+        (F.col("old_n") > cap) & (F.col("rk") <= cap)
+    ).select(
+        "bkey",
+        "old_n",
+        (F.col("old_n") - cap).alias("dropped_n"),
+        "sid",
+    )
+
+
+@register(
+    "dedup_minhash_index_compact",
+    oracle=f"""
+    WITH {_MH_STACKED_SQL},
+    posting AS (
+        SELECT bkey, doc_id AS sid FROM stacked WHERE doc_id % 5 <> 0
+    ),
+    sizes AS (
+        SELECT bkey, CAST(COUNT(*) AS BIGINT) AS old_n
+        FROM posting GROUP BY bkey
+    ),
+    hot AS (SELECT bkey, old_n FROM sizes
+            WHERE old_n > {_MH_COMPACT_ROW_CAP}),
+    ranked AS (
+        SELECT p.bkey, p.sid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.bkey
+                   ORDER BY md5(CAST(p.sid AS VARCHAR)), p.sid) AS rk
+        FROM posting p JOIN hot h ON h.bkey = p.bkey
+    )
+    SELECT r.bkey, h.old_n,
+           CAST(h.old_n - {_MH_COMPACT_ROW_CAP} AS BIGINT) AS dropped_n,
+           r.sid
+    FROM ranked r JOIN hot h ON h.bkey = r.bkey
+    WHERE r.rk <= {_MH_COMPACT_ROW_CAP}
+    """,
+    tags=("dedup", "minhash", "incremental", "compaction"),
+)
+def dedup_minhash_index_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hot-posting compaction for the stored MinHash postings (round-10
+    VERDICT #5): a band key whose posting exceeds the cap is reduced to
+    `cap` deterministic representatives — the stop-shingle skew knob
+    (dedup_jaccard_stop_shingle) applied to the STORED layout, except
+    representatives are KEPT rather than the key dropped, so a future
+    mass-dup arrival still matches one representative (jaccard ~1) and
+    classifies 'dup' while probe cost per key is bounded by cap, however
+    many daily merges append to it. This row is the structural decision
+    + accounting (kept sid set, pre-size, dropped count), oracle-
+    replayed; minhash_apply_compaction below rewrites the table.
+
+    Registered at cap {_MH_COMPACT_ROW_CAP} so driver gates hash real
+    compactions at shipped scales (see _MH_COMPACT_ROW_CAP note); the
+    planted mass-dup test runs the production cap
+    ({_MH_HOT_POSTING_CAP})."""
+    tbl = _minhash_index_table(spark, sf_dir)
+    return _mh_compact_kept(spark, tbl, _MH_COMPACT_ROW_CAP)
+
+
+def minhash_apply_compaction(
+    spark: SparkSession, sf_dir: str, cap: int = _MH_HOT_POSTING_CAP
+) -> str:
+    """EXECUTE the compaction: rewrite the postings as a NEW bucketed
+    table (same band-key bucketing, scratch-dir + atomic-rename publish)
+    where every posting holds at most `cap` docs — cool keys unchanged,
+    hot keys reduced to their smallest-(md5, sid) representatives.
+    Returns the compacted table name. The session-cached nightly table
+    stays immutable (registered rows assume it); production swaps the
+    catalog pointer after the rename."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from stateflow_spark.storage import write_bucketed
+
+    tbl = _minhash_index_table(spark, sf_dir)
+    token = uuid.uuid4().hex[:8]
+    out_tbl = f"{tbl}_compact_{token}"
+    out_path = os.path.join(
+        tempfile.gettempdir(), f"stateflow_{out_tbl}"
+    )
+    postings = spark.table(tbl)
+    wb = Window.partitionBy("bkey")
+    kept = (
+        postings.select(
+            "bkey",
+            "sid",
+            "sn",
+            "shs",
+            F.row_number()
+            .over(wb.orderBy(F.md5(F.col("sid").cast("string")), "sid"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= cap)
+        .drop("rk")
+    )
+    write_bucketed(kept, out_tbl, ["bkey"], _MH_IDX_BUCKETS, out_path,
+                   sort_keys=["bkey"])
+    return out_tbl
+
+
 _MH_STREAM_SRC: dict[tuple[str, float], str] = {}
 
 

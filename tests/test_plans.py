@@ -791,3 +791,17 @@ def test_ivf_resplit_prunes_stored_partitions(spark):
         if "PartitionFilters" in ln and "dynamicpruning" in ln
     ]
     assert pf, plan
+
+
+def test_minhash_compact_zero_exchange(spark):
+    """dedup_minhash_index_compact (r11): both windows partition by bkey,
+    the stored postings' bucket key, so the whole compaction plan runs
+    with ZERO Exchange — the shuffle was paid at the nightly bucketed
+    write. (One Sort is expected: the md5-rank order within each bucket
+    is not the write-time sort order.)"""
+    import re
+
+    plan = explain_str(
+        REGISTRY["dedup_minhash_index_compact"].fn(spark, SF_DIR)
+    )
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan
