@@ -48,6 +48,53 @@ def run_one(spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
+def measure_builds(spark) -> dict[str, float]:
+    """Cold build walls for the stored layouts (IVF index, MinHash
+    postings, norm-materialized corpus): clear each cache dir, rebuild,
+    record the wall. Cache-dir names are reconstructed from the builders'
+    (abspath, mtime) keying — the post-build existence assert fails loud
+    if the naming ever drifts."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from stateflow_spark.queries.dedup import _minhash_index_table
+    from stateflow_spark.queries.similarity import _ivf_index_dir, _norms_dir
+
+    def src_key(path: str) -> str:
+        return hashlib.md5(
+            f"{os.path.abspath(path)}:{os.path.getmtime(path)}".encode()
+        ).hexdigest()[:12]
+
+    tmp = tempfile.gettempdir()
+    ekey = src_key(os.path.join(SF_DIR, "embeddings.parquet"))
+    dkey = src_key(os.path.join(SF_DIR, "documents.parquet"))
+    targets = {
+        "ivf_index": (
+            os.path.join(tmp, f"stateflow_ivf_index_v3_{ekey}"),
+            lambda: _ivf_index_dir(spark, SF_DIR),
+        ),
+        "corpus_norms": (
+            os.path.join(tmp, f"stateflow_corpus_n2_{ekey}"),
+            lambda: _norms_dir(spark, SF_DIR),
+        ),
+        "minhash_postings": (
+            os.path.join(tmp, f"stateflow_mh_index_{dkey}"),
+            lambda: _minhash_index_table(spark, SF_DIR),
+        ),
+    }
+    builds = {}
+    for name, (path, build) in targets.items():
+        shutil.rmtree(path, ignore_errors=True)
+        if name == "minhash_postings":
+            spark.sql(f"DROP TABLE IF EXISTS mh_index_{dkey}")
+        t0 = time.perf_counter()
+        build()
+        builds[name] = round(time.perf_counter() - t0, 4)
+        assert os.path.isdir(path), f"build cache naming drifted: {path}"
+    return builds
+
+
 # A bench that STARTS on a busy box measures the co-located load, not the
 # code (round-8: loadavg 7.47 at start, every shared query uniformly
 # +11-14% vs the idle re-run with zero code change). Above this 1-minute
@@ -69,6 +116,14 @@ def main() -> None:
             "are not comparable to idle-box rounds",
             file=sys.stderr,
         )
+
+    # stored-layout build walls, measured COLD (cache dirs cleared first)
+    # and recorded separately: the query timings below deliberately run
+    # against warm indexes (they time the delta/probe path, the thing
+    # that runs per query), but the nightly build cost was previously
+    # invisible to round-over-round comparison — a build regression only
+    # surfaced in SCALING.md prose (round-10 VERDICT #6)
+    builds = measure_builds(spark)
 
     # warmup: JVM/codegen/parquet-footer caches
     run_one(spark, "q6_forecast_revenue")
@@ -119,6 +174,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "build_s": builds,
                 "sf": sf,
                 "passes": {
                     name: [round(t, 3) for t in ts]

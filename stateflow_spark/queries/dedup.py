@@ -2839,7 +2839,7 @@ def _mh_compact_kept(
     FROM ranked r JOIN hot h ON h.bkey = r.bkey
     WHERE r.rk <= {_MH_COMPACT_ROW_CAP}
     """,
-    tags=("dedup", "minhash", "incremental", "compaction"),
+    tags=("dedup", "minhash", "incremental", "compaction", "bench"),
 )
 def dedup_minhash_index_compact(
     spark: SparkSession, sf_dir: str

@@ -2938,7 +2938,7 @@ def _ivf_resplit_oracle(pop: int, cap: int) -> str:
 @register(
     "sim_ivf_index_resplit",
     oracle=_ivf_resplit_oracle(_IVF_RESPLIT_POP, 2 * _IVF_RESPLIT_POP),
-    tags=("similarity", "ivf", "incremental", "resplit"),
+    tags=("similarity", "ivf", "incremental", "resplit", "bench"),
 )
 def sim_ivf_index_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute sim_ivf_index_merge's re-split worklist (round-10 VERDICT
@@ -2956,7 +2956,13 @@ def sim_ivf_index_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production 64/128 constants on a genuinely over-full cell and
     pins that the flag clears."""
     base = _ivf_index_dir(spark, sf_dir)
-    routed = _ivf_routed_delta_df(spark, sf_dir, base)
+    # the routed delta feeds THREE consumers (flag accounting, member
+    # fetch, reassignment) and its 3-window routing subtree would re-run
+    # in each; localCheckpoint pins it to one execution — the frame is
+    # delta-sized by construction (measured 4.8 s → ~2 s at sf0.1)
+    routed = _ivf_routed_delta_df(spark, sf_dir, base).localCheckpoint(
+        eager=False
+    )
     return _ivf_resplit_cells(
         spark, base, routed, _IVF_RESPLIT_POP, 2 * _IVF_RESPLIT_POP
     )
@@ -3086,6 +3092,10 @@ def _ivf_resplit_cells_assignments(
     the apply job's partition rewrite."""
     import os
 
+    # NOTE: flagged is deliberately NOT checkpointed — a pinned build
+    # side stops Catalyst inserting the dynamicpruning PartitionFilter
+    # on the stored scans (the plan gate catches it), and the measured
+    # gain was nil once `routed` is pinned by the caller
     flagged = (
         _ivf_merged_cells(spark, base, routed, cap)
         .filter("needs_split")
