@@ -32,115 +32,105 @@ from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 
-# Round-10 prefix (the driver stamps the first ~50 registered queries).
+# Round-11 prefix (the driver stamps the first ~50 registered queries).
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 6 round-10 additions
-#       (sim_ivf_index_maintenance, sim_ivf_index_merge,
-#       dedup_minhash_index_maintenance, dedup_minhash_index_merge,
-#       stream_ivf_delta_classify, multimodal_audio_fingerprint_nn);
+#   (a) every query with NO driver stamp ever — the 3 round-11 additions
+#       (stream_minhash_delta_classify, sim_ivf_index_resplit,
+#       dedup_minhash_index_compact);
 #   (b) every query whose results or plan changed this round
-#       (CHANGED_THIS_ROUND below) = 12: 9 from the round-10 zero-norm
-#       sweep closure + 3 r9-guarded rows whose PLAN changed in the
-#       round-10 fold-reinline fix;
-#   (c) the remaining slots fill with the STALEST stamps — the 5
-#       r05-tier rows deferred in round 9 (sim_kmeans_iterations,
-#       stream_append_late_drop, stream_dedup_watermark,
-#       stream_incremental_rollup, window_topk_orders_per_customer)
-#       lead, then 27 of the 38 r06-tier rows (stream_state_runs,
-#       stream_static_enrich, stream_stream_join_outer,
-#       text_bm25_retrieval, text_chunking, text_pii_scrub,
-#       text_repetition_filter, text_token_rarity, text_vocab_coverage,
-#       window_equidepth_histogram, window_pareto_frontier — same r06
-#       tier — rotate to round 11;
-#       tier-splitting is allowed: nothing OUTSIDE the prefix is
-#       strictly staler than any fill row).
+#       (CHANGED_THIS_ROUND below) = 11: the nine cosine-family rows
+#       whose plans now read the norm-materialized corpus layout, the
+#       refactored minhash maintenance body, and the stream classify
+#       row's re-keyed delta source;
+#   (c) the remaining 36 slots fill with the STALEST stamps — all 11
+#       remaining r06-tier rows (deferred from the r10 rotation), then
+#       25 of the 45 r07-tier rows (alphabetical; the other 20 r07 rows
+#       rotate to round 12; tier-splitting is allowed: nothing OUTSIDE
+#       the prefix is strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
 # stays covered every run by tests/test_oracle.py (the local net).
 # The round this prefix was pinned FOR: the stalest-first invariant is
 # checked against CORRECTNESS history from rounds BEFORE this one (the
-# history that existed at pin time) — otherwise the driver's own r10
+# history that existed at pin time) — otherwise the driver's own r11
 # stamps would instantly make the pinned prefix look "stale" and fail
-# the suite mid-round. The round-11 builder bumps this when re-pinning.
-PREFIX_PINNED_FOR_ROUND = 10
+# the suite mid-round. The round-12 builder bumps this when re-pinning.
+PREFIX_PINNED_FOR_ROUND = 11
 
 CHANGED_THIS_ROUND = [
-    # round-10 zero-norm sweep closure: the degenerate-embeddings fixture
-    # gained the missing vec_id-0 query row (r9 ADVICE) and the widened
-    # sweep caught these seven unguarded cosine consumers — n2 > 0
-    # predicates added to query AND oracle (results identical on any
-    # corpus without zero vectors)
+    # r11 norm-materialized corpus layout (round-10 VERDICT #1): these
+    # nine rows' plans now read stored (v, n2) parquet instead of
+    # folding norms per query (results identical, hash-gated; plan
+    # changed from fold-behind-barrier to scan column)
     "sim_cosine_topk",
-    "sim_hyperplane_lsh",
-    "sim_quantized_topk",
-    "sim_ivf_topk",
-    "sim_range_search",
-    "sim_mmr_diverse_topk",
-    "multimodal_crossmodal_retrieval",
-    # same guards, added via the five queries NEWLY swept (VERDICT r9 #3)
-    "sim_rank_fusion",
-    "sim_bitext_mining",
-    # r10 fold-reinline fix: the norm-guard filters re-inlined the
-    # interpreted decimal fold (2x per corpus row); these three r9-guarded
-    # rows changed PLAN (results identical) when their norms moved behind
-    # the _corpus_n2/_pin_n2 barrier
     "sim_knn_join",
     "sim_ivf_knn_join",
+    "sim_range_search",
+    "sim_mmr_diverse_topk",
+    "sim_rank_fusion",
     "sim_hard_negatives",
-]
-_R10_PREFIX = [
-    # (a) never driver-stamped (round-10 additions)
-    "sim_ivf_index_maintenance",
-    "sim_ivf_index_merge",
+    "sim_ivf_topk",
+    "sim_hyperplane_lsh",
+    # r11 refactor: body now shared with the streaming leg via
+    # _mh_classify_delta (the delta filter moved ahead of the shingle
+    # repartition — plan changed, results identical)
     "dedup_minhash_index_maintenance",
-    "dedup_minhash_index_merge",
+    # r11: delta stream source re-keyed on (abspath, mtime) (r10 ADVICE)
     "stream_ivf_delta_classify",
-    "multimodal_audio_fingerprint_nn",
+]
+_R11_PREFIX = [
+    # (a) never driver-stamped (round-11 additions)
+    "stream_minhash_delta_classify",
+    "sim_ivf_index_resplit",
+    "dedup_minhash_index_compact",
     # (b) changed this round
     *CHANGED_THIS_ROUND,
-    # (c) stalest-stamp fill: the 5 r05 rows deferred in round 9...
-    "sim_kmeans_iterations",
-    "stream_append_late_drop",
-    "stream_dedup_watermark",
-    "stream_incremental_rollup",
-    "window_topk_orders_per_customer",
-    # ...then 27 of the 38 r06 rows (eleven rotate to round 11, named
-    # in the composition note above)
-    "agg_approx_sketches",
-    "agg_bloom_filter_membership",
-    "agg_countmin_heavy_hitters",
-    "agg_group_ols_trend",
-    "agg_series_correlation",
-    "agg_sketch_rollup",
-    "curation_adaptive_threshold",
-    "curation_full_pipeline",
-    "curation_reservoir_sample",
-    "curation_temperature_mixture",
-    "dedup_edit_distance",
-    "dedup_minhash_lsh",
-    "dedup_winnowing_pairs",
-    "entity_stateful_replay",
-    "entity_ycsb_replay",
-    "events_anomaly_hours",
-    "events_ewma_value",
-    "events_resample_ffill",
-    "events_retention_cohorts",
-    "events_rolling_features",
-    "events_state_runs",
-    "join_range_view_clicks",
-    "multimodal_binary_metadata",
-    "sim_power_iteration",
-    "source_corrupt_json",
-    "source_schema_evolution",
-    "stream_countmin_sketch",
+    # (c) stalest-stamp fill: the 11 r06 rows deferred in round 10...
+    "stream_state_runs",
+    "stream_static_enrich",
+    "stream_stream_join_outer",
+    "text_bm25_retrieval",
+    "text_chunking",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "text_token_rarity",
+    "text_vocab_coverage",
+    "window_equidepth_histogram",
+    "window_pareto_frontier",
+    # ...then 25 of the 45 r07 rows (alphabetical; rest rotate to r12)
+    "agg_ab_test_zscore",
+    "agg_distinct_counts",
+    "agg_exact_percentiles",
+    "agg_rollup_region_nation",
+    "agg_srm_audit",
+    "agg_table_checksum",
+    "agg_winsorized_mean",
+    "curation_assign_ids",
+    "curation_length_buckets",
+    "curation_quantile_normalize",
+    "curation_shuffle_shards",
+    "curation_source_overlap",
+    "curation_split_leakage",
+    "dedup_cluster_keeper",
+    "dedup_containment",
+    "dedup_incremental_index",
+    "dedup_label_propagation",
+    "entity_state_relational_join",
+    "entity_stream_replay",
+    "events_attribution",
+    "events_gap_detection",
+    "events_markov_transitions",
+    "join_association_rules",
+    "join_band_price_neighbors",
+    "join_point_in_time_scd2",
 ]
-assert len(_R10_PREFIX) == 50, len(_R10_PREFIX)
-assert len(set(_R10_PREFIX)) == 50
-assert set(_R10_PREFIX) <= set(REGISTRY), set(_R10_PREFIX) - set(REGISTRY)
-_order = _R10_PREFIX + [n for n in REGISTRY if n not in set(_R10_PREFIX)]
+assert len(_R11_PREFIX) == 50, len(_R11_PREFIX)
+assert len(set(_R11_PREFIX)) == 50
+assert set(_R11_PREFIX) <= set(REGISTRY), set(_R11_PREFIX) - set(REGISTRY)
+_order = _R11_PREFIX + [n for n in REGISTRY if n not in set(_R11_PREFIX)]
 assert set(_order) == set(REGISTRY) and len(_order) == len(REGISTRY)
 _by_name = dict(REGISTRY)
 REGISTRY.clear()
