@@ -2284,8 +2284,13 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
             F.col("seed_v").alias("coarse_v"),
         )
     )
-    # parent of each fine seed: nearest coarse seed within its label
-    wp = Window.partitionBy("seed_id").orderBy("d", "coarse_id")
+    # parent of each fine seed: nearest coarse seed within its label.
+    # All three argmins below are struct-MIN aggregates keyed on the row
+    # id, not row_number() windows (r10 VERDICT minor #3): a window
+    # argmin sorts every candidate partition; MIN over struct(d, id) is
+    # the same (d ASC, id ASC) tie order — bit-identical to the oracle's
+    # ROW_NUMBER replay — with a map-side partial MIN and no sort, the
+    # right shape for the nightly corpus-sized job.
     seeds = (
         fine_r.join(coarse_r, fine_r["cid"] == coarse_r["ccid"])
         .select(
@@ -2293,34 +2298,44 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
             "seed_id",
             "seed_v",
             "is_coarse",
-            "coarse_id",
-            _sqdist_fx("seed_v", "coarse_v").alias("d"),
+            F.struct(
+                _sqdist_fx("seed_v", "coarse_v").alias("d"),
+                F.col("coarse_id"),
+            ).alias("dc"),
         )
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
+        .groupBy("seed_id")
+        .agg(
+            F.first("cid").alias("cid"),
+            F.first("seed_v").alias("seed_v"),
+            F.first("is_coarse").alias("is_coarse"),
+            F.min("dc").alias("m"),
+        )
         .select(
             "cid", "seed_id", "seed_v", "is_coarse",
-            F.col("coarse_id").alias("parent"),
+            F.col("m.coarse_id").alias("parent"),
         )
     )
     seeds.write.parquet(os.path.join(tmp, "seeds"))
     seeds_r = F.broadcast(spark.read.parquet(os.path.join(tmp, "seeds")))
     # route every old row coarse → fine (two ~sqrt(S)-sized broadcast folds)
-    wc = Window.partitionBy("vec_id").orderBy("d", "coarse_id")
     old_coarse = (
         old.join(coarse_r, old["label"] == coarse_r["ccid"])
         .select(
             "vec_id",
             "v",
             "label",
-            "coarse_id",
-            _sqdist_fx("v", "coarse_v").alias("d"),
+            F.struct(
+                _sqdist_fx("v", "coarse_v").alias("d"), F.col("coarse_id")
+            ).alias("dc"),
         )
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "label", "coarse_id")
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("label").alias("label"),
+            F.min("dc").alias("m"),
+        )
+        .select("vec_id", "v", "label", F.col("m.coarse_id").alias("coarse_id"))
     )
-    wf = Window.partitionBy("vec_id").orderBy("d", "seed_id")
     assigned_old = (
         old_coarse.join(
             seeds_r,
@@ -2331,11 +2346,17 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
             "vec_id",
             "v",
             "label",
-            "seed_id",
-            _sqdist_fx("v", "seed_v").alias("d"),
+            F.struct(
+                _sqdist_fx("v", "seed_v").alias("d"), F.col("seed_id")
+            ).alias("ds"),
         )
-        .withColumn("rn", F.row_number().over(wf))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("label").alias("label"),
+            F.min("ds").alias("m"),
+        )
+        .select("vec_id", "v", "label", F.col("m.seed_id").alias("seed_id"))
     )
     assigned_old.select(
         F.col("label").alias("cid"),
