@@ -51,6 +51,12 @@ EDGE_QUERIES = [
     # a single one-token doc) falls below the shingle minimum, so both
     # engines must agree on the EMPTY universe, not error on it
     "dedup_minhash_index_maintenance",
+    # round 11: the rest of the postings lifecycle on the same
+    # degenerate corpus — compaction over near-empty postings (no hot
+    # keys → empty accounting) and the streaming classify leg (empty
+    # per-batch outputs must union to the same empty universe)
+    "dedup_minhash_index_compact",
+    "stream_minhash_delta_classify",
 ]
 
 
@@ -120,6 +126,11 @@ EDGE_EMB_QUERIES = [
     # rows (denormal 5), so the 'new'-with-NULL-nn convention is pinned
     "sim_ivf_index_maintenance",
     "stream_ivf_delta_classify",
+    # round 11: merge accounting and the re-split job on the degenerate
+    # corpus — no cell can flag at cap 32 here, so the EMPTY worklist
+    # path (not an error) is what both engines must agree on
+    "sim_ivf_index_merge",
+    "sim_ivf_index_resplit",
 ]
 
 # queries whose result is anchored on the vec_id-0 query vector: these run
