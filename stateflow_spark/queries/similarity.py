@@ -100,6 +100,20 @@ def _norms_dir(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
+def norms_apply_append(delta: DataFrame, layout_dir: str) -> None:
+    """Daily-growth leg of the norm-materialized layout: norms are a
+    per-row pure function, so corpus growth is an APPEND of the delta's
+    (vec_id, label, v, n2) rows — never a rebuild. The mtime-keyed
+    rebuild in _norms_dir remains the fallback for in-place corpus
+    rewrites (where old rows may have changed). Test pins that an
+    old-layout + delta append is row-identical to a full rebuild."""
+    import os
+
+    delta.select(
+        "vec_id", "label", "v", norm2_dec("v").alias("n2")
+    ).write.mode("append").parquet(os.path.join(layout_dir, "corpus"))
+
+
 def _corpus_n2(
     spark: SparkSession, sf_dir: str, with_label: bool = False
 ) -> DataFrame:

@@ -513,3 +513,123 @@ def test_ivf_resplit_clears_flag_at_production_constants(spark, tmp_path):
     s1 = {r.seed_id: r.parent for r in seeds.filter("cid = 1").collect()}
     parents = {s1[sc] for sc in sizes}
     assert set(sizes) <= set(s1) and len(parents) == 1
+
+    # E2E probe through the APPLIED index: a fresh vector near the mass
+    # cluster must route through the appended seeds into one of the
+    # split cells and classify 'dup' against a near neighbor — the
+    # split must not break the probe path or lose the cluster
+    from stateflow_spark.queries.similarity import (
+        _IVF_DELTA_DUP_TAU,
+        _ivf_classify_delta,
+        _pin_n2,
+    )
+
+    rng2 = __import__("random").Random(99)
+    import pyspark.sql.functions as F2
+
+    old_emb = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    c1v = [
+        r.embedding
+        for r in old_emb.filter("label = 1 and vec_id = 1").collect()
+    ][0]
+    probe_v = [x + rng2.uniform(-0.005, 0.005) for x in c1v]
+    probe = _pin_n2(
+        spark.createDataFrame(
+            [(999999, probe_v)], "vec_id long, v array<double>"
+        )
+    ).withColumnRenamed("n2", "dn2")
+    out = _ivf_classify_delta(spark, probe, applied).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cid == 1 and r.subcell in sizes  # routed into a split cell
+    assert r.verdict == "dup" and r.nn_cosine >= _IVF_DELTA_DUP_TAU
+
+
+def test_norms_layout_append_equals_rebuild(spark, tmp_path):
+    """norms_apply_append: growing the corpus appends per-row norms to
+    the stored layout; the result must be row-identical (vec_id, label,
+    v, n2 — decimal-exact) to rebuilding the layout over the full
+    corpus. Norms are per-row pure, so the append IS the daily job."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from stateflow_spark.catalog import load as cat_load
+    from stateflow_spark.queries.similarity import (
+        _norms_dir,
+        norms_apply_append,
+    )
+
+    full_src = "/root/testdata/sf0.001"
+    old_dir = tmp_path / "old"
+    old_dir.mkdir()
+    emb = cat_load(spark, full_src, "embeddings")
+    emb.filter(F.col("vec_id") % 5 != 0).write.parquet(
+        str(old_dir / "embeddings.parquet")
+    )
+    old_layout = _norms_dir(spark, str(old_dir))
+    grown = str(tmp_path / "grown_layout")
+    shutil.copytree(old_layout, grown)
+    delta = emb.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norms_apply_append(delta, grown)
+
+    full_layout = _norms_dir(spark, full_src)
+
+    def rows(d):
+        return sorted(
+            (r.vec_id, r.label, tuple(r.v), r.n2)
+            for r in spark.read.parquet(os.path.join(d, "corpus")).collect()
+        )
+
+    assert rows(grown) == rows(full_layout)
+
+
+def test_stored_layout_concurrent_build_loser_path(spark, tmp_path, monkeypatch):
+    """The atomic-publish builders claim a concurrent loser cleans up and
+    adopts the winner's directory. Exercise the loser path directly:
+    fake the READY pre-check to miss once (as if the winner published
+    mid-build), let os.rename fail against the winner's non-empty dir,
+    and assert the builder still returns the WINNER's intact layout with
+    no .building scratch left behind."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from stateflow_spark.catalog import load as cat_load
+    from stateflow_spark.queries.similarity import _norms_dir
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    cat_load(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 100
+    ).write.parquet(str(src / "embeddings.parquet"))
+
+    winner = _norms_dir(spark, str(src))  # the "winner" publishes first
+    winner_files = sorted(os.listdir(os.path.join(winner, "corpus")))
+
+    real_exists = os.path.exists
+    missed = {"n": 0}
+
+    def fake_exists(p):
+        # the loser's READY pre-check misses exactly once
+        if (
+            p == os.path.join(winner, "_INDEX_READY")
+            and missed["n"] == 0
+        ):
+            missed["n"] += 1
+            return False
+        return real_exists(p)
+
+    monkeypatch.setattr(os.path, "exists", fake_exists)
+    loser_result = _norms_dir(spark, str(src))
+    monkeypatch.undo()
+
+    assert missed["n"] == 1  # the race actually happened
+    assert loser_result == winner
+    # winner's layout intact, loser's scratch cleaned up
+    assert sorted(os.listdir(os.path.join(winner, "corpus"))) == winner_files
+    assert not glob.glob(winner + ".building.*")
