@@ -805,3 +805,35 @@ def test_minhash_compact_zero_exchange(spark):
         REGISTRY["dedup_minhash_index_compact"].fn(spark, SF_DIR)
     )
     assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+
+def test_ivf_index_merge_prunes_stored_partitions(spark):
+    """sim_ivf_index_merge (r10, gate added r11): the stored-side count
+    runs only for TOUCHED cells — the scan under the broadcast
+    touched-cell join must carry a runtime dynamicpruning
+    PartitionFilter, so merge accounting I/O is delta-bounded, never
+    index-sized. No cartesian anywhere."""
+    df = REGISTRY["sim_ivf_index_merge"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert pf, plan
+
+
+def test_minhash_index_merge_bucketed_count(spark):
+    """dedup_minhash_index_merge (r10, gate added r11): the stored
+    posting count reads the BUCKETED layout and adds no corpus-side
+    exchange — only the delta's signature fan-out and its aggregation
+    shuffles appear."""
+    import re
+
+    df = REGISTRY["dedup_minhash_index_merge"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Bucketed: true" in plan, plan
+    assert "CartesianProduct" not in plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) <= 4, (len(shuffles), plan)
