@@ -3031,7 +3031,12 @@ def ivf_apply_resplit(
     if index_dir is None:
         index_dir = base + ".applied." + uuid.uuid4().hex[:8]
         shutil.copytree(base, index_dir)
-    routed = _ivf_routed_delta_df(spark, sf_dir, base)
+    # five consumers (flag worklist, flagged cids, merged rows' delta
+    # side, reassignment, new-seed vectors) — pin the routing subtree to
+    # one execution; the frame is delta-sized
+    routed = _ivf_routed_delta_df(spark, sf_dir, base).localCheckpoint(
+        eager=False
+    )
     flagged = (
         _ivf_merged_cells(spark, base, routed, cap)
         .filter("needs_split")
