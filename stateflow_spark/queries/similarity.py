@@ -2597,12 +2597,20 @@ def sim_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_route_delta(
-    spark: SparkSession, delta: DataFrame, base: str
+    spark: SparkSession, delta: DataFrame, base: str, nprobe: int = 1,
+    ncoarse: int = 1, nlabel: int = 1,
 ) -> DataFrame:
     """Route a (vec_id, v, dn2) delta frame through the stored index's
-    two assignment levels → (vec_id, v, dn2, cid, subcell). Shared by
-    the classifier (which then probes the cell for a neighbor) and the
-    merge-accounting row (which only needs the routed cell)."""
+    assignment tree → (vec_id, v, dn2, cid, subcell, probe_rank).
+    Shared by the classifier (which then probes the cell(s) for a
+    neighbor) and the merge-accounting row (which only needs the routed
+    primary cell). (nlabel, ncoarse, nprobe) are the per-LEVEL IVF
+    recall knobs — widen the label probe, the coarse probe under each
+    kept label, and the fine probe under each kept coarse seed; the
+    candidate cell set is their product. probe_rank == 1 marks the
+    all-ranks-1 primary cell, which is ALWAYS the storage/merge
+    assignment regardless of the knobs — extra ranks only widen the
+    classifier's candidate fetch."""
     import os
 
     cent = F.broadcast(spark.read.parquet(os.path.join(base, "centroids")))
@@ -2620,22 +2628,22 @@ def _ivf_route_delta(
         .select(
             "vec_id", "v", "dn2", "cid", _sqdist_fx("v", "cv").alias("dist")
         )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "dist")
+        .withColumn("rl", F.row_number().over(wa))
+        .filter(F.col("rl") <= nlabel)
+        .drop("dist")
     )
-    wc = Window.partitionBy("vec_id").orderBy("d", "coarse_id")
+    wc = Window.partitionBy("vec_id", "rl").orderBy("d", "coarse_id")
     d_coarse = (
         lab_assigned.join(coarse, lab_assigned["cid"] == coarse["ccid"])
         .select(
-            "vec_id", "v", "dn2", "cid", "coarse_id",
+            "vec_id", "v", "dn2", "cid", "rl", "coarse_id",
             _sqdist_fx("v", "coarse_v").alias("d"),
         )
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "dn2", "cid", "coarse_id")
+        .withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") <= ncoarse)
+        .select("vec_id", "v", "dn2", "cid", "rl", "rc", "coarse_id")
     )
-    wf = Window.partitionBy("vec_id").orderBy("d", "seed_id")
+    wf = Window.partitionBy("vec_id", "rl", "rc").orderBy("d", "seed_id")
     assigned = (
         d_coarse.join(
             F.broadcast(seeds),
@@ -2643,28 +2651,58 @@ def _ivf_route_delta(
             & (d_coarse["coarse_id"] == seeds["parent"]),
         )
         .select(
-            "vec_id", "v", "dn2", d_coarse["cid"].alias("cid"), "seed_id",
+            "vec_id", "v", "dn2", d_coarse["cid"].alias("cid"),
+            "rl", "rc", "seed_id",
             _sqdist_fx("v", "seed_v").alias("d"),
         )
         .withColumn("rn", F.row_number().over(wf))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "dn2", "cid",
-                F.col("seed_id").alias("subcell"))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "vec_id", "v", "dn2", "cid",
+            F.col("seed_id").alias("subcell"),
+            # 1 iff primary at every level; widened probes rank > 1
+            F.when(
+                (F.col("rl") == 1) & (F.col("rc") == 1) & (F.col("rn") == 1),
+                F.lit(1),
+            ).otherwise(F.lit(2)).alias("probe_rank"),
+        )
     )
     return assigned
 
 
 def _ivf_classify_delta(
-    spark: SparkSession, delta: DataFrame, base: str
+    spark: SparkSession, delta: DataFrame, base: str, nprobe: int = 1,
+    ncoarse: int = 1, nlabel: int = 1,
 ) -> DataFrame:
     """Classify a (vec_id, v, dn2) delta frame against the stored index
     at `base` — shared by the batch row above and the streaming
-    foreachBatch row below (one logic, two ingestion modes)."""
+    foreachBatch row below (one logic, two ingestion modes).
+    (nlabel, ncoarse, nprobe) are the per-level IVF recall knobs:
+    candidates come from the product of widened probes and nn_cosine is
+    monotone in each knob. The registered rows pin (1,1,1), where the
+    ORACLE replays the single-cell probe. Measured at sf0.1 against the
+    brute-force verdict at the deliberately weak tau=0.30 (SCALING.md
+    round-11): (1,1,1) agrees 0.60; fine-level widening alone plateaus
+    at 0.66 (each coarse parent has only ~2-3 children here, and the
+    misses live at the LABEL level — the cosine nn often sits in
+    another L2 label on this unnormalized synthetic corpus); widening
+    all levels to (2,2,2) reaches 0.975 and (3,3,3) 0.99 at ~the same
+    wall (candidate volume is still cells×64 rows per vec). TRUE
+    near-dups (cosine ≈ 1) land in the (1,1,1) cell by construction
+    (planted tests), which is why the registered near-dup rows keep the
+    cheap single-cell probe."""
     import os
 
-    assigned = _ivf_route_delta(spark, delta, base)
+    assigned = _ivf_route_delta(spark, delta, base, nprobe, ncoarse, nlabel)
+    primary = assigned.filter(F.col("probe_rank") == 1)
     stored = spark.read.parquet(os.path.join(base, "corpus"))
-    probe = stored.join(F.broadcast(assigned), ["cid", "subcell"])
+    # no dedup needed on the probe side: a cell has exactly one coarse
+    # parent and one label, so distinct (rl, rc, rn) paths can never
+    # reach the same (cid, subcell) for a vec
+    probe = stored.join(
+        F.broadcast(assigned.select("vec_id", "v", "dn2", "cid", "subcell")),
+        ["cid", "subcell"],
+    )
     scored = (
         probe
         # sn2/dn2 > 0: zero-norm vectors are similar to nothing (r9/r10)
@@ -2688,7 +2726,7 @@ def _ivf_classify_delta(
         )
     )
     return (
-        assigned.select("vec_id", "cid", "subcell")
+        primary.select("vec_id", "cid", "subcell")
         .join(nn, "vec_id", "left")
         .select(
             "vec_id",

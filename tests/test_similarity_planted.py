@@ -633,3 +633,50 @@ def test_stored_layout_concurrent_build_loser_path(spark, tmp_path, monkeypatch)
     # winner's layout intact, loser's scratch cleaned up
     assert sorted(os.listdir(os.path.join(winner, "corpus"))) == winner_files
     assert not glob.glob(winner + ".building.*")
+
+
+def test_ivf_probe_widening_is_monotone_and_default_primary(spark):
+    """The per-level probe knobs (nlabel, ncoarse, nprobe) must only
+    WIDEN: per delta row, nn_cosine at (2,2,2) >= nn_cosine at (1,1,1)
+    (more candidate cells can only improve the best), every (1,1,1)
+    'dup' stays 'dup', and the reported primary cell (cid, subcell) is
+    IDENTICAL — widening never moves the storage/merge assignment."""
+    import pyspark.sql.functions as F
+
+    from stateflow_spark.catalog import load as cat_load
+    from stateflow_spark.queries.similarity import (
+        _ivf_classify_delta,
+        _ivf_index_dir,
+        _pin_n2,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = _ivf_index_dir(spark, sf_dir)
+    delta = _pin_n2(
+        cat_load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    ).withColumnRenamed("n2", "dn2")
+
+    def run(**kw):
+        return {
+            r.vec_id: (r.cid, r.subcell, r.nn_cosine, r.verdict)
+            for r in _ivf_classify_delta(spark, delta, base, **kw).collect()
+        }
+
+    narrow = run()
+    wide = run(nprobe=2, ncoarse=2, nlabel=2)
+    assert set(narrow) == set(wide)
+    improved = 0
+    for q, (cid, sc, cos, verdict) in narrow.items():
+        wcid, wsc, wcos, wverdict = wide[q]
+        assert (wcid, wsc) == (cid, sc), q  # primary cell unmoved
+        if cos is not None:
+            assert wcos is not None and wcos >= cos - 1e-12, q
+            if wcos > cos + 1e-12:
+                improved += 1
+        if verdict == "dup":
+            assert wverdict == "dup", q  # dups never lost by widening
+    assert improved > 0  # the widening actually found better neighbors
