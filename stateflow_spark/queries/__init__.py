@@ -40,13 +40,14 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 #       (stream_minhash_delta_classify, sim_ivf_index_resplit,
 #       dedup_minhash_index_compact);
 #   (b) every query whose results or plan changed this round
-#       (CHANGED_THIS_ROUND below) = 11: the nine cosine-family rows
+#       (CHANGED_THIS_ROUND below) = 13: the nine cosine-family rows
 #       whose plans now read the norm-materialized corpus layout, the
-#       refactored minhash maintenance body, and the stream classify
-#       row's re-keyed delta source;
-#   (c) the remaining 36 slots fill with the STALEST stamps — all 11
+#       refactored minhash maintenance body, the stream classify row's
+#       re-keyed delta source, and the two IVF rows whose routing plans
+#       gained the probe-width rank columns;
+#   (c) the remaining 34 slots fill with the STALEST stamps — all 11
 #       remaining r06-tier rows (deferred from the r10 rotation), then
-#       25 of the 45 r07-tier rows (alphabetical; the other 20 r07 rows
+#       23 of the 45 r07-tier rows (alphabetical; the other 22 r07 rows
 #       rotate to round 12; tier-splitting is allowed: nothing OUTSIDE
 #       the prefix is strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
@@ -80,6 +81,11 @@ CHANGED_THIS_ROUND = [
     "dedup_minhash_index_maintenance",
     # r11: delta stream source re-keyed on (abspath, mtime) (r10 ADVICE)
     "stream_ivf_delta_classify",
+    # r11 probe-width knobs: _ivf_route_delta's routing windows gained
+    # per-level rank columns (plans changed, results identical at the
+    # default (1,1,1) — re-validated MATCH)
+    "sim_ivf_index_maintenance",
+    "sim_ivf_index_merge",
 ]
 _R11_PREFIX = [
     # (a) never driver-stamped (round-11 additions)
@@ -100,7 +106,7 @@ _R11_PREFIX = [
     "text_vocab_coverage",
     "window_equidepth_histogram",
     "window_pareto_frontier",
-    # ...then 25 of the 45 r07 rows (alphabetical; rest rotate to r12)
+    # ...then 23 of the 45 r07 rows (alphabetical; rest rotate to r12)
     "agg_ab_test_zscore",
     "agg_distinct_counts",
     "agg_exact_percentiles",
@@ -124,8 +130,6 @@ _R11_PREFIX = [
     "events_gap_detection",
     "events_markov_transitions",
     "join_association_rules",
-    "join_band_price_neighbors",
-    "join_point_in_time_scd2",
 ]
 assert len(_R11_PREFIX) == 50, len(_R11_PREFIX)
 assert len(set(_R11_PREFIX)) == 50
