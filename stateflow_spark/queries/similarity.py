@@ -2392,8 +2392,13 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
 # shared routing CTE block (fine seeds + coarse flags, fine→coarse
 # parents, old-row routing, delta routing) — composed into the
-# maintenance AND merge oracles so the replayed tree cannot diverge
-_IVF_ROUTE_CTES = f"""ex AS ({_EX_SQL}),
+# maintenance AND merge oracles so the replayed tree cannot diverge.
+# The delta predicate is parameterized so the post-apply read-back
+# oracle can replay a two-day split (day 1 = vec_id % 10 = 0 folded
+# into the index by the apply job, day 2 = vec_id % 10 = 5 classified
+# against the applied layout); the default is the standard daily delta.
+def _ivf_route_ctes(delta_pred: str = "vec_id % 5 = 0") -> str:
+    return f"""ex AS ({_EX_SQL}),
     old AS (
         SELECT e.vec_id, emb.label AS cid, e.pos, e.x
         FROM ex e JOIN embeddings emb ON emb.vec_id = e.vec_id
@@ -2462,7 +2467,7 @@ _IVF_ROUTE_CTES = f"""ex AS ({_EX_SQL}),
             JOIN sqd q ON q.va = o.vec_id AND q.vb = f.seed_id
         ) WHERE rn = 1
     ),
-    delta AS (SELECT vec_id, pos, x FROM ex WHERE vec_id % 5 = 0),
+    delta AS (SELECT vec_id, pos, x FROM ex WHERE {delta_pred}),
     deltarows AS (SELECT DISTINCT vec_id FROM delta),
     cdist AS (
         SELECT d.vec_id, c.cid,
@@ -2501,6 +2506,50 @@ _IVF_ROUTE_CTES = f"""ex AS ({_EX_SQL}),
                          AND p.parent = dc.coarse_id
             JOIN sqd q ON q.va = a.vec_id AND q.vb = f.seed_id
         ) WHERE rn = 1
+    )"""
+
+
+_IVF_ROUTE_CTES = _ivf_route_ctes()
+
+
+# Widened-probe routing appendix (round-11 VERDICT #1): the rank ≤ k
+# extension of asg/dcoarse/dcell. The rank-1 CTEs above stay the PRIMARY
+# path (storage assignment); these only widen the classifier's candidate
+# cell set, mirroring _ivf_route_delta's (nlabel, ncoarse, nprobe) knobs
+# window for window — wc partitions per kept label (rl ↔ cid per vec),
+# wf per kept coarse seed ((rl, rc) ↔ (rl, coarse_id) per vec: a coarse
+# seed belongs to exactly one cid).
+def _ivf_widened_ctes(nlabel: int, ncoarse: int, nprobe: int) -> str:
+    return f"""asg_w AS (
+        SELECT vec_id, cid, rl FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rl
+            FROM cdist
+        ) WHERE rl <= {nlabel}
+    ),
+    dcoarse_w AS (
+        SELECT vec_id, cid, rl, coarse_id FROM (
+            SELECT a.vec_id, a.cid, a.rl, c.seed_id AS coarse_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.rl
+                                      ORDER BY q.d, c.seed_id) AS rc
+            FROM asg_w a
+            JOIN seeds0 c ON c.cid = a.cid AND c.is_coarse
+            JOIN sqd q ON q.va = a.vec_id AND q.vb = c.seed_id
+        ) WHERE rc <= {ncoarse}
+    ),
+    dcell_w AS (
+        SELECT DISTINCT vec_id, cid, subcell FROM (
+            SELECT dc.vec_id, dc.cid, f.seed_id AS subcell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dc.vec_id, dc.rl, dc.coarse_id
+                       ORDER BY q.d, f.seed_id) AS rn
+            FROM dcoarse_w dc
+            JOIN seeds0 f ON f.cid = dc.cid
+            JOIN parent p ON p.seed_id = f.seed_id
+                         AND p.parent = dc.coarse_id
+            JOIN sqd q ON q.va = dc.vec_id AND q.vb = f.seed_id
+        ) WHERE rn <= {nprobe}
     )"""
 
 
@@ -2804,6 +2853,101 @@ def stream_ivf_delta_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+# Registered widened-probe knobs (round-11 VERDICT #1): (2,2,2) is the
+# production recall posture DEPLOY.md recommends for weak-threshold range
+# classification — measured 0.975 agreement with brute force at tau=0.30
+# where the (1,1,1) rows sit at 0.595 (SCALING.md round 11).
+_IVF_WIDE_K = 2
+
+
+def _ivf_widened_oracle(nlabel: int, ncoarse: int, nprobe: int) -> str:
+    """DuckDB replay of _ivf_classify_delta at widened per-level probe
+    knobs: primary assignment stays the rank-1 tree (asg/dcell), the
+    neighbor search runs over the UNION of the rank ≤ k candidate cells
+    (asg_w/dcoarse_w/dcell_w) — the same split as the Spark body, where
+    probe_rank == 1 picks the storage cell and all routed rows feed the
+    candidate fetch."""
+    return f"""
+    WITH {_IVF_ROUTE_CTES},
+    {_ivf_widened_ctes(nlabel, ncoarse, nprobe)},
+    norms AS (
+        SELECT vec_id,
+               CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR)
+                    AS DOUBLE) AS n2
+        FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT dw.vec_id, oc.vec_id AS sid,
+               CAST(CAST(SUM(CAST(o.x * d.x AS DECIMAL(38,12))) AS VARCHAR)
+                    AS DOUBLE) AS dot
+        FROM dcell_w dw
+        JOIN oldcell oc ON oc.subcell = dw.subcell
+        JOIN delta d ON d.vec_id = dw.vec_id
+        JOIN old o ON o.vec_id = oc.vec_id AND o.pos = d.pos
+        GROUP BY dw.vec_id, oc.vec_id
+    ),
+    scored AS (
+        SELECT dots.vec_id, sid, dot / (sqrt(nd.n2) * sqrt(ns.n2)) AS cosine
+        FROM dots
+        JOIN norms nd ON nd.vec_id = dots.vec_id
+        JOIN norms ns ON ns.vec_id = sid
+        -- n2 > 0: zero-norm vectors are similar to nothing (r9/r10)
+        WHERE nd.n2 > 0 AND ns.n2 > 0
+    ),
+    nn AS (
+        SELECT vec_id, sid, cosine FROM (
+            SELECT vec_id, sid, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, sid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cid, dcell.subcell, nn.sid AS nn_id,
+           nn.cosine AS nn_cosine,
+           CASE WHEN nn.cosine >= {_IVF_DELTA_DUP_TAU} THEN 'dup'
+                ELSE 'new' END AS verdict
+    FROM asg a
+    JOIN dcell ON dcell.vec_id = a.vec_id
+    LEFT JOIN nn ON nn.vec_id = a.vec_id
+    """
+
+
+@register(
+    "sim_ivf_widened_classify",
+    oracle=_ivf_widened_oracle(_IVF_WIDE_K, _IVF_WIDE_K, _IVF_WIDE_K),
+    tags=("similarity", "ivf", "incremental", "delta", "recall", "bench"),
+)
+def sim_ivf_widened_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_index_maintenance at the PRODUCTION recall posture
+    (round-11 VERDICT #1): the same shared classify body, with every
+    per-level probe knob widened to {k} — each delta row keeps its {k}
+    nearest labels, the {k} nearest coarse seeds under each, and the {k}
+    nearest fine cells under each of those, and the neighbor search runs
+    over the union of candidate cells while the PRIMARY (rank-1) cell
+    remains the storage assignment. This is the setting a production user
+    of weak-threshold range classification actually runs — measured
+    0.975 agreement with the brute-force verdict at tau=0.30 where the
+    single-cell probe sits at 0.595 (SCALING.md round 11) — now under
+    the DuckDB gate instead of a unit test: the oracle replays the
+    widened routing rank-for-rank (asg_w/dcoarse_w/dcell_w mirror
+    _ivf_route_delta's three windows) and the widened candidate union.
+
+    Scale shape: identical to the (1,1,1) row — candidate volume is
+    cells×~64 rows per delta vec (k³ cells instead of 1, measured ~flat
+    wall at sf0.1 because the probe join and windows stay delta-sized),
+    stored reads keep their DPP partition filters, every shuffle is
+    delta-sized. Law test pins that the (1,1,1) verdicts are a
+    subset-consistent restriction: widened nn_cosine ≥ narrow nn_cosine
+    per vec, so narrow 'dup' implies widened 'dup'."""
+    delta = _pin_n2(
+        _corpus(spark, sf_dir, fan_out=True).filter(F.col("vec_id") % 5 == 0)
+    ).withColumnRenamed("n2", "dn2")
+    return _ivf_classify_delta(
+        spark, delta, _ivf_index_dir(spark, sf_dir),
+        nprobe=_IVF_WIDE_K, ncoarse=_IVF_WIDE_K, nlabel=_IVF_WIDE_K,
+    )
 
 
 # a routed cell holding more than 2x its target population is flagged for

@@ -757,6 +757,25 @@ def test_ivf_index_maintenance_prunes_stored_partitions(spark):
     assert len(smj) <= 1, plan
 
 
+def test_ivf_widened_classify_prunes_stored_partitions(spark):
+    """sim_ivf_widened_classify (r12): widening the probe knobs to
+    (2,2,2) must not cost the scale shape — the stored corpus scan still
+    carries the runtime dynamicpruning PartitionFilter from the broadcast
+    candidate-cell set (k³ cells instead of 1, still delta-bounded), the
+    probe join still broadcasts, and no cartesian anywhere."""
+    df = REGISTRY["sim_ivf_widened_classify"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert pf, plan
+
+
 def test_minhash_index_maintenance_bucketed_probe(spark):
     """dedup_minhash_index_maintenance (r10): the stored postings table
     must be read through its BUCKETED layout (the write-time shuffle is

@@ -680,3 +680,30 @@ def test_ivf_probe_widening_is_monotone_and_default_primary(spark):
         if verdict == "dup":
             assert wverdict == "dup", q  # dups never lost by widening
     assert improved > 0  # the widening actually found better neighbors
+
+
+def test_registered_narrow_row_is_restriction_of_widened_row(spark):
+    """The REGISTERED (1,1,1) row's verdicts are a subset-consistent
+    restriction of the registered widened row's (round-11 VERDICT #1's
+    law): same vec set, same primary cells, widened nn_cosine >= narrow,
+    narrow 'dup' implies widened 'dup'."""
+    from stateflow_spark.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    narrow = {
+        r.vec_id: r
+        for r in REGISTRY["sim_ivf_index_maintenance"].fn(spark, sf_dir).collect()
+    }
+    wide = {
+        r.vec_id: r
+        for r in REGISTRY["sim_ivf_widened_classify"].fn(spark, sf_dir).collect()
+    }
+    assert set(narrow) == set(wide)
+    for q, n in narrow.items():
+        w = wide[q]
+        assert (w.cid, w.subcell) == (n.cid, n.subcell), q
+        if n.nn_cosine is not None:
+            assert w.nn_cosine is not None
+            assert w.nn_cosine >= n.nn_cosine - 1e-12, q
+        if n.verdict == "dup":
+            assert w.verdict == "dup", q
