@@ -812,6 +812,25 @@ def test_ivf_resplit_prunes_stored_partitions(spark):
     assert pf, plan
 
 
+def test_ivf_post_resplit_classify_prunes_applied_partitions(spark):
+    """sim_ivf_post_resplit_classify (r12): the day-2 probe against the
+    APPLIED (re-split) index keeps the (1,1,1) scale shape — the applied
+    corpus scan carries the runtime dynamicpruning PartitionFilter from
+    the broadcast cell set, the probe join broadcasts, no cartesian —
+    so the rewrite cost the layout nothing."""
+    df = REGISTRY["sim_ivf_post_resplit_classify"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert pf, plan
+
+
 def test_minhash_compact_zero_exchange(spark):
     """dedup_minhash_index_compact (r11): both windows partition by bkey,
     the stored postings' bucket key, so the whole compaction plan runs

