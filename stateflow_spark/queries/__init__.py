@@ -32,109 +32,101 @@ from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 
-# Round-11 prefix (the driver stamps the first ~50 registered queries).
+# Round-12 prefix (the driver stamps the first ~50 registered queries).
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 3 round-11 additions
-#       (stream_minhash_delta_classify, sim_ivf_index_resplit,
-#       dedup_minhash_index_compact);
-#   (b) every query whose results or plan changed this round
-#       (CHANGED_THIS_ROUND below) = 13: the nine cosine-family rows
-#       whose plans now read the norm-materialized corpus layout, the
-#       refactored minhash maintenance body, the stream classify row's
-#       re-keyed delta source, and the two IVF rows whose routing plans
-#       gained the probe-width rank columns;
-#   (c) the remaining 34 slots fill with the STALEST stamps — all 11
-#       remaining r06-tier rows (deferred from the r10 rotation), then
-#       23 of the 45 r07-tier rows (alphabetical; the other 22 r07 rows
-#       rotate to round 12; tier-splitting is allowed: nothing OUTSIDE
-#       the prefix is strictly staler than any fill row).
+#   (a) every query with NO driver stamp ever — the 3 round-12 additions
+#       (the widened-probe classifier and the two post-apply read-back
+#       rows closing the stored-index apply loops under the gate);
+#   (b) every query whose results, plan, or oracle text changed this
+#       round (CHANGED_THIS_ROUND below) = 2: the two rows sharing
+#       _MH_MAINT_ORACLE, whose SQL was refactored through the shared
+#       _MH_CLASSIFY_TAIL_SQL block (semantically identical — re-stamp
+#       anyway);
+#   (c) the remaining 45 slots fill with the STALEST stamps — all 22
+#       remaining r07-tier rows (deferred from the r11 rotation), then
+#       23 of the 46 r08-tier rows (alphabetical; the rest rotate to
+#       round 13; tier-splitting is allowed: nothing OUTSIDE the prefix
+#       is strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
 # stays covered every run by tests/test_oracle.py (the local net).
 # The round this prefix was pinned FOR: the stalest-first invariant is
 # checked against CORRECTNESS history from rounds BEFORE this one (the
-# history that existed at pin time) — otherwise the driver's own r11
+# history that existed at pin time) — otherwise the driver's own r12
 # stamps would instantly make the pinned prefix look "stale" and fail
-# the suite mid-round. The round-12 builder bumps this when re-pinning.
-PREFIX_PINNED_FOR_ROUND = 11
+# the suite mid-round. The round-13 builder bumps this when re-pinning.
+PREFIX_PINNED_FOR_ROUND = 12
 
 CHANGED_THIS_ROUND = [
-    # r11 norm-materialized corpus layout (round-10 VERDICT #1): these
-    # nine rows' plans now read stored (v, n2) parquet instead of
-    # folding norms per query (results identical, hash-gated; plan
-    # changed from fold-behind-barrier to scan column)
-    "sim_cosine_topk",
-    "sim_knn_join",
-    "sim_ivf_knn_join",
-    "sim_range_search",
-    "sim_mmr_diverse_topk",
-    "sim_rank_fusion",
-    "sim_hard_negatives",
-    "sim_ivf_topk",
-    "sim_hyperplane_lsh",
-    # r11 refactor: body now shared with the streaming leg via
-    # _mh_classify_delta (the delta filter moved ahead of the shingle
-    # repartition — plan changed, results identical)
+    # r12: _MH_MAINT_ORACLE refactored to compose the shared
+    # _MH_CLASSIFY_TAIL_SQL (also used by the new post-compaction
+    # oracle) — results identical, oracle text changed, so both rows
+    # sharing it re-stamp
     "dedup_minhash_index_maintenance",
-    # r11: delta stream source re-keyed on (abspath, mtime) (r10 ADVICE)
-    "stream_ivf_delta_classify",
-    # r11 probe-width knobs: _ivf_route_delta's routing windows gained
-    # per-level rank columns (plans changed, results identical at the
-    # default (1,1,1) — re-validated MATCH)
-    "sim_ivf_index_maintenance",
-    "sim_ivf_index_merge",
-]
-_R11_PREFIX = [
-    # (a) never driver-stamped (round-11 additions)
     "stream_minhash_delta_classify",
-    "sim_ivf_index_resplit",
-    "dedup_minhash_index_compact",
+]
+_R12_PREFIX = [
+    # (a) never driver-stamped (round-12 additions)
+    "sim_ivf_widened_classify",
+    "sim_ivf_post_resplit_classify",
+    "dedup_minhash_post_compact_classify",
     # (b) changed this round
     *CHANGED_THIS_ROUND,
-    # (c) stalest-stamp fill: the 11 r06 rows deferred in round 10...
-    "stream_state_runs",
-    "stream_static_enrich",
-    "stream_stream_join_outer",
-    "text_bm25_retrieval",
-    "text_chunking",
-    "text_pii_scrub",
-    "text_repetition_filter",
-    "text_token_rarity",
-    "text_vocab_coverage",
-    "window_equidepth_histogram",
-    "window_pareto_frontier",
-    # ...then 23 of the 45 r07 rows (alphabetical; rest rotate to r12)
-    "agg_ab_test_zscore",
-    "agg_distinct_counts",
-    "agg_exact_percentiles",
-    "agg_rollup_region_nation",
-    "agg_srm_audit",
-    "agg_table_checksum",
-    "agg_winsorized_mean",
-    "curation_assign_ids",
-    "curation_length_buckets",
-    "curation_quantile_normalize",
-    "curation_shuffle_shards",
-    "curation_source_overlap",
-    "curation_split_leakage",
-    "dedup_cluster_keeper",
-    "dedup_containment",
-    "dedup_incremental_index",
-    "dedup_label_propagation",
-    "entity_state_relational_join",
-    "entity_stream_replay",
-    "events_attribution",
-    "events_gap_detection",
-    "events_markov_transitions",
-    "join_association_rules",
+    # (c) stalest-stamp fill: the 22 remaining r07 rows...
+    "join_band_price_neighbors",
+    "join_point_in_time_scd2",
+    "profile_join_skew",
+    "profile_referential_integrity",
+    "profile_table_diff",
+    "profile_table_stats",
+    "scd2_dimension_versions",
+    "setops_except",
+    "setops_intersect",
+    "sim_ivfpq_topk",
+    "sim_pq_adc_topk",
+    "stream_scd2_merge",
+    "text_bpe_apply",
+    "text_bpe_compression",
+    "text_bpe_train_merges",
+    "text_keyword_extraction",
+    "text_ngram_lm_score",
+    "text_quality_classifier",
+    "text_source_drift",
+    "window_lag_lead_events",
+    "window_rank_customers_by_balance",
+    "window_running_total",
+    # ...then 23 of the 46 r08 rows (alphabetical; rest rotate to r13)
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "agg_pandas_udaf_median",
+    "agg_variance_exact",
+    "dedup_connected_components",
+    "dedup_pagerank",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_triangle_stats",
+    "entity_find_class",
+    "entity_flow_golden",
+    "entity_get_state",
+    "entity_init_class",
+    "entity_invoke_fold",
+    "entity_update_state",
+    "events_dedup_first",
+    "events_funnel",
+    "events_hourly_tumbling",
+    "events_json_payload",
+    "events_session_windows",
+    "events_sliding_window",
+    "events_topk_users",
+    "events_type_pivot",
 ]
-assert len(_R11_PREFIX) == 50, len(_R11_PREFIX)
-assert len(set(_R11_PREFIX)) == 50
-assert set(_R11_PREFIX) <= set(REGISTRY), set(_R11_PREFIX) - set(REGISTRY)
-_order = _R11_PREFIX + [n for n in REGISTRY if n not in set(_R11_PREFIX)]
+assert len(_R12_PREFIX) == 50, len(_R12_PREFIX)
+assert len(set(_R12_PREFIX)) == 50
+assert set(_R12_PREFIX) <= set(REGISTRY), set(_R12_PREFIX) - set(REGISTRY)
+_order = _R12_PREFIX + [n for n in REGISTRY if n not in set(_R12_PREFIX)]
 assert set(_order) == set(REGISTRY) and len(_order) == len(REGISTRY)
 _by_name = dict(REGISTRY)
 REGISTRY.clear()

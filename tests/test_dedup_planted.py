@@ -712,3 +712,57 @@ def test_minhash_compaction_bounds_hot_posting_keeps_recall(
     }
     assert out[mass_delta] == (1.0, "dup")  # recall survives the cap
     assert out[new_delta][1] == "new"
+
+    # round-11 VERDICT wrong-item #1's done-gate: the rewrite is
+    # BUCKET-SCOPED — every cool bucket's file in the compacted table is
+    # a HARDLINK of the source file (same inode: never rewritten, never
+    # even opened), only buckets containing a hot key got fresh files,
+    # and the published dir is atomic (no .building residue)
+    import os
+    import re
+
+    import pyspark.sql.functions as F2
+
+    from stateflow_spark.queries.dedup import (
+        _MH_IDX_BUCKETS,
+        _table_location,
+    )
+
+    src_loc = _table_location(spark, tbl)
+    out_loc = _table_location(spark, compacted)
+    hot_bkeys = [
+        r.bkey for r in pre.filter(
+            F2.col("count") > _MH_HOT_POSTING_CAP
+        ).collect()
+    ]
+    hot_ids = {
+        r.b
+        for r in spark.createDataFrame([(k,) for k in hot_bkeys], "bkey string")
+        .select(F2.pmod(F2.hash("bkey"), F2.lit(_MH_IDX_BUCKETS)).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert hot_ids  # the planted mass group really flagged buckets
+
+    def bucket_files(loc):
+        out = {}
+        for f in os.listdir(loc):
+            m = re.search(r"_(\d{5})\.c", f)
+            if m and f.endswith(".parquet"):
+                out.setdefault(int(m.group(1)), []).append(
+                    os.stat(os.path.join(loc, f)).st_ino
+                )
+        return out
+
+    src_b, out_b = bucket_files(src_loc), bucket_files(out_loc)
+    for b, inos in out_b.items():
+        if b in hot_ids:
+            assert not set(inos) & set(src_b.get(b, [])), b  # rewritten
+        else:
+            assert sorted(inos) == sorted(src_b[b]), b  # hardlinked
+    # every cool source bucket survives into the compacted table
+    assert set(src_b) - hot_ids <= set(out_b)
+    assert not any(
+        d.endswith(".building")
+        for d in os.listdir(os.path.dirname(out_loc))
+    )

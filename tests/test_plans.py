@@ -845,6 +845,22 @@ def test_minhash_compact_zero_exchange(spark):
     assert not re.findall(r"\(\d+\) Exchange", plan), plan
 
 
+def test_minhash_post_compact_probe_bucketed(spark):
+    """dedup_minhash_post_compact_classify (r12): the COMPACTED table
+    keeps the bucketed layout through the bucket-scoped rewrite (bucket
+    ids ride the file names, the DDL re-registers them), so the delta
+    probe against it is still zero-Exchange on the corpus side — the
+    same gate as the nightly-table probe."""
+    import re
+
+    df = REGISTRY["dedup_minhash_post_compact_classify"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Bucketed: true" in plan, plan
+    assert "CartesianProduct" not in plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) <= 5, (len(shuffles), plan)
+
+
 def test_ivf_index_merge_prunes_stored_partitions(spark):
     """sim_ivf_index_merge (r10, gate added r11): the stored-side count
     runs only for TOUCHED cells — the scan under the broadcast
