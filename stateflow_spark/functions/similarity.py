@@ -211,7 +211,8 @@ def banded_hamming_pairs(
     n_bands: int,
     band_bits: int,
     max_hamming: int,
-    sig_bits: int = 60,
+    *,
+    sig_bits: int,
 ) -> DataFrame:
     """All (id_a, id_b, hamming) pairs whose bit signatures are within
     ``max_hamming``, via band blocking — the shared machinery behind
@@ -249,7 +250,8 @@ def banded_candidate_pairs(
     sig_col: str,
     n_bands: int,
     band_bits: int,
-    sig_bits: int = 60,
+    *,
+    sig_bits: int,
 ) -> DataFrame:
     """The candidate stage of ``banded_hamming_pairs``: every ordered
     (id_a < id_b) pair sharing at least one (band, band_val) bucket, with
@@ -268,7 +270,9 @@ def banded_candidate_pairs(
     # and two signatures differing only there never share a bucket
     # (round-9 ADVICE low #4; round-10 ADVICE moved the check here so
     # direct candidate-stage callers validate too, not only the
-    # thresholded entry point)
+    # thresholded entry point; round-11 ADVICE made sig_bits a REQUIRED
+    # keyword — a defaulted width let a 64-bit caller banded 4×15
+    # silently pass the check at the default 60)
     assert n_bands * band_bits >= sig_bits, (
         f"bands must cover the signature: {n_bands}×{band_bits} "
         f"= {n_bands * band_bits} < {sig_bits} bits"

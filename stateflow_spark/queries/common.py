@@ -142,9 +142,30 @@ def stream_delta_src(
     key = (os.path.abspath(src_parquet), os.path.getmtime(src_parquet))
     src = cache.get(key)
     if src is None or not os.path.isdir(src):
+        # evict dumps superseded by a source rewrite (round-11 ADVICE):
+        # the (abspath, mtime) key re-dumps on rewrite, but the OLD
+        # mtime's dump dir would otherwise leak for the process lifetime
+        import shutil
+
+        for stale in [k for k in cache if k[0] == key[0] and k != key]:
+            shutil.rmtree(cache.pop(stale), ignore_errors=True)
         src = tempfile.mkdtemp(prefix=prefix)
         load(spark, sf_dir, table).filter(
             F.col(id_col) % 5 == 0
         ).write.mode("overwrite").parquet(src)
         cache[key] = src
     return src
+
+
+def scratch_output_dir(prefix: str) -> str:
+    """mkdtemp that self-cleans at interpreter exit — for per-invocation
+    stream sinks whose DataFrame is still lazily read by the caller (so
+    an eager rmtree would race the read; round-11 ADVICE: the streaming
+    classify rows leaked one out_dir per invocation)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

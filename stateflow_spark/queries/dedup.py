@@ -3095,6 +3095,9 @@ def stream_minhash_delta_classify(
     import shutil
     import tempfile
 
+    from stateflow_spark.queries.common import (
+        scratch_output_dir as stream_scratch_out,
+    )
     from stateflow_spark.queries.common import stream_delta_src
 
     tbl = _minhash_index_table(spark, sf_dir)
@@ -3104,7 +3107,7 @@ def stream_minhash_delta_classify(
     )
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
-    out_dir = tempfile.mkdtemp(prefix="mh-delta-out-")
+    out_dir = stream_scratch_out("mh-delta-out-")
     ckpt = tempfile.mkdtemp(prefix="mh-delta-ckpt-")
 
     def classify_batch(batch_df: DataFrame, _batch_id: int) -> None:

@@ -2817,6 +2817,9 @@ def stream_ivf_delta_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from stateflow_spark.queries.common import (
+        scratch_output_dir as stream_scratch_out,
+    )
     from stateflow_spark.queries.common import stream_delta_src
 
     base = _ivf_index_dir(spark, sf_dir)
@@ -2826,7 +2829,7 @@ def stream_ivf_delta_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
-    out_dir = tempfile.mkdtemp(prefix="ivf-delta-out-")
+    out_dir = stream_scratch_out("ivf-delta-out-")
     ckpt = tempfile.mkdtemp(prefix="ivf-delta-ckpt-")
     n_part = spark.sparkContext.defaultParallelism
 

@@ -81,7 +81,17 @@ STATE_STRUCT = StructType([StructField("blob", BinaryType(), True)])
 
 class _GroupStateStore(StateStore):
     """Adapter from the interpreter's store interface to one group's
-    GroupState handle."""
+    GroupState handle.
+
+    State contract: handlers COMMIT mutations only via put() — get()
+    returns the live object for zero-copy reads, and an in-place
+    mutation of it without a put() is a contract violation, not a
+    commit. The DLQ rollback baseline re-snapshots only when put()
+    moved `version` (r10 ADVICE: the per-event deepcopy made every key
+    pay O(state × events)), so an uncommitted in-place mutation would
+    be silently discarded by a LATER event's rollback (r11 ADVICE).
+    The engine enforces this with a once-per-key-per-batch tripwire:
+    version unmoved + state content drifted ⇒ loud RuntimeError."""
 
     def __init__(self, entity: str, key: str, state: Optional[dict]):
         self.entity = entity
@@ -297,6 +307,23 @@ def _make_stateful_fn(
                 # to the batch start (read-only handles skip the copy)
                 pre_state = copy.deepcopy(store.state)
                 pre_touched, pre_version = store.touched, store.version
+
+        # put()-only contract tripwire (r11 ADVICE): if no put() moved the
+        # version since the last snapshot but the state content drifted, a
+        # handler mutated the live object in place — a mutation the DLQ
+        # rollback would silently discard on a later failure. ONE content
+        # compare per key per batch (not per event), loud by design: this
+        # is an operator-code bug, not bad data, so it must not be
+        # quarantined away.
+        if dead_letter and store.version == pre_version and (
+            store.state != pre_state
+        ):
+            raise RuntimeError(
+                f"state contract violation for {entity_name}/{k}: a handler "
+                "mutated state in place without put(); in-place mutations "
+                "are not committed and a later failure's DLQ rollback would "
+                "discard them — commit via put()"
+            )
 
         if (store.touched or reheated) and store.state is not None:
             state.update((pickle.dumps(store.state),))

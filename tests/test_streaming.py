@@ -299,6 +299,76 @@ def test_streaming_engine_dead_letter_handler_escape(spark, tmp_path):
         eng.stop()
 
 
+def test_dlq_tripwire_detects_inplace_mutation_without_put(monkeypatch):
+    """Round-11 ADVICE: the DLQ rollback baseline only re-snapshots after
+    a put(); a handler that mutates the live state object IN PLACE
+    without put() would have that mutation silently discarded by a later
+    failure's rollback. The engine must trip loudly on the contract
+    violation (once per key per batch), not lose data quietly."""
+    import uuid
+    from types import SimpleNamespace
+
+    import pandas as pd
+    import pytest
+
+    from stateflow_spark.entity import operator as op_mod
+    from stateflow_spark.entity.model import Event, EventType
+    from stateflow_spark.streaming.stateful import (
+        _make_stateful_fn,
+        serialize_registry,
+    )
+
+    class FakeGroupState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):  # pragma: no cover - tripwire fires first
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):  # pragma: no cover
+            pass
+
+    calls = {"n": 0}
+
+    def bad_handle(ev, store):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            store.put(store_ref(ev), {"balance": 1, "items": []})
+        else:
+            # contract violation: in-place mutation, no put()
+            store.get(store_ref(ev))["items"].append("x")
+        return SimpleNamespace(replies=[], hops=[])
+
+    def store_ref(ev):
+        from stateflow_spark.entity.model import EntityRef
+
+        return EntityRef(ev.entity, ev.key)
+
+    monkeypatch.setattr(op_mod, "handle", bad_handle)
+    fn = _make_stateful_fn(
+        serialize_registry(), ttl_ms=None, cold_dir=None, dead_letter=True
+    )
+    evs = [
+        Event(str(uuid.uuid4()), "User", "u1", EventType.GET_STATE,
+              {"attr": "balance"})
+        for _ in range(2)
+    ]
+    pdf = pd.DataFrame(
+        {"blob": [e.to_bytes() for e in evs], "seq": [1, 2]}
+    )
+    with pytest.raises(RuntimeError, match="without put"):
+        list(fn(("User", "u1"), iter([pdf]), FakeGroupState()))
+    # the same batch with put-disciplined handling passes clean
+    def good_handle(ev, store):
+        st = dict(store.get(store_ref(ev)) or {"balance": 0, "items": []})
+        store.put(store_ref(ev), st)
+        return SimpleNamespace(replies=[], hops=[])
+
+    monkeypatch.setattr(op_mod, "handle", good_handle)
+    out = list(fn(("User", "u1"), iter([pdf]), FakeGroupState()))
+    assert len(out) == 1
+
+
 def _fake_batch(spark, rows):
     from stateflow_spark.streaming.stateful import OUT_STRUCT
 
