@@ -48,6 +48,86 @@ def run_one(spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
+# Calibration anchors (round-11 VERDICT #5): three FROZEN synthetic
+# rows — fixed generated data, no files, no registry dependence, code
+# never changes after round 12 — timed in every artifact as `calib_s`.
+# Cross-round artifact ratios on real queries are NOT a regression
+# signal (SCALING.md methodology rule); the anchors give future rounds a
+# box-state differential to normalize artifact scatter for TRIAGE:
+# if calib ratios move with the query ratios, suspect the box, not the
+# code. Root-causing still requires the within-session two-tree A/B.
+def _calib_shuffle(spark):
+    # shuffle + partial/final agg machinery: 4M rows → 100k groups
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(4_000_000)
+        .groupBy(F.pmod(F.hash("id"), F.lit(100_000)).alias("g"))
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _calib_fold(spark):
+    # interpreted higher-order fold over packed arrays — the cosine-
+    # kernel expression path: 100k rows × 64-wide arrays, decimal fold
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(100_000)
+        .select(
+            "id",
+            F.expr(
+                "transform(sequence(1, 64), p -> CAST((id % 97) * p AS "
+                "DOUBLE) / 97.0)"
+            ).alias("v"),
+        )
+        .select(
+            "id",
+            F.expr(
+                "aggregate(v, CAST(0 AS DECIMAL(38,12)), (acc, x) -> "
+                "CAST(acc + CAST(x * x AS DECIMAL(38,12)) AS "
+                "DECIMAL(38,12)))"
+            ).alias("n2"),
+        )
+    )
+
+
+def _calib_window(spark):
+    # sort + window machinery: 2M rows, 1k partitions, rank window
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(F.pmod(F.hash("id"), F.lit(1_000))).orderBy(
+        F.col("id").desc()
+    )
+    return (
+        spark.range(2_000_000)
+        .select("id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+CALIBRATIONS = {
+    "calib_shuffle": _calib_shuffle,
+    "calib_fold": _calib_fold,
+    "calib_window": _calib_window,
+}
+
+
+def measure_calibrations(spark) -> dict[str, float]:
+    """Best-of-3 walls for the frozen anchors, same noop-sink timing as
+    the real queries."""
+    out = {}
+    for name, fn in CALIBRATIONS.items():
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark).write.format("noop").mode("overwrite").save()
+            ts.append(time.perf_counter() - t0)
+        out[name] = round(min(ts), 4)
+    return out
+
+
 def measure_builds(spark) -> dict[str, float]:
     """Cold build walls for the stored layouts (IVF index, MinHash
     postings, norm-materialized corpus): clear each cache dir, rebuild,
@@ -123,6 +203,10 @@ def main() -> None:
     # session's first job vs ~3.2 s warm)
     run_one(spark, "q6_forecast_revenue")
 
+    # frozen calibration anchors (code never changes): the artifact's
+    # box-state reference — see SCALING.md "calibration anchors"
+    calib = measure_calibrations(spark)
+
     # stored-layout build walls, measured COLD (cache dirs cleared first)
     # and recorded separately: the query timings below deliberately run
     # against warm indexes (they time the delta/probe path, the thing
@@ -178,6 +262,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "build_s": builds,
+                "calib_s": calib,
                 "sf": sf,
                 "passes": {
                     name: [round(t, 3) for t in ts]
