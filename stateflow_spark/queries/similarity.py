@@ -3566,29 +3566,39 @@ def _ivf_post_resplit_oracle(pop: int, cap: int) -> str:
     """
 
 
-_IVF_APPLIED_CACHE: dict[str, str] = {}
-
-
 def _ivf_applied_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Session-cached APPLIED index for the post-resplit read-back row:
-    day 1 of the two-day split folded in by ivf_apply_resplit at the
-    registered-row constants. Keyed by the nightly snapshot's dir (itself
-    mtime-keyed), so a corpus rewrite re-applies."""
+    """Build-once APPLIED index for the post-resplit read-back row: day 1
+    of the two-day split folded in by ivf_apply_resplit at the
+    registered-row constants, then RENAMED to a deterministic sibling of
+    the nightly snapshot (itself mtime-keyed, so a corpus rewrite
+    re-applies). The rename gives cross-process reuse — without it every
+    session would publish a fresh uuid-named version of the SAME
+    deterministic content and leak it for the life of /tmp, the
+    accumulation class round-11 ADVICE flagged on the delta dumps. The
+    day-1 delta and the apply are deterministic, so renaming the
+    published version is exactly the CURRENT-pointer swap of the
+    DEPLOY.md contract; a concurrent loser deletes its own version."""
     import os
+    import shutil
 
     base = _ivf_index_dir(spark, sf_dir)
-    key = f"{base}:post_resplit:{_IVF_RESPLIT_POP}"
-    applied = _IVF_APPLIED_CACHE.get(key)
-    if applied is None or not os.path.isdir(applied):
-        day1 = _pin_n2(
-            _corpus(spark, sf_dir, fan_out=True).filter(_IVF_DAY1_PRED)
-        ).withColumnRenamed("n2", "dn2")
-        applied = ivf_apply_resplit(
-            spark, sf_dir,
-            pop=_IVF_RESPLIT_POP, cap=2 * _IVF_RESPLIT_POP, delta=day1,
-        )
-        _IVF_APPLIED_CACHE[key] = applied
-    return applied
+    det = f"{base}.applied.post-resplit-{_IVF_RESPLIT_POP}"
+    if os.path.exists(os.path.join(det, "_INDEX_READY")):
+        return det
+    day1 = _pin_n2(
+        _corpus(spark, sf_dir, fan_out=True).filter(_IVF_DAY1_PRED)
+    ).withColumnRenamed("n2", "dn2")
+    applied = ivf_apply_resplit(
+        spark, sf_dir,
+        pop=_IVF_RESPLIT_POP, cap=2 * _IVF_RESPLIT_POP, delta=day1,
+    )
+    if applied == base:  # empty worklist: nothing was published
+        return base
+    try:
+        os.rename(applied, det)
+    except OSError:
+        shutil.rmtree(applied, ignore_errors=True)  # a concurrent apply won
+    return det
 
 
 @register(

@@ -634,6 +634,44 @@ def test_ivf_apply_resplit_versioned_publish(spark, tmp_path):
     assert len(sizes) == 3 and all(r["count"] <= cap for r in sizes)
 
 
+def test_applied_layouts_publish_deterministically(spark):
+    """The read-back rows' applied layouts are pure functions of the
+    nightly version, so they publish under DETERMINISTIC names and are
+    reused instead of re-applied — a second resolution returns the same
+    path/table with no new version dirs appearing (the round-11 ADVICE
+    accumulation class, applied to the apply jobs)."""
+    import glob
+    import os
+
+    from stateflow_spark.queries.dedup import (
+        _MH_COMPACT_ROW_CAP,
+        _mh_compacted_table,
+        _table_location,
+    )
+    from stateflow_spark.queries.similarity import (
+        _ivf_applied_dir,
+        _ivf_index_dir,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    a1 = _ivf_applied_dir(spark, sf_dir)
+    siblings = set(glob.glob(_ivf_index_dir(spark, sf_dir) + ".applied.*"))
+    a2 = _ivf_applied_dir(spark, sf_dir)
+    assert a1 == a2
+    assert a1.endswith(".applied.post-resplit-16")
+    assert set(glob.glob(_ivf_index_dir(spark, sf_dir) + ".applied.*")) == (
+        siblings
+    )
+    assert os.path.exists(os.path.join(a1, "_INDEX_READY"))
+
+    t1 = _mh_compacted_table(spark, sf_dir, _MH_COMPACT_ROW_CAP)
+    t2 = _mh_compacted_table(spark, sf_dir, _MH_COMPACT_ROW_CAP)
+    assert t1 == t2 and t1.endswith(f"_compact_c{_MH_COMPACT_ROW_CAP}")
+    assert os.path.exists(
+        os.path.join(_table_location(spark, t1), "_INDEX_READY")
+    )
+
+
 def test_norms_layout_append_equals_rebuild(spark, tmp_path):
     """norms_apply_append: growing the corpus appends per-row norms to
     the stored layout; the result must be row-identical (vec_id, label,
