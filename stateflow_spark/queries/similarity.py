@@ -2748,10 +2748,26 @@ def _ivf_classify_delta(
     # no dedup needed on the probe side: a cell has exactly one coarse
     # parent and one label, so distinct (rl, rc, rn) paths can never
     # reach the same (cid, subcell) for a vec
-    probe = stored.join(
-        F.broadcast(assigned.select("vec_id", "v", "dn2", "cid", "subcell")),
-        ["cid", "subcell"],
-    )
+    if max(nprobe, ncoarse, nlabel) > 1:
+        # widened probes: the assigned frame holds up to k³ rows per
+        # vec — broadcasting it WITH the vector would ship each query
+        # vector k³ times (~166 MB at sf10 for (2,2,2) vs ~21 MB
+        # deduped). Ship the cell list vector-free and attach (v, dn2)
+        # once per vec through a second delta-sized broadcast; the fold
+        # volume (the recall price) is unchanged.
+        probe = stored.join(
+            F.broadcast(assigned.select("vec_id", "cid", "subcell")),
+            ["cid", "subcell"],
+        ).join(
+            F.broadcast(delta.select("vec_id", "v", "dn2")), ["vec_id"]
+        )
+    else:
+        probe = stored.join(
+            F.broadcast(
+                assigned.select("vec_id", "v", "dn2", "cid", "subcell")
+            ),
+            ["cid", "subcell"],
+        )
     scored = (
         probe
         # sn2/dn2 > 0: zero-norm vectors are similar to nothing (r9/r10)
