@@ -634,6 +634,64 @@ def test_ivf_apply_resplit_versioned_publish(spark, tmp_path):
     assert len(sizes) == 3 and all(r["count"] <= cap for r in sizes)
 
 
+def test_version_pointer_cutover_e2e(spark, tmp_path):
+    """The CURRENT-pointer cutover primitive (DEPLOY.md contract, made
+    code in stateflow_spark.versioning): publish v1 (the nightly index),
+    resolve and classify; apply the re-split (publishes immutable v2);
+    swap the pointer; a NEW resolve classifies against v2 while a reader
+    still holding v1 is untouched. Unstamped dirs are refused on both
+    publish and resolve."""
+    import os
+
+    import pytest
+
+    import stateflow_spark.queries.similarity as S
+    from stateflow_spark.versioning import publish_current, resolve_current
+
+    sf_dir = _plant_overfull_corpus(spark, tmp_path)
+    v1 = S._ivf_index_dir(spark, sf_dir)
+    root = str(tmp_path / "index_root")
+    publish_current(root, v1)
+    held = resolve_current(root)  # a long-lived prober resolves ONCE
+    assert held == os.path.abspath(v1)
+
+    def classify_against(version_dir):
+        delta = S._pin_n2(
+            S._corpus(spark, sf_dir, fan_out=True).filter("vec_id % 5 = 0")
+        ).withColumnRenamed("n2", "dn2")
+        return {
+            r.vec_id: (r.cid, r.subcell, r.verdict)
+            for r in S._ivf_classify_delta(
+                spark, delta, version_dir
+            ).collect()
+        }
+
+    before = classify_against(resolve_current(root))
+
+    v2 = S.ivf_apply_resplit(spark, sf_dir, index_dir=v1)
+    assert v2 != v1
+    publish_current(root, v2)
+    assert resolve_current(root) == os.path.abspath(v2)
+
+    # the reader holding v1 is untouched by the cutover
+    assert classify_against(held) == before
+    # a fresh resolve routes through the re-split layout: same verdicts
+    # (the split preserves semantics), cells may move within cid=1
+    after = classify_against(resolve_current(root))
+    assert set(after) == set(before)
+    assert all(after[q][2] == before[q][2] for q in before)
+
+    # refusal paths: unstamped publish target and dangling pointer
+    bare = tmp_path / "not_an_index"
+    bare.mkdir()
+    with pytest.raises(ValueError, match="no _INDEX_READY"):
+        publish_current(root, str(bare))
+    os.unlink(os.path.join(v2, "_INDEX_READY"))
+    with pytest.raises(ValueError, match="no _INDEX_READY"):
+        resolve_current(root)
+    open(os.path.join(v2, "_INDEX_READY"), "w").close()  # restore
+
+
 def test_applied_layouts_publish_deterministically(spark):
     """The read-back rows' applied layouts are pure functions of the
     nightly version, so they publish under DETERMINISTIC names and are
