@@ -2427,10 +2427,16 @@ def _ivf_route_ctes(delta_pred: str = "vec_id % 5 = 0") -> str:
         ) WHERE rn <= n_seeds
     ),
     sqd AS (
+        -- vec x SEED pairs only: every consumer joins q.vb to a seed id
+        -- (seeds0 here; new-seed candidates get their own sqdm CTE in
+        -- the reasg block). The unrestricted all-pairs form spilled
+        -- ~70 GB of DuckDB temp at sf0.1 in the post-resplit replay
+        -- (|V|^2 x dim intermediate); this is |V| x |seeds| x dim.
         SELECT a.vec_id AS va, b.vec_id AS vb,
                CAST(SUM(CAST(trunc((a.x - b.x) * (a.x - b.x) * 1e12)
                     AS BIGINT)) AS DOUBLE) / 1e12 AS d
         FROM ex a JOIN ex b ON b.pos = a.pos
+        WHERE b.vec_id IN (SELECT seed_id FROM seeds0)
         GROUP BY a.vec_id, b.vec_id
     ),
     parent AS (
@@ -3158,6 +3164,18 @@ def _ivf_reasg_ctes(pop: int, cap: int) -> str:
         SELECT cid, subcell, vec_id AS new_subcell FROM ranked
         WHERE rk <= CAST(ceil(CAST(n AS DOUBLE) / {pop}) AS INT)
     ),
+    sqdm AS (
+        -- vec x NEW-SEED-candidate pairs (seeds2.new_subcell is a
+        -- flagged-cell member, not a seeds0 seed, so the restricted
+        -- sqd above cannot serve these joins). Same kernel expression,
+        -- so any pair present in both CTEs carries the same d.
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(SUM(CAST(trunc((a.x - b.x) * (a.x - b.x) * 1e12)
+                    AS BIGINT)) AS DOUBLE) / 1e12 AS d
+        FROM ex a JOIN ex b ON b.pos = a.pos
+        WHERE b.vec_id IN (SELECT new_subcell FROM seeds2)
+        GROUP BY a.vec_id, b.vec_id
+    ),
     reasg AS (
         SELECT cid, subcell, vec_id, new_subcell FROM (
             SELECT m.cid, m.subcell, m.vec_id, s.new_subcell,
@@ -3166,7 +3184,7 @@ def _ivf_reasg_ctes(pop: int, cap: int) -> str:
                        ORDER BY q.d, s.new_subcell) AS rn
             FROM members m
             JOIN seeds2 s ON s.cid = m.cid AND s.subcell = m.subcell
-            JOIN sqd q ON q.va = m.vec_id AND q.vb = s.new_subcell
+            JOIN sqdm q ON q.va = m.vec_id AND q.vb = s.new_subcell
         ) WHERE rn = 1
     )"""
 
@@ -3529,6 +3547,14 @@ def _ivf_post_resplit_oracle(pop: int, cap: int) -> str:
             JOIN sqd q ON q.va = a.vec_id AND q.vb = c.seed_id
         ) WHERE rn = 1
     ),
+    sqd_app AS (
+        -- seeds_app spans seeds0 (covered by sqd) and appended new
+        -- seeds (covered by sqdm); UNION dedupes the overlap, which is
+        -- exact because both CTEs share the one fixed-point kernel.
+        SELECT va, vb, d FROM sqd
+        UNION
+        SELECT va, vb, d FROM sqdm
+    ),
     dcell2 AS (
         SELECT vec_id, cid, subcell FROM (
             SELECT a.vec_id, a.cid, s.seed_id AS subcell,
@@ -3537,7 +3563,7 @@ def _ivf_post_resplit_oracle(pop: int, cap: int) -> str:
             FROM asg2 a
             JOIN dcoarse2 dc2 ON dc2.vec_id = a.vec_id
             JOIN seeds_app s ON s.cid = a.cid AND s.parent = dc2.coarse_id
-            JOIN sqd q ON q.va = a.vec_id AND q.vb = s.seed_id
+            JOIN sqd_app q ON q.va = a.vec_id AND q.vb = s.seed_id
         ) WHERE rn = 1
     ),
     norms AS (
