@@ -83,6 +83,7 @@ _R12_PREFIX = [
     "sim_ivf_widened_classify",
     "sim_ivf_post_resplit_classify",
     "dedup_minhash_post_compact_classify",
+    "text_boilerplate_spans",
     # (b) changed this round
     *CHANGED_THIS_ROUND,
     # (c) stalest-stamp fill: the 22 remaining r07 rows...
@@ -108,8 +109,9 @@ _R12_PREFIX = [
     "window_lag_lead_events",
     "window_rank_customers_by_balance",
     "window_running_total",
-    # ...then 19 of the 46 r08 rows (alphabetical; rest rotate to r13 —
-    # 4 slots went to the changed-oracle IVF rows above)
+    # ...then 18 of the 46 r08 rows (alphabetical; rest rotate to r13 —
+    # 4 slots went to the changed-oracle IVF rows and 1 to the new
+    # boilerplate-span row above)
     "agg_cube_status_priority",
     "agg_grouping_sets",
     "agg_pandas_udaf_median",
@@ -128,7 +130,6 @@ _R12_PREFIX = [
     "events_dedup_first",
     "events_funnel",
     "events_hourly_tumbling",
-    "events_json_payload",
 ]
 assert len(_R12_PREFIX) == 50, len(_R12_PREFIX)
 assert len(set(_R12_PREFIX)) == 50

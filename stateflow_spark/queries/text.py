@@ -1835,3 +1835,156 @@ def text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("cut_hi"),
         F.when(applied, psm).otherwise(t).alias("sample"),
     )
+
+
+# Cross-document duplicated-span removal (C4 / Lee et al. 2021 style):
+# a 3-word span occurring in more than _BOILER_MIN_DOCS distinct
+# documents is boilerplate; every token it covers is removed from every
+# document that carries it. Constants are tuned to the synthetic
+# corpus' tiny vocabulary (3-word spans repeat across documents; longer
+# spans are unique) — production corpora would use longer spans with
+# the identical plan.
+_BOILER_N = 3
+_BOILER_MIN_DOCS = 3
+
+
+@register(
+    "text_boilerplate_spans",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS a,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, i AS spos,
+               md5(array_to_string(a[i : i + {_BOILER_N - 1}], ' ')) AS skey
+        FROM arrs,
+             LATERAL (SELECT unnest(range(1, n - {_BOILER_N} + 2)) AS i) r(i)
+    ),
+    boiler AS (
+        SELECT skey FROM spans
+        GROUP BY skey HAVING COUNT(DISTINCT doc_id) > {_BOILER_MIN_DOCS}
+    ),
+    occ AS (
+        SELECT s.doc_id, s.spos FROM spans s JOIN boiler b ON b.skey = s.skey
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, spos + d AS cpos
+        FROM occ, LATERAL (SELECT unnest(range(0, {_BOILER_N})) AS d) g(d)
+    ),
+    occ_per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler_occ
+        FROM occ GROUP BY doc_id
+    ),
+    toks AS (
+        SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS w
+        FROM arrs
+    ),
+    kept AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(t.w, ' ' ORDER BY t.pos)) AS cleaned_md5
+        FROM toks t
+        LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        WHERE c.cpos IS NULL
+        GROUP BY t.doc_id
+    )
+    SELECT a.doc_id,
+           a.n AS n_tokens,
+           GREATEST(a.n - {_BOILER_N - 1}, 0) AS n_spans,
+           COALESCE(o.n_boiler_occ, 0) AS n_boiler_occ,
+           a.n - COALESCE(k.n_kept, 0) AS n_removed,
+           COALESCE(k.cleaned_md5, md5('')) AS cleaned_md5
+    FROM arrs a
+    LEFT JOIN occ_per_doc o ON o.doc_id = a.doc_id
+    LEFT JOIN kept k ON k.doc_id = a.doc_id
+    """,
+    tags=("text", "dedup", "boilerplate", "bench"),
+)
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global boilerplate-span removal: flag every positional
+    3-word span shared by more than _BOILER_MIN_DOCS distinct documents,
+    then rewrite each document with every covered token dropped — the
+    cross-document sibling of text_repetition_filter's within-document
+    rules (C4's repeated-span discipline; Lee et al. 2021, arXiv
+    2107.06499). Emits per document the span/occurrence accounting and
+    the md5 of the cleaned text, so the rewrite itself is under the
+    oracle hash.
+
+    Plan shape for 100 TB: token-level work never shuffles. The word
+    array is pinned behind the keyed-aggregate barrier (_shingles_df's
+    rationale: generator-pushed filters would otherwise re-split the
+    document per element reference), spans are direct-indexed grams
+    (shared _gram_concat_expr kernel), and the only exchanges are (1)
+    the span-hash groupBy for the global document-frequency count, (2)
+    the span->flagged-span join (AQE-sized; the flagged set is the
+    HAVING survivors, orders of magnitude smaller than the span
+    stream), and (3) the per-doc occurrence fold — all keyed by
+    32-byte hashes or doc_id, never by token text. Coverage expansion,
+    token filtering, and reassembly run in-array per document (flatten/
+    filter/transform HOFs over the barrier-pinned attribute), so the
+    corpus-sized final pass is one codegen'd projection with zero
+    additional shuffle bytes."""
+    n_part = spark.sparkContext.defaultParallelism
+    # The explicit isnotnull mirrors the filter the outer join would
+    # infer on one branch only: with it on ALL branches the three
+    # consumers of `base` canonicalize identically below the exchange,
+    # so ReuseExchange writes the corpus shuffle once and the two span
+    # derivations + the final assembly read the same shuffle files.
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .repartition(n_part, "doc_id")
+    )
+    base = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .groupBy("doc_id")
+        .agg(F.first("w").alias("w"))
+    )
+    spans = base.select(
+        "doc_id",
+        F.posexplode(F.expr(_gram_concat_expr("w", _BOILER_N))).alias(
+            "spos0", "g"
+        ),
+    ).select(
+        "doc_id",
+        (F.col("spos0") + 1).cast("bigint").alias("spos"),
+        F.md5("g").alias("skey"),
+    )
+    boiler = (
+        spans.groupBy("skey")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > _BOILER_MIN_DOCS)
+        .select("skey")
+    )
+    occ2 = (
+        spans.join(boiler, "skey")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("spos").alias("sposs"),
+            F.count(F.lit(1)).alias("n_boiler_occ"),
+        )
+    )
+    cov = (
+        "array_distinct(flatten(transform("
+        f"coalesce(sposs, CAST(array() AS ARRAY<BIGINT>)),"
+        f" s -> sequence(s, s + {_BOILER_N - 1}))))"
+    )
+    kept = (
+        "filter(transform(w, (x, i) -> named_struct('p', CAST(i + 1 AS"
+        f" BIGINT), 'x', x)), s -> NOT array_contains({cov}, s.p))"
+    )
+    return base.join(occ2, "doc_id", "left").select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.greatest(
+            F.size("w") - F.lit(_BOILER_N - 1), F.lit(0)
+        ).cast("bigint").alias("n_spans"),
+        F.coalesce("n_boiler_occ", F.lit(0).cast("bigint")).alias(
+            "n_boiler_occ"
+        ),
+        F.expr(f"CAST(size({cov}) AS BIGINT)").alias("n_removed"),
+        F.expr(
+            f"md5(concat_ws(' ', transform({kept}, s -> s.x)))"
+        ).alias("cleaned_md5"),
+    )

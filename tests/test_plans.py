@@ -891,3 +891,25 @@ def test_minhash_index_merge_bucketed_count(spark):
     assert "CartesianProduct" not in plan
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) <= 4, (len(shuffles), plan)
+
+
+def test_boilerplate_spans_shared_corpus_shuffle(spark):
+    """text_boilerplate_spans (r12): token-level work never shuffles —
+    the only shuffle exchanges are the explicit corpus fan-out (written
+    ONCE; the three consumers canonicalize identically and AQE reuses
+    it) and the span-hash document-frequency aggregate. The final
+    executed plan must show the reuse, and no token-keyed exchange,
+    cartesian, or Python eval may appear."""
+    import re
+
+    df = REGISTRY["text_boilerplate_spans"].fn(spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan so reuse is visible
+    plan = explain_str(df)
+    # judge only the executed plan, not the appended "Initial Plan"
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("ReusedExchange") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    # one corpus fan-out (reused twice) + the span-hash count aggregate
+    assert len(shuffles) <= 2, (len(shuffles), plan)
