@@ -57,6 +57,12 @@ EDGE_QUERIES = [
     # per-batch outputs must union to the same empty universe)
     "dedup_minhash_index_compact",
     "stream_minhash_delta_classify",
+    # round 12: cross-document span removal — no doc here reaches the
+    # 3-token span minimum with a cross-doc repeat, so every cleaned
+    # text must round-trip byte-identically through the split /
+    # filter / concat_ws rebuild (empty docs, leading/trailing/double
+    # spaces → empty tokens preserved in both engines)
+    "text_boilerplate_spans",
 ]
 
 
