@@ -36,17 +36,19 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 3 round-12 additions
-#       (the widened-probe classifier and the two post-apply read-back
-#       rows closing the stored-index apply loops under the gate);
+#   (a) every query with NO driver stamp ever — the 4 round-12 additions
+#       (the widened-probe classifier, the two post-apply read-back
+#       rows closing the stored-index apply loops under the gate, and
+#       the boilerplate-span removal row);
 #   (b) every query whose results, plan, or oracle text changed this
-#       round (CHANGED_THIS_ROUND below) = 2: the two rows sharing
+#       round (CHANGED_THIS_ROUND below) = 6: the two rows sharing
 #       _MH_MAINT_ORACLE, whose SQL was refactored through the shared
-#       _MH_CLASSIFY_TAIL_SQL block (semantically identical — re-stamp
-#       anyway);
-#   (c) the remaining 45 slots fill with the STALEST stamps — all 22
+#       _MH_CLASSIFY_TAIL_SQL block, plus the four IVF rows whose
+#       shared pair CTE was restricted to vec-by-seed pairs (both
+#       changes semantically identical — re-stamp anyway);
+#   (c) the remaining 40 slots fill with the STALEST stamps — all 22
 #       remaining r07-tier rows (deferred from the r11 rotation), then
-#       23 of the 46 r08-tier rows (alphabetical; the rest rotate to
+#       18 of the 46 r08-tier rows (alphabetical; the rest rotate to
 #       round 13; tier-splitting is allowed: nothing OUTSIDE the prefix
 #       is strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪

@@ -2544,6 +2544,11 @@ def _minhash_index_table(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(tmp_path, path)
     except OSError:
+        # only a concurrent publish of the same version excuses the
+        # rename; anything else (ENOSPC, EACCES) must surface, or the
+        # DDL below would register an empty/absent location (r12 review)
+        if not os.path.exists(os.path.join(path, "_INDEX_READY")):
+            raise
         shutil.rmtree(tmp_path, ignore_errors=True)  # a concurrent build won
     spark.sql(ddl)
     return tbl
@@ -2743,7 +2748,7 @@ def dedup_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe/classify → merge: the delta's banded signature rows are the
     APPEND set (bucketBy append keeps the layout), and this row emits,
     per touched band key, the stored posting size, the appended count,
-    the merged size, and the hot-posting flag (> {_MH_HOT_POSTING_CAP}
+    the merged size, and the hot-posting flag (> _MH_HOT_POSTING_CAP
     docs — the in-bucket pair cost k² trigger for the exact-dedup-first
     posture; a mass-duplicated document group is exactly what trips it,
     planted test pins it).
@@ -2863,10 +2868,10 @@ def dedup_minhash_index_compact(
     + accounting (kept sid set, pre-size, dropped count), oracle-
     replayed; minhash_apply_compaction below rewrites the table.
 
-    Registered at cap {_MH_COMPACT_ROW_CAP} so driver gates hash real
+    Registered at cap _MH_COMPACT_ROW_CAP so driver gates hash real
     compactions at shipped scales (see _MH_COMPACT_ROW_CAP note); the
     planted mass-dup test runs the production cap
-    ({_MH_HOT_POSTING_CAP})."""
+    (_MH_HOT_POSTING_CAP)."""
     tbl = _minhash_index_table(spark, sf_dir)
     return _mh_compact_kept(spark, tbl, _MH_COMPACT_ROW_CAP)
 
@@ -2966,7 +2971,9 @@ def minhash_apply_compaction(
     tmp_path = f"{out_path}.building.{token}"
     src_loc = _table_location(spark, tbl)
     os.makedirs(tmp_path)
-    # cool buckets: hardlink, byte-identical, never opened
+    # cool buckets: hardlink, byte-identical, never opened; hot buckets:
+    # collect their FILES for the rewrite scan below
+    hot_files = []
     for f in os.listdir(src_loc):
         m = re.search(r"_(\d{5})\.c", f)
         if not m or not f.endswith(".parquet"):
@@ -2978,17 +2985,17 @@ def minhash_apply_compaction(
                 shutil.copy2(
                     os.path.join(src_loc, f), os.path.join(tmp_path, f)
                 )
+        else:
+            hot_files.append(os.path.join(src_loc, f))
     # hot buckets: rewrite their rows (cool keys within pass through —
-    # rk <= cap keeps every row of a cool key). The filter is the same
-    # hash the bucket layout uses, so the scan is bucket-pruned work,
-    # and the scratch bucketed write emits files ONLY for hot buckets
-    # (one per bucket), named with the same _NNNNN suffix scheme.
+    # rk <= cap keeps every row of a cool key). The hot buckets' FILES
+    # are read directly (bucket id rides the file name, so the file set
+    # IS the bucket predicate — a pmod(hash(bkey)) filter would NOT
+    # bucket-prune and the scan would read the whole table; r12 review);
+    # the scratch bucketed write emits files ONLY for hot buckets (one
+    # per bucket), named with the same _NNNNN suffix scheme.
     wb = Window.partitionBy("bkey")
-    hot_rows = postings.filter(
-        F.pmod(F.hash("bkey"), F.lit(_MH_IDX_BUCKETS)).isin(
-            *sorted(hot_buckets)
-        )
-    )
+    hot_rows = spark.read.schema(postings.schema).parquet(*hot_files)
     kept = (
         hot_rows.select(
             "bkey",
@@ -3017,8 +3024,14 @@ def minhash_apply_compaction(
     try:
         os.rename(tmp_path, out_path)
     except OSError:
-        # a concurrent publish of the same deterministic version won;
-        # its content is identical by construction
+        # a concurrent publish of the same deterministic version won
+        # (out_suffix callers only — with the uuid token the target is
+        # unique and an OSError is always a real failure); its content
+        # is identical by construction. Anything else must surface, or
+        # the DDL below would register an absent location and every
+        # probe would silently see zero postings (r12 review).
+        if not os.path.exists(os.path.join(out_path, "_INDEX_READY")):
+            raise
         shutil.rmtree(tmp_path, ignore_errors=True)
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {out_tbl} (bkey STRING, sid BIGINT,"
@@ -3078,7 +3091,7 @@ def dedup_minhash_post_compact_classify(
     replays the compaction rule (per-bkey smallest-(md5, sid) rank ≤
     cap) and the full probe/verify/best chain against the kept rows.
 
-    Runs at the registered cap ({_MH_COMPACT_ROW_CAP}, see
+    Runs at the registered cap (_MH_COMPACT_ROW_CAP, see
     _MH_COMPACT_ROW_CAP note) so shipped scales exercise real
     compactions; the planted mass-dup test covers the production cap.
     Scale shape: identical to dedup_minhash_index_maintenance — the

@@ -96,6 +96,10 @@ def _norms_dir(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(tmp, base)
     except OSError:
+        # concurrent build of the same mtime-keyed version is the only
+        # excused failure; otherwise surface it (r12 review)
+        if not os.path.exists(os.path.join(base, "_INDEX_READY")):
+            raise
         shutil.rmtree(tmp, ignore_errors=True)  # a concurrent build won
     return base
 
@@ -2386,6 +2390,10 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(tmp, base)
     except OSError:
+        # concurrent build of the same mtime-keyed version is the only
+        # excused failure; otherwise surface it (r12 review)
+        if not os.path.exists(os.path.join(base, "_INDEX_READY")):
+            raise
         shutil.rmtree(tmp, ignore_errors=True)  # a concurrent build won
     return base
 
@@ -2947,8 +2955,9 @@ def _ivf_widened_oracle(nlabel: int, ncoarse: int, nprobe: int) -> str:
 def sim_ivf_widened_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim_ivf_index_maintenance at the PRODUCTION recall posture
     (round-11 VERDICT #1): the same shared classify body, with every
-    per-level probe knob widened to {k} — each delta row keeps its {k}
-    nearest labels, the {k} nearest coarse seeds under each, and the {k}
+    per-level probe knob widened to k = _IVF_WIDE_K — each delta row
+    keeps its k nearest labels, the k nearest coarse seeds under each,
+    and the k
     nearest fine cells under each of those, and the neighbor search runs
     over the union of candidate cells while the PRIMARY (rank-1) cell
     remains the storage assignment. This is the setting a production user
@@ -3639,6 +3648,12 @@ def _ivf_applied_dir(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(applied, det)
     except OSError:
+        # only a concurrent apply that already published `det` excuses
+        # the rename — verify BEFORE deleting the freshly built version,
+        # else a real failure (EACCES, ENOSPC) would both destroy the
+        # build and return a path that does not exist (r12 review)
+        if not os.path.exists(os.path.join(det, "_INDEX_READY")):
+            raise
         shutil.rmtree(applied, ignore_errors=True)  # a concurrent apply won
     return det
 

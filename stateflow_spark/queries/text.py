@@ -1855,6 +1855,7 @@ _BOILER_MIN_DOCS = 3
         SELECT doc_id, string_split(text, ' ') AS a,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ),
     spans AS (
         SELECT doc_id, i AS spos,
@@ -1931,9 +1932,12 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers of `base` canonicalize identically below the exchange,
     # so ReuseExchange writes the corpus shuffle once and the two span
     # derivations + the final assembly read the same shuffle files.
+    # text-notnull keeps the engines aligned on degenerate corpora
+    # (Spark's size(NULL) = -1 vs the oracle's NULL arithmetic); both
+    # filters are declared in the oracle's arrs CTE too.
     d = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull())
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .repartition(n_part, "doc_id")
     )
     base = (
@@ -1965,6 +1969,13 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_boiler_occ"),
         )
     )
+    # cov is materialized as its own projection attribute: referenced
+    # from inside the filter() lambda below, an INLINED expression would
+    # be rebuilt once per TOKEN (HOF lambdas get no loop-invariant
+    # hoisting — the fold-reinline trap), turning the corpus pass
+    # O(tokens x covered); as an attribute it is computed once per row
+    # and CollapseProject keeps a non-cheap multi-referenced alias in
+    # its own Project (same rationale as _shingles_df's barrier note).
     cov = (
         "array_distinct(flatten(transform("
         f"coalesce(sposs, CAST(array() AS ARRAY<BIGINT>)),"
@@ -1972,19 +1983,23 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = (
         "filter(transform(w, (x, i) -> named_struct('p', CAST(i + 1 AS"
-        f" BIGINT), 'x', x)), s -> NOT array_contains({cov}, s.p))"
+        " BIGINT), 'x', x)), s -> NOT array_contains(cov, s.p))"
     )
-    return base.join(occ2, "doc_id", "left").select(
-        "doc_id",
-        F.size("w").cast("bigint").alias("n_tokens"),
-        F.greatest(
-            F.size("w") - F.lit(_BOILER_N - 1), F.lit(0)
-        ).cast("bigint").alias("n_spans"),
-        F.coalesce("n_boiler_occ", F.lit(0).cast("bigint")).alias(
-            "n_boiler_occ"
-        ),
-        F.expr(f"CAST(size({cov}) AS BIGINT)").alias("n_removed"),
-        F.expr(
-            f"md5(concat_ws(' ', transform({kept}, s -> s.x)))"
-        ).alias("cleaned_md5"),
+    return (
+        base.join(occ2, "doc_id", "left")
+        .select("doc_id", "w", "n_boiler_occ", F.expr(cov).alias("cov"))
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.greatest(
+                F.size("w") - F.lit(_BOILER_N - 1), F.lit(0)
+            ).cast("bigint").alias("n_spans"),
+            F.coalesce("n_boiler_occ", F.lit(0).cast("bigint")).alias(
+                "n_boiler_occ"
+            ),
+            F.expr("CAST(size(cov) AS BIGINT)").alias("n_removed"),
+            F.expr(
+                f"md5(concat_ws(' ', transform({kept}, s -> s.x)))"
+            ).alias("cleaned_md5"),
+        )
     )

@@ -268,6 +268,20 @@ def _make_stateful_fn(
             except Exception as ex:
                 if not dead_letter:
                     raise
+                # put()-contract tripwire, ROLLBACK-TIME leg: the restore
+                # below is exactly the moment an uncommitted in-place
+                # mutation would be silently discarded, so the drift
+                # check must run BEFORE pre_state overwrites the
+                # evidence (the post-loop leg alone cannot fire here —
+                # after the restore, state == pre_state by construction)
+                if store.version == pre_version and store.state != pre_state:
+                    raise RuntimeError(
+                        f"state contract violation for {entity_name}/{k}: "
+                        "a handler mutated state in place without put() "
+                        "and a later event failed; rolling back would "
+                        "silently discard the uncommitted mutation — "
+                        "commit via put()"
+                    ) from ex
                 # restore a COPY so the pristine snapshot never becomes
                 # the live object (a later in-place mutation would
                 # corrupt it); deepcopy here is on the rare error path

@@ -43,7 +43,9 @@ def planted(spark, tmp_path_factory):
         [
             (i, " ".join(t), "en", "src0", len(" ".join(t)))
             for i, t in texts.items()
-        ],
+        ]
+        # a NULL-text row: dropped by both engines (declared filter)
+        + [(99, None, "en", "src0", 0)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     d = tmp_path_factory.mktemp("boiler")

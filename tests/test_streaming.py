@@ -764,3 +764,69 @@ def test_streaming_engine_state_schema_evolution(spark, tmp_path):
         assert eng2.replies()[g2.event_id].payload["result"] == 12
     finally:
         eng2.stop()
+
+
+def test_dlq_tripwire_fires_at_rollback_time(monkeypatch):
+    """Round-12 review: the post-loop tripwire alone cannot catch the
+    EXACT defended scenario — an in-place mutation followed by a later
+    failing event in the same batch — because the DLQ rollback restores
+    pre_state before the check, erasing the drift. The rollback path
+    must run the content compare BEFORE restoring, and trip instead of
+    quarantining."""
+    import uuid
+    from types import SimpleNamespace
+
+    import pandas as pd
+    import pytest
+
+    from stateflow_spark.entity import operator as op_mod
+    from stateflow_spark.entity.model import Event, EventType
+    from stateflow_spark.streaming.stateful import (
+        _make_stateful_fn,
+        serialize_registry,
+    )
+
+    class FakeGroupState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):  # pragma: no cover - tripwire fires first
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):  # pragma: no cover
+            pass
+
+    def store_ref(ev):
+        from stateflow_spark.entity.model import EntityRef
+
+        return EntityRef(ev.entity, ev.key)
+
+    calls = {"n": 0}
+
+    def bad_handle(ev, store):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            store.put(store_ref(ev), {"balance": 1, "items": []})
+        elif calls["n"] == 2:
+            # uncommitted in-place mutation...
+            store.get(store_ref(ev))["items"].append("x")
+        else:
+            # ...followed by a failure the DLQ would quarantine: the
+            # rollback would silently discard event 2's mutation
+            raise ValueError("poison")
+        return SimpleNamespace(replies=[], hops=[])
+
+    monkeypatch.setattr(op_mod, "handle", bad_handle)
+    fn = _make_stateful_fn(
+        serialize_registry(), ttl_ms=None, cold_dir=None, dead_letter=True
+    )
+    evs = [
+        Event(str(uuid.uuid4()), "User", "u1", EventType.GET_STATE,
+              {"attr": "balance"})
+        for _ in range(3)
+    ]
+    pdf = pd.DataFrame(
+        {"blob": [e.to_bytes() for e in evs], "seq": [1, 2, 3]}
+    )
+    with pytest.raises(RuntimeError, match="later event failed"):
+        list(fn(("User", "u1"), iter([pdf]), FakeGroupState()))

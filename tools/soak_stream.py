@@ -234,36 +234,52 @@ def soak_leg(spark, leg: str, n_batches: int) -> dict:
 
     # correctness: every emitted row (repeats allowed — the feeder
     # cycles the delta) equals the batch job's row for that id
-    out = spark.read.parquet(out_dir).collect()
-    mism = sum(
-        1
-        for r in out
-        if tuple(str(r[c]) for c in cols_sorted) != exp_rows.get(r[id_col])
-    )
+    try:
+        out = spark.read.parquet(out_dir).collect()
+        mism = sum(
+            1
+            for r in out
+            if tuple(str(r[c]) for c in cols_sorted)
+            != exp_rows.get(r[id_col])
+        )
 
-    durs = [s for _, s, n in batch_stats if n]
-    k = max(10, len(durs) // 4)
-    first_k = sorted(durs[:k])[len(durs[:k]) // 2]
-    last_k = sorted(durs[-k:])[len(durs[-k:]) // 2]
-    result = {
-        "leg": leg,
-        "sf_dir": SF_DIR,
-        "batches": len(batch_stats),
-        "rows_out": len(out),
-        "mismatches": mism,
-        "median_first_k_s": round(first_k, 3),
-        "median_last_k_s": round(last_k, 3),
-        "p90_s": round(sorted(durs)[int(len(durs) * 0.9)], 3),
-        "max_s": round(max(durs), 3),
-        "ckpt_bytes_by_batch": ckpt_sizes,
-        "rss_mb_by_batch": rss,
-        "republished_mid_soak": bool(republished),
-        "wall_s": round(time.time() - t_start, 1),
-    }
-    shutil.rmtree(src_dir, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return result
+        durs = [s for _, s, n in batch_stats if n]
+        if not durs:
+            # stream never completed a non-empty batch (bad SF_DIR, a
+            # query that failed to start): emit the diagnostics gathered
+            # so far instead of crashing on sorted([])[0] (r12 review)
+            return {
+                "leg": leg,
+                "sf_dir": SF_DIR,
+                "batches": len(batch_stats),
+                "error": "no non-empty batch completed",
+                "ckpt_bytes_by_batch": ckpt_sizes,
+                "rss_mb_by_batch": rss,
+                "wall_s": round(time.time() - t_start, 1),
+            }
+        k = max(10, len(durs) // 4)
+        first_k = sorted(durs[:k])[len(durs[:k]) // 2]
+        last_k = sorted(durs[-k:])[len(durs[-k:]) // 2]
+        return {
+            "leg": leg,
+            "sf_dir": SF_DIR,
+            "batches": len(batch_stats),
+            "rows_out": len(out),
+            "mismatches": mism,
+            "median_first_k_s": round(first_k, 3),
+            "median_last_k_s": round(last_k, 3),
+            "p90_s": round(sorted(durs)[int(len(durs) * 0.9)], 3),
+            "max_s": round(max(durs), 3),
+            "ckpt_bytes_by_batch": ckpt_sizes,
+            "rss_mb_by_batch": rss,
+            "republished_mid_soak": bool(republished),
+            "wall_s": round(time.time() - t_start, 1),
+        }
+    finally:
+        # temp dirs must not leak on an exception path (r12 review)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def main():
