@@ -36,19 +36,20 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 4 round-12 additions
+#   (a) every query with NO driver stamp ever — the 6 round-12 additions
 #       (the widened-probe classifier, the two post-apply read-back
 #       rows closing the stored-index apply loops under the gate, and
-#       the boilerplate-span removal row);
+#       the boilerplate-span family: batch removal plus its stored-
+#       count delta-classify batch and streaming legs);
 #   (b) every query whose results, plan, or oracle text changed this
 #       round (CHANGED_THIS_ROUND below) = 6: the two rows sharing
 #       _MH_MAINT_ORACLE, whose SQL was refactored through the shared
 #       _MH_CLASSIFY_TAIL_SQL block, plus the four IVF rows whose
 #       shared pair CTE was restricted to vec-by-seed pairs (both
 #       changes semantically identical — re-stamp anyway);
-#   (c) the remaining 40 slots fill with the STALEST stamps — all 22
+#   (c) the remaining 38 slots fill with the STALEST stamps — all 22
 #       remaining r07-tier rows (deferred from the r11 rotation), then
-#       18 of the 46 r08-tier rows (alphabetical; the rest rotate to
+#       16 of the 46 r08-tier rows (alphabetical; the rest rotate to
 #       round 13; tier-splitting is allowed: nothing OUTSIDE the prefix
 #       is strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
@@ -86,6 +87,8 @@ _R12_PREFIX = [
     "sim_ivf_post_resplit_classify",
     "dedup_minhash_post_compact_classify",
     "text_boilerplate_spans",
+    "text_boilerplate_delta_classify",
+    "stream_boilerplate_delta_classify",
     # (b) changed this round
     *CHANGED_THIS_ROUND,
     # (c) stalest-stamp fill: the 22 remaining r07 rows...
@@ -111,9 +114,9 @@ _R12_PREFIX = [
     "window_lag_lead_events",
     "window_rank_customers_by_balance",
     "window_running_total",
-    # ...then 18 of the 46 r08 rows (alphabetical; rest rotate to r13 —
-    # 4 slots went to the changed-oracle IVF rows and 1 to the new
-    # boilerplate-span row above)
+    # ...then 16 of the 46 r08 rows (alphabetical; rest rotate to r13 —
+    # 4 slots went to the changed-oracle IVF rows and 3 to the new
+    # boilerplate-span family above)
     "agg_cube_status_priority",
     "agg_grouping_sets",
     "agg_pandas_udaf_median",
@@ -130,8 +133,6 @@ _R12_PREFIX = [
     "entity_invoke_fold",
     "entity_update_state",
     "events_dedup_first",
-    "events_funnel",
-    "events_hourly_tumbling",
 ]
 assert len(_R12_PREFIX) == 50, len(_R12_PREFIX)
 assert len(set(_R12_PREFIX)) == 50

@@ -1926,35 +1926,8 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter/transform HOFs over the barrier-pinned attribute), so the
     corpus-sized final pass is one codegen'd projection with zero
     additional shuffle bytes."""
-    n_part = spark.sparkContext.defaultParallelism
-    # The explicit isnotnull mirrors the filter the outer join would
-    # infer on one branch only: with it on ALL branches the three
-    # consumers of `base` canonicalize identically below the exchange,
-    # so ReuseExchange writes the corpus shuffle once and the two span
-    # derivations + the final assembly read the same shuffle files.
-    # text-notnull keeps the engines aligned on degenerate corpora
-    # (Spark's size(NULL) = -1 vs the oracle's NULL arithmetic); both
-    # filters are declared in the oracle's arrs CTE too.
-    d = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .repartition(n_part, "doc_id")
-    )
-    base = (
-        d.select("doc_id", F.split("text", " ").alias("w"))
-        .groupBy("doc_id")
-        .agg(F.first("w").alias("w"))
-    )
-    spans = base.select(
-        "doc_id",
-        F.posexplode(F.expr(_gram_concat_expr("w", _BOILER_N))).alias(
-            "spos0", "g"
-        ),
-    ).select(
-        "doc_id",
-        (F.col("spos0") + 1).cast("bigint").alias("spos"),
-        F.md5("g").alias("skey"),
-    )
+    base = _boiler_base(spark, load(spark, sf_dir, "documents"))
+    spans = _boiler_spans(base)
     boiler = (
         spans.groupBy("skey")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1969,13 +1942,64 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_boiler_occ"),
         )
     )
-    # cov is materialized as its own projection attribute: referenced
-    # from inside the filter() lambda below, an INLINED expression would
-    # be rebuilt once per TOKEN (HOF lambdas get no loop-invariant
-    # hoisting — the fold-reinline trap), turning the corpus pass
-    # O(tokens x covered); as an attribute it is computed once per row
-    # and CollapseProject keeps a non-cheap multi-referenced alias in
-    # its own Project (same rationale as _shingles_df's barrier note).
+    return _boiler_assemble(base, occ2)
+
+
+def _boiler_base(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Barrier-pinned per-document word arrays (doc_id, w) — the shared
+    front of every boilerplate-span consumer.
+
+    The explicit isnotnull mirrors the filter the outer join would
+    infer on one branch only: with it on ALL branches the consumers of
+    `base` canonicalize identically below the exchange, so
+    ReuseExchange writes the corpus shuffle once and the span
+    derivations + the final assembly read the same shuffle files.
+    text-notnull keeps the engines aligned on degenerate corpora
+    (Spark's size(NULL) = -1 vs the oracle's NULL arithmetic); both
+    filters are declared in the oracles' arrs CTEs too. The
+    keyed-aggregate barrier is _shingles_df's rationale: without it,
+    generator-pushed filters re-split the document per element
+    reference."""
+    n_part = spark.sparkContext.defaultParallelism
+    d = (
+        docs.filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        ).repartition(n_part, "doc_id")
+    )
+    return (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .groupBy("doc_id")
+        .agg(F.first("w").alias("w"))
+    )
+
+
+def _boiler_spans(base: DataFrame) -> DataFrame:
+    """Positional 3-word spans (doc_id, spos 1-based, skey = md5(gram))
+    over the barrier-pinned word arrays — direct-indexed grams via the
+    shared _gram_concat_expr kernel."""
+    return base.select(
+        "doc_id",
+        F.posexplode(F.expr(_gram_concat_expr("w", _BOILER_N))).alias(
+            "spos0", "g"
+        ),
+    ).select(
+        "doc_id",
+        (F.col("spos0") + 1).cast("bigint").alias("spos"),
+        F.md5("g").alias("skey"),
+    )
+
+
+def _boiler_assemble(base: DataFrame, occ2: DataFrame) -> DataFrame:
+    """Per-document accounting + cleaned-text md5 from the flagged-span
+    occurrences (doc_id, sposs, n_boiler_occ).
+
+    cov is materialized as its own projection attribute: referenced
+    from inside the filter() lambda below, an INLINED expression would
+    be rebuilt once per TOKEN (HOF lambdas get no loop-invariant
+    hoisting — the fold-reinline trap; the r12 review measured 3.3x on
+    the saturated sf10 corpus); as an attribute it is computed once per
+    row and CollapseProject keeps a non-cheap multi-referenced alias in
+    its own Project (same rationale as _shingles_df's barrier note)."""
     cov = (
         "array_distinct(flatten(transform("
         f"coalesce(sposs, CAST(array() AS ARRAY<BIGINT>)),"
@@ -2003,3 +2027,240 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_md5"),
         )
     )
+
+
+_BOILER_IDX_BUCKETS = 16
+_BOILER_STREAM_SRC: dict[tuple[str, float], str] = {}
+
+
+def _span_count_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once STORED span document-frequency table for `sf_dir`'s
+    OLD documents (doc_id % 5 != 0): (skey, ndocs) written BUCKETED BY
+    skey (the storage.py co-located-join layout), so every delta probe
+    joins the counts with ZERO exchange on the stored side — the
+    boilerplate family's nightly layout, the third stored-index family
+    after IVF and the MinHash postings. Same (abspath, mtime) keying,
+    scratch-dir build, and atomic-rename publish as
+    _minhash_index_table; a fresh session re-registers the existing
+    files with CREATE TABLE ... CLUSTERED BY (bucket ids ride the file
+    names)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from stateflow_spark.storage import write_bucketed
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    tbl = f"boiler_index_{key}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    path = os.path.join(
+        tempfile.gettempdir(), f"stateflow_boiler_index_{key}"
+    )
+    ddl = (
+        f"CREATE TABLE IF NOT EXISTS {tbl} (skey STRING, ndocs BIGINT)"
+        f" USING PARQUET CLUSTERED BY (skey)"
+        f" INTO {_BOILER_IDX_BUCKETS} BUCKETS LOCATION '{path}'"
+    )
+    if os.path.exists(os.path.join(path, "_INDEX_READY")):
+        spark.sql(ddl)
+        return tbl
+    token = uuid.uuid4().hex[:8]
+    tmp_path = f"{path}.building.{token}"
+    tmp_tbl = f"{tbl}_building_{token}"
+    old = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+    counts = (
+        _boiler_spans(_boiler_base(spark, old))
+        .groupBy("skey")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+    )
+    write_bucketed(counts, tmp_tbl, ["skey"], _BOILER_IDX_BUCKETS,
+                   tmp_path, sort_keys=["skey"])
+    spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files stay put
+    open(os.path.join(tmp_path, "_INDEX_READY"), "w").close()
+    try:
+        os.rename(tmp_path, path)
+    except OSError:
+        # concurrent build of the same mtime-keyed version is the only
+        # excused failure; otherwise surface it
+        if not os.path.exists(os.path.join(path, "_INDEX_READY")):
+            raise
+        shutil.rmtree(tmp_path, ignore_errors=True)
+    spark.sql(ddl)
+    return tbl
+
+
+def _boiler_classify_delta(
+    spark: SparkSession, delta_docs: DataFrame, tbl: str
+) -> DataFrame:
+    """Classify DELTA documents against the stored span counts: a span
+    is boilerplate for an arriving document iff the STORED corpus
+    already carries it in >= _BOILER_MIN_DOCS distinct documents (the
+    document itself is the +1 that crosses the > threshold). The
+    verdict depends only on the doc and the stored table — never on
+    other delta docs — so any micro-batch partitioning of the delta
+    yields identical rows (the same boundary-independence posture as
+    _mh_classify_delta; delta-internal repetition is deliberately left
+    to the next nightly recount, exactly like the MinHash delta probe
+    leaves delta-internal duplicates)."""
+    base = _boiler_base(spark, delta_docs)
+    spans = _boiler_spans(base)
+    hot = (
+        spark.table(tbl)
+        .filter(F.col("ndocs") >= _BOILER_MIN_DOCS)
+        .select("skey")
+    )
+    occ2 = (
+        spans.join(hot, "skey")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("spos").alias("sposs"),
+            F.count(F.lit(1)).alias("n_boiler_occ"),
+        )
+    )
+    return _boiler_assemble(base, occ2)
+
+
+# Shared by the batch and streaming delta-classify rows (same body →
+# same oracle, the minhash/ivf family pattern): old counts replayed
+# from the documents table, hot = stored ndocs >= threshold, then the
+# batch row's coverage/assembly CTEs restricted to delta docs.
+_BOILER_DELTA_ORACLE = f"""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS a,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    spans AS (
+        SELECT doc_id, i AS spos,
+               md5(array_to_string(a[i : i + {_BOILER_N - 1}], ' ')) AS skey
+        FROM arrs,
+             LATERAL (SELECT unnest(range(1, n - {_BOILER_N} + 2)) AS i) r(i)
+    ),
+    hot AS (
+        SELECT skey FROM spans WHERE doc_id % 5 <> 0
+        GROUP BY skey HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    ),
+    occ AS (
+        SELECT s.doc_id, s.spos FROM spans s JOIN hot h ON h.skey = s.skey
+        WHERE s.doc_id % 5 = 0
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, spos + d AS cpos
+        FROM occ, LATERAL (SELECT unnest(range(0, {_BOILER_N})) AS d) g(d)
+    ),
+    occ_per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler_occ
+        FROM occ GROUP BY doc_id
+    ),
+    toks AS (
+        SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS w
+        FROM arrs WHERE doc_id % 5 = 0
+    ),
+    kept AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(t.w, ' ' ORDER BY t.pos)) AS cleaned_md5
+        FROM toks t
+        LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        WHERE c.cpos IS NULL
+        GROUP BY t.doc_id
+    )
+    SELECT a.doc_id,
+           a.n AS n_tokens,
+           GREATEST(a.n - {_BOILER_N - 1}, 0) AS n_spans,
+           COALESCE(o.n_boiler_occ, 0) AS n_boiler_occ,
+           a.n - COALESCE(k.n_kept, 0) AS n_removed,
+           COALESCE(k.cleaned_md5, md5('')) AS cleaned_md5
+    FROM arrs a
+    LEFT JOIN occ_per_doc o ON o.doc_id = a.doc_id
+    LEFT JOIN kept k ON k.doc_id = a.doc_id
+    WHERE a.doc_id % 5 = 0
+    """
+
+
+@register(
+    "text_boilerplate_delta_classify",
+    oracle=_BOILER_DELTA_ORACLE,
+    tags=("text", "dedup", "boilerplate", "incremental", "delta", "bench"),
+)
+def text_boilerplate_delta_classify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INCREMENTAL leg of text_boilerplate_spans: today's arriving
+    documents (doc_id % 5 == 0) are cleaned against the STORED span
+    document-frequency table built from the old corpus — the
+    boilerplate family's daily-ingest posture, completing the third
+    stored-layout lifecycle (IVF, MinHash postings, span counts).
+
+    Plan shape for 100 TB: the nightly shuffle is amortized into the
+    bucketed (skey, ndocs) table; the probe joins it with ZERO exchange
+    on the stored side (plan-gated) and only delta-sized work
+    elsewhere — the delta's spans shuffle to the bucket layout, the
+    ndocs >= threshold filter reaches the parquet scan as a pushed
+    filter, and coverage/assembly reuse the batch row's in-array
+    machinery over the delta barrier."""
+    delta = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return _boiler_classify_delta(
+        spark, delta, _span_count_table(spark, sf_dir)
+    )
+
+
+@register(
+    "stream_boilerplate_delta_classify",
+    oracle=_BOILER_DELTA_ORACLE,
+    tags=("text", "dedup", "boilerplate", "incremental", "streaming"),
+)
+def stream_boilerplate_delta_classify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CONTINUOUS form of text_boilerplate_delta_classify — the
+    boilerplate sibling of stream_minhash_delta_classify, sharing ONE
+    classification body (_boiler_classify_delta) with the batch row so
+    the two can never drift. foreachBatch because the classify body
+    holds per-doc aggregation + the stored-table join; per-batch
+    batch-plans are exactly how a continuous ingest pipeline runs this.
+    Under availableNow the processed set is the whole delta, so the
+    append sink equals the batch job and the SAME oracle hash-gates it;
+    per-doc verdicts depend only on the doc + the stored counts, so the
+    equality holds for ANY micro-batch partitioning of the delta."""
+    import shutil
+    import tempfile
+
+    from stateflow_spark.queries.common import (
+        scratch_output_dir as stream_scratch_out,
+    )
+    from stateflow_spark.queries.common import stream_delta_src
+
+    tbl = _span_count_table(spark, sf_dir)
+    src = stream_delta_src(
+        spark, sf_dir, "documents", "doc_id", _BOILER_STREAM_SRC,
+        "boiler-delta-src-",
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = stream_scratch_out("boiler-delta-out-")
+    ckpt = tempfile.mkdtemp(prefix="boiler-delta-ckpt-")
+
+    def classify_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        _boiler_classify_delta(spark, batch_df, tbl).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(classify_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir)

@@ -63,6 +63,11 @@ EDGE_QUERIES = [
     # filter / concat_ws rebuild (empty docs, leading/trailing/double
     # spaces → empty tokens preserved in both engines)
     "text_boilerplate_spans",
+    # round 12: the family's incremental leg over the same degenerate
+    # corpus — the stored span-count table built from the old docs is
+    # near-empty (most docs below the 3-token span minimum) and the
+    # delta doc must classify clean against it in both engines
+    "text_boilerplate_delta_classify",
 ]
 
 

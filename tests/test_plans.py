@@ -913,3 +913,25 @@ def test_boilerplate_spans_shared_corpus_shuffle(spark):
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     # one corpus fan-out (reused twice) + the span-hash count aggregate
     assert len(shuffles) <= 2, (len(shuffles), plan)
+
+
+def test_boilerplate_delta_probe_bucketed_and_pushed(spark):
+    """text_boilerplate_delta_classify (r12): the stored span-count
+    table must be read through its BUCKETED layout with the hotness
+    threshold reaching the parquet scan as a pushed filter — the probe
+    never reshuffles the stored side, and every exchange is
+    delta-sized: the delta fan-out (one subtree, reused across the span
+    and assembly branches at runtime), the per-doc occurrence fold, and
+    — when the probe plans as SMJ instead of broadcast — the delta-side
+    sort exchange. A stored-side shuffle would push the count past the
+    bound."""
+    import re
+
+    df = REGISTRY["text_boilerplate_delta_classify"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Bucketed: true" in plan, plan
+    assert "GreaterThanOrEqual(ndocs,3)" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) <= 4, (len(shuffles), plan)
