@@ -64,7 +64,7 @@ REV_SQL = "l_extendedprice * (1.0 - l_discount)"
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: scan → pushed filter → partial+final hash aggregate."""
-    l = load(spark, sf_dir, "lineitem")
+    l = load(spark, sf_dir, "lineitem", fanout="l_extendedprice")
     charge = _rev() * (F.lit(1.0) + F.col("l_tax"))
     return (
         l.filter(F.col("l_shipdate") <= ts("2000-12-01"))
