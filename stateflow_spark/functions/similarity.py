@@ -117,6 +117,19 @@ def cosine_dec(a: Column | str, b: Column | str) -> Column:
 _EPS_F64 = 2.220446049250313e-16  # IEEE-754 binary64 machine epsilon
 
 
+def cosine_band(a: Column | str, denom: Column) -> Column:
+    """Per-row bound on |cosine_dec − cosine_f64| for a pair whose shared
+    denominator is `denom` (√na2·√nb2 from the decimal-exact norms) —
+    the band derivation documented on cosine_ge_banded, factored out so
+    the banded ARGMAX (r12: _ivf_classify_delta) and the banded
+    threshold share one formula: 4 · n · (u + 5e-13/denom)."""
+    return (
+        F.size(a).cast("double")
+        * F.lit(4.0)
+        * (F.lit(_EPS_F64 / 2) + F.lit(5e-13) / denom)
+    )
+
+
 def cosine_ge_banded(
     a: Column | str,
     b: Column | str,
@@ -161,11 +174,7 @@ def cosine_ge_banded(
     denom = F.sqrt(na2) * F.sqrt(nb2)
     fast = dot_f64(a, b) / denom
     if band is None:
-        band_c = (
-            F.size(a).cast("double")
-            * F.lit(4.0)
-            * (F.lit(_EPS_F64 / 2) + F.lit(5e-13) / denom)
-        )
+        band_c = cosine_band(a, denom)
     else:
         band_c = F.lit(float(band))
     # zero-norm guard (round-9 edge audit): cosine is UNDEFINED for a
