@@ -79,6 +79,33 @@ def _scan_parallelism(path: str, cap: int = 4096) -> int:
     return _SCAN_PAR_CACHE[key]
 
 
+_ROWS_CACHE: dict[tuple[str, float], int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata table from the parquet FOOTER — the
+    same number `load(...).count()` returns, without running a Spark job
+    (r12: semantic_dedup_scaled paid a full count job per invocation just
+    to derive its plan parameters k/k1/k2). Metadata-only driver read,
+    cached per (path, mtime)."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    key = (path, os.path.getmtime(path))
+    got = _ROWS_CACHE.get(key)
+    if got is None:
+        if os.path.isdir(path):
+            got = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            got = pq.ParquetFile(path).metadata.num_rows
+        _ROWS_CACHE[key] = got
+    return got
+
+
 def load(
     spark: SparkSession, sf_dir: str, name: str, fanout: str | None = None
 ) -> DataFrame:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stateflow_spark.catalog import load
+from stateflow_spark.catalog import load, table_rows
 from stateflow_spark.functions.similarity import (
     banded_hamming_pairs,
     cosine_ge_banded,
@@ -1457,7 +1457,10 @@ def semantic_dedup_scaled(
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = e.count()  # one scalar to the driver: the plan parameters k,k1,k2
+    # plan parameters k,k1,k2 need only the corpus row count — read it
+    # from the parquet footer instead of running a count job (identical
+    # value; r12 — the count was a full scan job paid on every build)
+    n = table_rows(sf_dir, "embeddings")
     k = max(4, -(-n // pop))
     k1 = round(k ** (1.0 / 3.0))  # exact integer ceil-cbrt(k)
     while k1**3 < k:
