@@ -2756,9 +2756,26 @@ def _ivf_classify_delta(
     cheap single-cell probe."""
     import os
 
-    assigned = _ivf_route_delta(spark, delta, base, nprobe, ncoarse, nlabel)
+    # the routed assignment feeds TWO consumers — the primary (rank-1)
+    # storage cell on the left of the final join and the candidate-cell
+    # broadcast of the probe — and its crossJoin + three-window fold
+    # subtree would execute once per consumer (the r12 profile showed the
+    # whole routing tree twice in the maintenance plan, ~half the fold
+    # cpu of the query). localCheckpoint pins it to one execution, same
+    # idiom as the resplit row's routed delta (guide §1.2/§3.3).
+    assigned = _ivf_route_delta(
+        spark, delta, base, nprobe, ncoarse, nlabel
+    ).localCheckpoint(eager=False)
     primary = assigned.filter(F.col("probe_rank") == 1)
     stored = spark.read.parquet(os.path.join(base, "corpus"))
+    # probe_rank >= 1 is vacuously true (ranks are 1 or 2) but it is the
+    # selectivity marker Catalyst's PartitionPruning heuristic needs to
+    # keep injecting the dynamicpruning PartitionFilter on the stored
+    # scan now that the build side is a checkpointed RDD: the rn<=k
+    # window filters that used to mark the lineage as selective live
+    # BEHIND the checkpoint barrier. The cell set genuinely is
+    # delta-bounded-selective against the corpus partitions (plan-gated).
+    cand = assigned.filter(F.col("probe_rank") >= 1)
     # no dedup needed on the probe side: a cell has exactly one coarse
     # parent and one label, so distinct (rl, rc, rn) paths can never
     # reach the same (cid, subcell) for a vec
@@ -2770,7 +2787,7 @@ def _ivf_classify_delta(
         # once per vec through a second delta-sized broadcast; the fold
         # volume (the recall price) is unchanged.
         probe = stored.join(
-            F.broadcast(assigned.select("vec_id", "cid", "subcell")),
+            F.broadcast(cand.select("vec_id", "cid", "subcell")),
             ["cid", "subcell"],
         ).join(
             F.broadcast(delta.select("vec_id", "v", "dn2")), ["vec_id"]
@@ -2778,7 +2795,7 @@ def _ivf_classify_delta(
     else:
         probe = stored.join(
             F.broadcast(
-                assigned.select("vec_id", "v", "dn2", "cid", "subcell")
+                cand.select("vec_id", "v", "dn2", "cid", "subcell")
             ),
             ["cid", "subcell"],
         )
@@ -2804,9 +2821,12 @@ def _ivf_classify_delta(
             F.col("cosine").alias("nn_cosine"),
         )
     )
+    # nn is delta-bounded (<= 1 row per delta vec) — broadcast it so the
+    # final attach is a BroadcastHashJoin instead of a SortMergeJoin of
+    # two delta-sized sides (2 exchanges + 2 sorts for nothing; guide §3.1)
     return (
         primary.select("vec_id", "cid", "subcell")
-        .join(nn, "vec_id", "left")
+        .join(F.broadcast(nn), "vec_id", "left")
         .select(
             "vec_id",
             "cid",
