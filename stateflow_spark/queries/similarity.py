@@ -3094,8 +3094,13 @@ def _ivf_merged_cells(
         .groupBy("cid", "subcell")
         .agg(F.count(F.lit(1)).alias("old_n"))
     )
+    # old_cnt is one row per TOUCHED cell (delta-bounded — the broadcast
+    # above already restricted the stored side), so the accounting attach
+    # broadcasts instead of sort-merging two delta-sized aggregates
+    # (2 exchanges + 2 sorts per plan instance; the resplit row inlines
+    # this subtree several times — guide §3.1)
     return (
-        touched.join(old_cnt, ["cid", "subcell"], "left")
+        touched.join(F.broadcast(old_cnt), ["cid", "subcell"], "left")
         .select(
             "cid",
             "subcell",
