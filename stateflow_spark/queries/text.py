@@ -1386,8 +1386,10 @@ def _bpe_train(
     keep_final_vocab: bool = False,
 ):
     """Run the 6-step distributed merge-learning chain. Returns
-    (merge-row DataFrames, per-step total DataFrames, final vocab or
-    None). Every returned frame reads its own materialized
+    (merge tuples [(step, sym_a, sym_b, pair_count)], per-step total
+    DataFrames, final vocab or None). Winners are 1-row TakeOrdered
+    reads (bounded, driver-role) applied to the next vocab as literals;
+    the vocab and total frames read their own materialized
     (localCheckpoint) blocks, so the intermediate vocabs are released as
     the chain advances; with ``keep_final_vocab`` the post-merge vocab's
     blocks stay live for the caller (the APPLY path)."""
@@ -1444,34 +1446,31 @@ def _bpe_train(
                 )
             ).alias("p"),
         ).select("freq", "p.pa", "p.pb")
-        # the 1-row winner materializes (localCheckpoint) so the merge
-        # table AND the next vocab both read executor blocks — without
-        # this, releasing v_k below would strand the winner's lineage
-        win = (
+        # the 1-row winner comes back to the driver (a bounded,
+        # driver-role read like the resplit worklist guard): one
+        # TakeOrdered job replaces the former winner-checkpoint job PLUS
+        # its isEmpty probe, and the next vocab applies the winner as
+        # literals instead of a crossJoin broadcast — two driver jobs
+        # and one BroadcastExchange fewer per merge step (guide §1.2)
+        won = (
             pairs.groupBy("pa", "pb")
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.col("c").desc(), "pa", "pb")
             .limit(1)
-            .localCheckpoint()
+            .take(1)
         )
-        if win.isEmpty():
+        if not won:
             # pair space exhausted (degenerate corpus of single-symbol
-            # words): crossJoin with the empty winner would silently empty
+            # words): stepping with the empty winner would silently empty
             # the vocab for all later steps — stop here, keeping the last
             # valid vocab so the APPLY path still tokenizes (round-6 ADVICE)
-            unpersist_local_checkpoint(win)
             break
-        merges.append(
-            win.select(
-                F.lit(k).alias("step"),
-                F.col("pa").alias("sym_a"),
-                F.col("pb").alias("sym_b"),
-                F.col("c").alias("pair_count"),
-            )
-        )
+        wa, wb, wc = won[0].pa, won[0].pb, won[0].c
+        merges.append((k, wa, wb, wc))
         if k < _BPE_STEPS or want_totals or keep_final_vocab:
             stepped = (
-                v.crossJoin(F.broadcast(win))
+                v.withColumn("pa", F.lit(wa))
+                .withColumn("pb", F.lit(wb))
                 .withColumn("m", F.expr(_bpe_m_spark("sym")))
                 .withColumn("starts", F.expr(_bpe_starts_spark("m")))
                 .select(
@@ -1487,8 +1486,8 @@ def _bpe_train(
                 totals.append(totals_of(v, k))
     if keep_final_vocab:
         return merges, totals, v
-    # outputs read only the materialized winner/total rows — the last
-    # vocab's blocks can go too
+    # outputs read only driver-held winner tuples / materialized total
+    # rows — the last vocab's blocks can go too
     unpersist_local_checkpoint(v)
     return merges, totals, None
 
@@ -1510,28 +1509,27 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan builds (word, freq, symbol-array), and every merge step
     is (1) an adjacent-pair partial/final aggregate weighted by freq over
     the vocab, (2) a 1-row TakeOrdered winner (count desc, pair asc —
-    deterministic where textbook BPE leaves ties unspecified) broadcast
-    back via crossJoin, and (3) a per-row positional merge application
-    (odd-streak rule above — no sequential fold, no UDF). The vocab
-    localCheckpoints per step, so step k+1's lineage starts from
-    materialized blocks instead of re-running all prior steps (the same
-    iterative-algorithm treatment as connected components); driver-side
-    data flow is ZERO — winners move executor-to-executor as 1-row
-    broadcasts. At 100 TB the corpus scan happens once; per-step cost is
-    vocab-sized (millions of rows), independent of corpus size.
+    deterministic where textbook BPE leaves ties unspecified) read back
+    to the driver and re-applied as literals, and (3) a per-row
+    positional merge application (odd-streak rule above — no sequential
+    fold, no UDF). The vocab localCheckpoints per step, so step k+1's
+    lineage starts from materialized blocks instead of re-running all
+    prior steps (the same iterative-algorithm treatment as connected
+    components); driver-side data flow is ONE ROW per merge step — the
+    bounded coordination read every production BPE trainer makes, not a
+    data-path collect. At 100 TB the corpus scan happens once; per-step
+    cost is vocab-sized (millions of rows), independent of corpus size.
 
     Exactness: all counts are int64; winner selection and merge
     application are integer/string ops — the whole 6-step trajectory
     hash-gates against the generated per-step CTE oracle."""
     merges, _, _ = _bpe_train(spark, sf_dir, want_totals=False)
-    if not merges:  # degenerate corpus: pair space empty before step 1
-        return spark.createDataFrame(
-            [], "step INT, sym_a STRING, sym_b STRING, pair_count BIGINT"
-        )
-    out = merges[0]
-    for mdf in merges[1:]:
-        out = out.unionByName(mdf)
-    return out
+    # degenerate corpus (empty merges) collapses into the same literal
+    # frame; the merge table is driver-held winner tuples, so the output
+    # is a LocalRelation — no executor blocks to re-read at output time
+    return spark.createDataFrame(
+        merges, "step INT, sym_a STRING, sym_b STRING, pair_count BIGINT"
+    )
 
 
 @register(
