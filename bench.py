@@ -184,7 +184,33 @@ def measure_builds(spark) -> dict[str, float]:
 MAX_START_LOADAVG = float(os.environ.get("SPARK_GRAFT_MAX_LOADAVG", "2.0"))
 
 
+# Bounded wait-for-idle (round-12 VERDICT #4): two driver rounds running
+# produced contaminated artifacts because the bench STARTED while co-located
+# load was still decaying (r12: start loadavg 5.0, calib_fold 3.1x its idle
+# band). Waiting a bounded time for the 1-minute loadavg to fall under the
+# threshold costs at most IDLE_WAIT_MAX_S once per artifact and makes driver
+# runs comparable again. The contaminated flag stays: if the box never goes
+# idle inside the budget, the run proceeds and is labelled, exactly as
+# before. SPARK_GRAFT_IDLE_WAIT_S=0 disables.
+IDLE_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "120"))
+
+
+def wait_for_idle() -> float:
+    """Sleep (bounded) until 1-min loadavg <= MAX_START_LOADAVG; return the
+    seconds actually waited."""
+    t0 = time.monotonic()
+    while (
+        os.getloadavg()[0] > MAX_START_LOADAVG
+        and time.monotonic() - t0 < IDLE_WAIT_MAX_S
+    ):
+        time.sleep(5.0)
+    return round(time.monotonic() - t0, 1)
+
+
 def main() -> None:
+    # wait BEFORE building the session: session startup is itself load,
+    # and the loadavg we act on should be the co-located-work signal
+    idle_wait_s = wait_for_idle()
     spark = get_spark(app_name="stateflow-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     load_start = os.getloadavg()[0]
@@ -272,6 +298,7 @@ def main() -> None:
                     "start": round(load_start, 2),
                     "end": round(os.getloadavg()[0], 2),
                 },
+                "idle_wait_s": idle_wait_s,
                 "contaminated": contaminated,
             }
         )

@@ -38,23 +38,50 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# (path, mtime) → max task parallelism the parquet layout can give a scan.
-# Spark cannot split a parquet file below one row group (a task reads every
-# row group whose midpoint falls in its byte range), so a table written as
-# one file with one row group — the testdata layout — scans as ONE task no
-# matter how many cores the session has, and every filter/projection/
-# partial aggregate fused into that scan runs single-threaded.
+# (path, mtime-key) → max task parallelism the parquet layout can give a
+# scan. Spark cannot split a parquet file below one row group (a task reads
+# every row group whose midpoint falls in its byte range), so a table
+# written as one file with one row group — the testdata layout — scans as
+# ONE task no matter how many cores the session has, and every filter/
+# projection/partial aggregate fused into that scan runs single-threaded.
 _SCAN_PAR_CACHE: dict[tuple[str, float], int] = {}
+
+
+def _parquet_files(path: str) -> list[str]:
+    """All *.parquet data files under `path` (recursing into nested /
+    hive-partitioned directory layouts, like a real dataset reader)."""
+    if not os.path.isdir(path):
+        return [path]
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    return sorted(out)
+
+
+def _mtime_key(path: str) -> tuple[str, float]:
+    """Cache key that notices in-place file rewrites inside directory
+    tables (r12 VERDICT #3: rewriting a contained file need not bump the
+    top-level dir mtime): max mtime over the data files."""
+    if os.path.isdir(path):
+        mt = max(
+            (os.path.getmtime(f) for f in _parquet_files(path)), default=0.0
+        )
+        return (path, mt)
+    return (path, os.path.getmtime(path))
 
 
 def _scan_parallelism(path: str, cap: int = 4096) -> int:
     """Upper bound on scan-task parallelism available from the file layout
     (total parquet row groups, counted up to `cap`). Footer-metadata only —
-    no data read. Unreadable/odd layouts report `cap` (= never fan out)."""
+    no data read. Unreadable/odd layouts report `cap` (= never fan out) but
+    are NOT cached (r12 ADVICE: a transient footer-read error must not
+    permanently disable fan-out for the file)."""
     import pyarrow.parquet as pq
 
     try:
-        key = (path, os.path.getmtime(path))
+        key = _mtime_key(path)
     except OSError:
         return cap
     got = _SCAN_PAR_CACHE.get(key)
@@ -62,19 +89,12 @@ def _scan_parallelism(path: str, cap: int = 4096) -> int:
         return got
     total = 0
     try:
-        if os.path.isdir(path):
-            for entry in sorted(os.listdir(path)):
-                if not entry.endswith(".parquet"):
-                    continue
-                total += pq.ParquetFile(
-                    os.path.join(path, entry)
-                ).metadata.num_row_groups
-                if total >= cap:
-                    break
-        else:
-            total = pq.ParquetFile(path).metadata.num_row_groups
+        for f in _parquet_files(path):
+            total += pq.ParquetFile(f).metadata.num_row_groups
+            if total >= cap:
+                break
     except Exception:
-        total = cap
+        return cap  # fail open, uncached
     _SCAN_PAR_CACHE[key] = min(total, cap)
     return _SCAN_PAR_CACHE[key]
 
@@ -87,21 +107,22 @@ def table_rows(sf_dir: str, name: str) -> int:
     same number `load(...).count()` returns, without running a Spark job
     (r12: semantic_dedup_scaled paid a full count job per invocation just
     to derive its plan parameters k/k1/k2). Metadata-only driver read,
-    cached per (path, mtime)."""
+    cached per (path, max data-file mtime). A directory that yields no
+    parquet files raises instead of silently reporting 0 (r12 ADVICE: a
+    garbage 0 would feed semdedup's plan parameters k/k1/k2)."""
     import pyarrow.parquet as pq
 
     path = table_path(sf_dir, name)
-    key = (path, os.path.getmtime(path))
+    key = _mtime_key(path)
     got = _ROWS_CACHE.get(key)
     if got is None:
-        if os.path.isdir(path):
-            got = sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
+        files = _parquet_files(path)
+        if not files:
+            raise FileNotFoundError(
+                f"no parquet data files under {path!r} — refusing to "
+                "report 0 rows for a table that exists"
             )
-        else:
-            got = pq.ParquetFile(path).metadata.num_rows
+        got = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         _ROWS_CACHE[key] = got
     return got
 

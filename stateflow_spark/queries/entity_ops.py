@@ -288,7 +288,13 @@ def entity_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interleaved A/B 2.47 → 2.03 s best at sf0.1). The provider is
     # pinned per-QUERY by the checkpoint at first start; restore the
     # session default right after start so nothing leaks to later
-    # queries.
+    # queries. SINGLE-THREADED ASSUMPTION (r12 ADVICE): the set/restore
+    # window mutates session-global conf, so a streaming query started
+    # CONCURRENTLY from another driver thread inside this window would
+    # snapshot the HDFS provider; every caller in this repo (driver
+    # verify, bench, tests) starts streams from one thread. If a
+    # multi-threaded driver ever calls this, guard the window with a
+    # lock or run it in spark.newSession().
     _pkey = "spark.sql.streaming.stateStore.providerClass"
     _prev = spark.conf.get(_pkey, None)
     spark.conf.set(

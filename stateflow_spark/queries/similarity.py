@@ -2736,6 +2736,7 @@ def _ivf_route_delta(
 def _ivf_classify_delta(
     spark: SparkSession, delta: DataFrame, base: str, nprobe: int = 1,
     ncoarse: int = 1, nlabel: int = 1,
+    ckpts: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Classify a (vec_id, v, dn2) delta frame against the stored index
     at `base` — shared by the batch row above and the streaming
@@ -2766,6 +2767,13 @@ def _ivf_classify_delta(
     assigned = _ivf_route_delta(
         spark, delta, base, nprobe, ncoarse, nlabel
     ).localCheckpoint(eager=False)
+    if ckpts is not None:
+        # a long-running caller (the streaming classify's per-micro-batch
+        # foreachBatch) must unpersist after its write or delta-sized
+        # checkpoint blocks accumulate for the session lifetime (r12
+        # ADVICE); batch callers' blocks are released by the ContextCleaner
+        # when the returned frame is garbage collected
+        ckpts.append(assigned)
     primary = assigned.filter(F.col("probe_rank") == 1)
     stored = spark.read.parquet(os.path.join(base, "corpus"))
     # probe_rank >= 1 is vacuously true (ranks are 1 or 2) but it is the
@@ -2884,15 +2892,22 @@ def stream_ivf_delta_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism
 
     def classify_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        from stateflow_spark.storage import unpersist_local_checkpoint
+
         delta = _pin_n2(
             batch_df.select(
                 "vec_id",
                 F.col("embedding").cast("array<double>").alias("v"),
             ).repartition(n_part, "vec_id")
         ).withColumnRenamed("n2", "dn2")
-        _ivf_classify_delta(spark, delta, base).write.mode("append").parquet(
-            out_dir
-        )
+        ckpts: list[DataFrame] = []
+        _ivf_classify_delta(
+            spark, delta, base, ckpts=ckpts
+        ).write.mode("append").parquet(out_dir)
+        # release the per-batch routed-assignment checkpoint: without this
+        # an always-on stream accumulates delta-sized blocks forever
+        for df in ckpts:
+            unpersist_local_checkpoint(df)
 
     query = (
         stream.writeStream.foreachBatch(classify_batch)

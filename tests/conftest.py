@@ -96,3 +96,9 @@ def pytest_configure(config):
         config.addinivalue_line(
             "markers", f"{fam}: oracle-net family shard (registry tag)"
         )
+    config.addinivalue_line(
+        "markers",
+        "full_oracle: oracle-net rows OUTSIDE the driver's 50-query prefix "
+        "— deselected by default (pytest.ini) so `pytest tests/` fits the "
+        "driver budget; run all with `pytest tests/test_oracle.py -m ''`",
+    )
