@@ -1475,71 +1475,87 @@ def semantic_dedup_scaled(
         )
     )
     n_part = spark.sparkContext.defaultParallelism
-    ev = e.repartition(n_part, "vec_id")
-    # coarse pass: broadcast nested-loop expand + map-side argmin — the
-    # groupBy's partial aggregate folds each vector's k1 candidates to 1
-    # row before the exchange (every vec's rows live in one input
-    # partition), so the shuffle is N rows even though the stage computes
-    # N*k1 folds. Materialized: it feeds the mid pass AND the mid-seed
-    # cell table.
-    casg = (
-        ev.crossJoin(coarse)
-        .select(
-            "vec_id",
-            F.struct(
-                sqdist_fxp("v", "c").alias("d"), F.col("ccid").alias("ccid")
-            ).alias("dc"),
+
+    def coarse_pass(frame: DataFrame) -> DataFrame:
+        """(vec_id, v) → (vec_id, ccid): broadcast nested-loop expand +
+        map-side argmin — the groupBy's partial aggregate folds each
+        vector's k1 candidates to 1 row before the exchange, so the
+        shuffle is #frame rows even though the stage computes #frame*k1
+        folds."""
+        return (
+            frame.crossJoin(coarse)
+            .select(
+                "vec_id",
+                F.struct(
+                    sqdist_fxp("v", "c").alias("d"),
+                    F.col("ccid").alias("ccid"),
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("m"))
+            .select("vec_id", F.col("m.ccid").alias("ccid"))
         )
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("m"))
-        .select("vec_id", F.col("m.ccid").alias("ccid"))
-    )
-    # casg/masg are NOT checkpointed (the round-8 two-level form
-    # checkpointed casg): each one's second consumer is its own seed-cell
-    # table, FILTERED to seed ids — the vec_id filter pushes through the
-    # argmin aggregate and the candidate join down to the scan, so that
-    # branch recomputes the pass over ~k seed rows, not N. One full-width
-    # computation each remains; a checkpoint would add a job barrier + a
-    # corpus-sized materialization to save work that pushdown already
-    # makes ~free (measured best-of-2, idle box: dropping both cut sf0.1
-    # 4.28 → 3.31 s and sf10 27.2 → 20.0 s).
+
+    def mid_pass(frame: DataFrame, frame_casg: DataFrame,
+                 mid_cells: DataFrame) -> DataFrame:
+        """(vec_id, v) × its coarse cell → (vec_id, mid): each vector
+        meets only the ~k^(1/3) mid seeds of its coarse cell (equi-join
+        on ccid); same map-side argmin shape."""
+        return (
+            frame.join(frame_casg, "vec_id")
+            .join(mid_cells, "ccid")
+            .select(
+                "vec_id",
+                F.struct(
+                    sqdist_fxp("v", "c").alias("d"), F.col("mid").alias("mid")
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("m"))
+            .select("vec_id", F.col("m.mid").alias("mid"))
+        )
+
+    ev = e.repartition(n_part, "vec_id")
+    casg = coarse_pass(ev)
+    # Seed-cell tables are built from SMALL DIRECT TREES over the filtered
+    # seed rows, not as filters of the full corpus passes: per-vector
+    # argmin is row-independent, so `coarse_pass(seeds)` is value-identical
+    # to `casg.filter(seed ids)` — but the filter form inlines the WHOLE
+    # corpus-pass subtree into every seed branch (coarse pass appeared 4x,
+    # mid pass 2x in the logical plan), and Catalyst re-optimizes each
+    # copy: measured r13 profile, fn() construction 4.6-5.2 s vs 1.9 s
+    # execution at sf0.1. Physically the small trees are what filter
+    # pushdown already produced (scan of ~k seed rows), so execution is
+    # unchanged; only the plan Catalyst must chew is linear now. The
+    # earlier no-checkpoint note still holds (r9): a localCheckpoint here
+    # would add a job barrier + corpus-sized materialization for work that
+    # the seed-sized branches make ~free.
+    seeds_e = e.filter(F.col("vec_id").between(1, k))
+    s_casg = coarse_pass(seeds_e)
     # mid seeds (vectors 1..k2 ≈ k^(2/3)) carry the coarse cell their own
-    # coarse-pass argmin chose — a FILTER of casg, fully deterministic
+    # coarse-pass argmin chose — fully deterministic
     mid_tbl = (
         e.filter(F.col("vec_id").between(1, k2))
         .select(F.col("vec_id").cast("int").alias("mid"), F.col("v").alias("c"))
         .join(
-            casg.filter(F.col("vec_id").between(1, k2)).select(
+            s_casg.filter(F.col("vec_id").between(1, k2)).select(
                 F.col("vec_id").cast("int").alias("mid"), "ccid"
             ),
             "mid",
         )
     )
-    # mid pass: each vector meets only the ~k^(1/3) mid seeds of its
-    # coarse cell (equi-join on ccid); same map-side argmin shape
-    masg = (
-        ev.join(casg, "vec_id")
-        .join(mid_tbl, "ccid")
-        .select(
-            "vec_id",
-            F.struct(
-                sqdist_fxp("v", "c").alias("d"), F.col("mid").alias("mid")
-            ).alias("dc"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("m"))
-        .select("vec_id", F.col("m.mid").alias("mid"))
-    )
-    # fine seeds are corpus vectors 1..k: their mid cell is a FILTER of
-    # the mid assignment (same argmin rule — fully deterministic). NOT
-    # broadcast-hinted: the fine table is corpus-proportional
-    # (k = ceil(N/64) rows) — AQE broadcasts it while it fits and falls
-    # back to a shuffle join (sharded by mid cell) beyond that.
-    fcell = masg.filter(F.col("vec_id").between(1, k)).select(
+    masg = mid_pass(ev, casg, mid_tbl)
+    # fine seeds are corpus vectors 1..k: their mid cell comes from the
+    # same mid-pass argmin run over the seed rows (value-identical to
+    # filtering the full masg — see above). NOT broadcast-hinted: the
+    # fine table is corpus-proportional (k = ceil(N/64) rows) — AQE
+    # broadcasts it while it fits and falls back to a shuffle join
+    # (sharded by mid cell) beyond that.
+    fcell = mid_pass(seeds_e, s_casg, mid_tbl).select(
         F.col("vec_id").cast("int").alias("fid"), "mid"
     )
     fine_tbl = (
-        e.filter(F.col("vec_id").between(1, k))
+        seeds_e
         .select(F.col("vec_id").cast("int").alias("fid"), F.col("v").alias("c"))
         .join(fcell, "fid")
     )
