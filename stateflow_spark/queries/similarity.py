@@ -3362,19 +3362,16 @@ def ivf_apply_resplit(
     routed = _ivf_route_delta(spark, delta, source).localCheckpoint(
         eager=False
     )
-    flagged = (
-        _ivf_merged_cells(spark, source, routed, cap)
-        .filter("needs_split")
-        .select("cid", "subcell")
-    )
-    # the flagged-cid worklist is driver-role by design (it decides which
+    # the flagged worklist is driver-role by design (it decides which
     # partition directories to link vs rewrite) and bounded by the
-    # flagged-cell count, never the index
-    flagged_cid_set = {r.cid for r in flagged.select("cid").distinct().collect()}
+    # flagged-cell count, never the index; shared with the reassignment
+    # below so the accounting subtree executes exactly once
+    flagged_pairs = _flagged_split_pairs(spark, source, routed, cap)
+    flagged_cid_set = {c for c, _ in flagged_pairs}
     if not flagged_cid_set:
         return source  # empty worklist: the old version stays current
     flagged_cids = spark.createDataFrame(
-        [(c,) for c in sorted(flagged_cid_set)], flagged.select("cid").schema
+        [(c,) for c in sorted(flagged_cid_set)], "cid int"
     )
     out = source.rstrip("/") + ".applied." + uuid.uuid4().hex[:8]
     tmp = out + ".building"
@@ -3461,29 +3458,56 @@ def ivf_apply_resplit(
     return out
 
 
+def _flagged_split_pairs(
+    spark: SparkSession, base: str, routed: DataFrame, cap: int
+) -> list[tuple]:
+    """The re-split worklist as a DRIVER list of flagged (cid, subcell)
+    pairs — the same bounded driver-role read-back class as
+    ivf_apply_resplit's flagged-cid set (it decides which partitions to
+    rewrite) and bounded by the delta's touched-cell count, never the
+    index."""
+    flagged = (
+        _ivf_merged_cells(spark, base, routed, cap)
+        .filter("needs_split")
+        .select("cid", "subcell")
+    )
+    return sorted((r.cid, r.subcell) for r in flagged.collect())
+
+
 def _ivf_resplit_cells_assignments(
-    spark: SparkSession, base: str, routed: DataFrame, pop: int, cap: int
+    spark: SparkSession, base: str, routed: DataFrame, pop: int, cap: int,
+    flagged_pairs: list[tuple] | None = None,
 ) -> DataFrame:
     """Per-member post-split assignment (cid, subcell, vec_id,
     new_subcell) — the row-level form of _ivf_resplit_cells, consumed by
     the apply job's partition rewrite."""
     import os
 
-    # NOTE: flagged is deliberately NOT checkpointed — a pinned build
-    # side stops Catalyst inserting the dynamicpruning PartitionFilter
-    # on the stored scans (the plan gate catches it), and the measured
-    # gain was nil once `routed` is pinned by the caller
-    flagged = (
-        _ivf_merged_cells(spark, base, routed, cap)
-        .filter("needs_split")
-        .select("cid", "subcell")
-    )
+    # The flagged worklist is read back once and applied as LITERAL
+    # filters (r13, guide §1.2/§7.2): the earlier broadcast-join form
+    # inlined the whole merge-accounting subtree (routed agg + stored
+    # count + joins) into BOTH member fetches, which Catalyst re-walked
+    # per copy (~2.5 s driver-side plan time per invocation at sf0.1),
+    # and pruned the stored scan only at runtime via dynamicpruning.
+    # Literal IN filters prune the cid partitions STATICALLY at plan
+    # time — strictly earlier than DPP — and the accounting subtree now
+    # executes exactly once, as the worklist job.
+    if flagged_pairs is None:
+        flagged_pairs = _flagged_split_pairs(spark, base, routed, cap)
+    cids = sorted({c for c, _ in flagged_pairs})
+    if flagged_pairs:
+        pair_sql = ", ".join(f"({c}, {s}L)" for c, s in flagged_pairs)
+        in_pairs = F.col("cid").isin(cids) & F.expr(
+            f"(cid, subcell) IN ({pair_sql})"
+        )
+    else:
+        in_pairs = F.lit(False)  # empty worklist → statically empty plan
     stored = spark.read.parquet(os.path.join(base, "corpus"))
-    m_old = stored.join(F.broadcast(flagged), ["cid", "subcell"]).select(
+    m_old = stored.filter(in_pairs).select(
         "cid", "subcell", F.col("sid").alias("vec_id"),
         F.col("sv").alias("v"),
     )
-    m_new = routed.join(F.broadcast(flagged), ["cid", "subcell"]).select(
+    m_new = routed.filter(in_pairs).select(
         "cid", "subcell", "vec_id", "v"
     )
     members = m_old.unionByName(m_new)

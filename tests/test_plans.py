@@ -796,20 +796,26 @@ def test_minhash_index_maintenance_bucketed_probe(spark):
 
 
 def test_ivf_resplit_prunes_stored_partitions(spark):
-    """sim_ivf_index_resplit (r11): the re-split touches only FLAGGED
-    cells — both stored-corpus reads (the merge accounting's count and
-    the member fetch) must carry runtime partition filters from the
-    broadcast worklist, so the job's I/O is bounded by the worklist,
-    never the index size. No cartesian product anywhere."""
+    """sim_ivf_index_resplit (r11, tightened r13): the re-split touches
+    only FLAGGED cells. Since r13 the flagged worklist is a bounded
+    driver read-back (the ivf_apply_resplit idiom) applied as LITERAL
+    filters, so the member fetch's stored-corpus scan must carry a
+    STATIC cid partition filter — pruning decided at plan time, strictly
+    earlier than the old dynamicpruning form — and the merge-accounting
+    subtree (whose own scan keeps its DPP gate via the merge row's test)
+    appears in the plan exactly zero times. No cartesian anywhere."""
     df = REGISTRY["sim_ivf_index_resplit"].fn(spark, SF_DIR)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     pf = [
         ln
         for ln in plan.splitlines()
-        if "PartitionFilters" in ln and "dynamicpruning" in ln
+        if "PartitionFilters" in ln and "cid" in ln and " IN (" in ln
     ]
     assert pf, plan
+    # the accounting subtree ran once as the worklist job — its
+    # re-inlined copies (2 per member fetch before r13) are gone
+    assert "needs_split" not in plan, plan
 
 
 def test_ivf_post_resplit_classify_prunes_applied_partitions(spark):
