@@ -222,6 +222,7 @@ def banded_hamming_pairs(
     max_hamming: int,
     *,
     sig_bits: int,
+    bucket_tasks: int | None = None,
 ) -> DataFrame:
     """All (id_a, id_b, hamming) pairs whose bit signatures are within
     ``max_hamming``, via band blocking — the shared machinery behind
@@ -248,7 +249,8 @@ def banded_hamming_pairs(
         f"pigeonhole needs n_bands > max_hamming ({n_bands} <= {max_hamming})"
     )
     pairs = banded_candidate_pairs(
-        sig, id_col, sig_col, n_bands, band_bits, sig_bits=sig_bits
+        sig, id_col, sig_col, n_bands, band_bits, sig_bits=sig_bits,
+        bucket_tasks=bucket_tasks,
     )
     return pairs.filter(F.col("hamming") <= max_hamming).distinct()
 
@@ -261,6 +263,7 @@ def banded_candidate_pairs(
     band_bits: int,
     *,
     sig_bits: int,
+    bucket_tasks: int | None = None,
 ) -> DataFrame:
     """The candidate stage of ``banded_hamming_pairs``: every ordered
     (id_a < id_b) pair sharing at least one (band, band_val) bucket, with
@@ -294,6 +297,18 @@ def banded_candidate_pairs(
         "band_val",
         F.expr(f"(sig >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
     )
+    if bucket_tasks:
+        # the in-bucket pair expansion is compute-dense per byte (O(k²)
+        # struct building + hamming per bucket) — the exact stage class
+        # AQE's size-based coalescing collapses to 1 task on byte-small
+        # inputs (r13 profile: multimodal_phash_neardup's bucket stage ran
+        # 1 task × 0.7-1.5 s cpu). An EXPLICIT keyed repartition on the
+        # bucket key is exempt from AQE coalescing and is reused by the
+        # groupBy (same key → zero extra exchange) — the
+        # join_market_basket_pairs protection idiom. Callers pass
+        # defaultParallelism, so the count scales with the cluster, not a
+        # local constant.
+        bands = bands.repartition(bucket_tasks, "band", "band_val")
     pairs = (
         bands.groupBy("band", "band_val")
         .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("ds"))
