@@ -593,7 +593,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = hr.select(
         "doc_id",
         F.size("hr").alias("n"),  # shingles are distinct → size = set size
-        F.sort_array("hr").alias("hs"),
+        # NOT sorted: array_intersect's size is order-independent, the
+        # bucket structs sort by doc_id (first field) before hs is ever
+        # compared, and dropping the per-doc O(m log m) sort saves work
+        # in the signature stage (r13)
+        F.col("hr").alias("hs"),
         *[
             F.expr(
                 f"array_min(transform(hr, h -> "
