@@ -2807,18 +2807,55 @@ def _ivf_classify_delta(
             ),
             ["cid", "subcell"],
         )
-    scored = (
-        probe
-        # sn2/dn2 > 0: zero-norm vectors are similar to nothing (r9/r10)
-        .filter((F.col("sn2") > 0) & (F.col("dn2") > 0))
-        .select(
-            "vec_id",
-            "sid",
-            (
-                dot_dec("sv", "v") / (F.sqrt("sn2") * F.sqrt("dn2"))
-            ).alias("cosine"),
+    if max(nprobe, ncoarse, nlabel) > 1:
+        # banded ARGMAX (r12 VERDICT #6 retry at the widened volume): the
+        # exact BigDecimal dot runs only on candidates whose double-fold
+        # cosine could still be the true maximum — survivor iff
+        # fast + band >= max(fast - band) over the vec. Any non-survivor
+        # is strictly below some candidate's exact cosine (the band is a
+        # proven bound on |cos_dec - cos_f64|, see cosine_band), so the
+        # exact rank-1 row — including exact ties, later broken by sid —
+        # is unchanged: value-identical, law-tested. At k=1 (~64
+        # candidates/vec) this measured 1.18x WORSE in r12 and the plain
+        # decimal fold is kept below; at (2,2,2) the candidate volume is
+        # ~8x and the fold is the row's dominant cpu.
+        from stateflow_spark.functions.similarity import cosine_band, dot_f64
+
+        denom = F.sqrt("sn2") * F.sqrt("dn2")
+        fast = (
+            probe.filter((F.col("sn2") > 0) & (F.col("dn2") > 0))
+            .select(
+                "vec_id", "sid", "sv", "v",
+                (dot_f64("sv", "v") / denom).alias("fast"),
+                cosine_band("sv", denom).alias("band"),
+                denom.alias("denom"),
+            )
         )
-    )
+        wv = Window.partitionBy("vec_id")
+        scored = (
+            fast.withColumn(
+                "lomax", F.max(F.col("fast") - F.col("band")).over(wv)
+            )
+            .filter(F.col("fast") + F.col("band") >= F.col("lomax"))
+            .select(
+                "vec_id",
+                "sid",
+                (dot_dec("sv", "v") / F.col("denom")).alias("cosine"),
+            )
+        )
+    else:
+        scored = (
+            probe
+            # sn2/dn2 > 0: zero-norm vectors are similar to nothing (r9/r10)
+            .filter((F.col("sn2") > 0) & (F.col("dn2") > 0))
+            .select(
+                "vec_id",
+                "sid",
+                (
+                    dot_dec("sv", "v") / (F.sqrt("sn2") * F.sqrt("dn2"))
+                ).alias("cosine"),
+            )
+        )
     wn = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "sid")
     nn = (
         scored.withColumn("rn", F.row_number().over(wn))
