@@ -32,112 +32,104 @@ from stateflow_spark.queries import entity_ops  # noqa: F401, E402
 from stateflow_spark.queries import entity_flow  # noqa: F401, E402
 from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 
-# Round-12 prefix (the driver stamps the first ~50 registered queries).
+# Round-13 prefix (the driver stamps the first ~50 registered queries).
 # Composition rule (round-6 VERDICT "Next round" #1 + #8), ENFORCED by
 # tests/test_driver_contract.py::test_prefix_is_stalest_first against the
 # CORRECTNESS_r*.json stamp history:
-#   (a) every query with NO driver stamp ever — the 6 round-12 additions
-#       (the widened-probe classifier, the two post-apply read-back
-#       rows closing the stored-index apply loops under the gate, and
-#       the boilerplate-span family: batch removal plus its stored-
-#       count delta-classify batch and streaming legs);
+#   (a) every query with NO driver stamp ever — none this round (r13 is
+#       an optimization round; no rows were added);
 #   (b) every query whose results, plan, or oracle text changed this
-#       round (CHANGED_THIS_ROUND below) = 6: the two rows sharing
-#       _MH_MAINT_ORACLE, whose SQL was refactored through the shared
-#       _MH_CLASSIFY_TAIL_SQL block, plus the four IVF rows whose
-#       shared pair CTE was restricted to vec-by-seed pairs (both
-#       changes semantically identical — re-stamp anyway);
-#   (c) the remaining 38 slots fill with the STALEST stamps — all 22
-#       remaining r07-tier rows (deferred from the r11 rotation), then
-#       16 of the 46 r08-tier rows (alphabetical; the rest rotate to
-#       round 13; tier-splitting is allowed: nothing OUTSIDE the prefix
+#       round (CHANGED_THIS_ROUND below) = 6: all plan-only
+#       optimizations with results verified identical — re-stamp anyway;
+#   (c) the remaining 44 slots fill with the STALEST stamps — all 28
+#       remaining r08-tier rows (deferred from the r12 rotation), then
+#       16 of the r09-tier rows (alphabetical; the rest rotate to
+#       round 14; tier-splitting is allowed: nothing OUTSIDE the prefix
 #       is strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
 # oldest-tier fill — no query outside the prefix is staler than any fill
 # row, so rotation cannot silently skip a family. Everything rotated out
-# stays covered every run by tests/test_oracle.py (the local net).
+# stays covered by tests/test_oracle.py in full mode (`-m ''`, the local
+# net; the default run keeps this prefix as the always-on smoke net).
 # The round this prefix was pinned FOR: the stalest-first invariant is
 # checked against CORRECTNESS history from rounds BEFORE this one (the
-# history that existed at pin time) — otherwise the driver's own r12
+# history that existed at pin time) — otherwise the driver's own r13
 # stamps would instantly make the pinned prefix look "stale" and fail
-# the suite mid-round. The round-13 builder bumps this when re-pinning.
-PREFIX_PINNED_FOR_ROUND = 12
+# the suite mid-round. The round-14 builder bumps this when re-pinning.
+PREFIX_PINNED_FOR_ROUND = 13
 
 CHANGED_THIS_ROUND = [
-    # r12: _MH_MAINT_ORACLE refactored to compose the shared
-    # _MH_CLASSIFY_TAIL_SQL (also used by the new post-compaction
-    # oracle) — results identical, oracle text changed, so both rows
-    # sharing it re-stamp
-    "dedup_minhash_index_maintenance",
-    "stream_minhash_delta_classify",
-    # r12: the IVF oracles' shared pair CTE restricted to vec-by-seed
-    # pairs (the all-pairs form spilled ~70 GB of DuckDB temp at sf0.1
-    # and died on disk) — results identical (re-validated MATCH at
-    # sf0.01 AND sf0.1), oracle text changed, so every row composing
-    # the route/reasg CTE blocks re-stamps; the widened and
-    # post-resplit rows are already in (a) above
-    "sim_ivf_index_maintenance",
-    "stream_ivf_delta_classify",
-    "sim_ivf_index_merge",
+    # r13 (optimization round — results identical everywhere, re-stamped
+    # because the PLAN changed):
+    # seed-cell tables from direct seed-row trees (linear logical plan)
+    "dedup_semantic_scaled",
+    # flagged worklist applied as literal filters (static pruning)
     "sim_ivf_index_resplit",
-]
-_R12_PREFIX = [
-    # (a) never driver-stamped (round-12 additions)
+    # footer-conditional signature fan-out (both phash rows share it)
+    "multimodal_phash",
+    # + pinned bucket-stage task count
+    "multimodal_phash_neardup",
+    # banded argmax: decimal rescore only on band survivors
     "sim_ivf_widened_classify",
-    "sim_ivf_post_resplit_classify",
-    "dedup_minhash_post_compact_classify",
-    "text_boilerplate_spans",
-    "text_boilerplate_delta_classify",
-    "stream_boilerplate_delta_classify",
-    # (b) changed this round
-    *CHANGED_THIS_ROUND,
-    # (c) stalest-stamp fill: the 22 remaining r07 rows...
-    "join_band_price_neighbors",
-    "join_point_in_time_scd2",
-    "profile_join_skew",
-    "profile_referential_integrity",
-    "profile_table_diff",
-    "profile_table_stats",
-    "scd2_dimension_versions",
-    "setops_except",
-    "setops_intersect",
-    "sim_ivfpq_topk",
-    "sim_pq_adc_topk",
-    "stream_scd2_merge",
-    "text_bpe_apply",
-    "text_bpe_compression",
-    "text_bpe_train_merges",
-    "text_keyword_extraction",
-    "text_ngram_lm_score",
-    "text_quality_classifier",
-    "text_source_drift",
-    "window_lag_lead_events",
-    "window_rank_customers_by_balance",
-    "window_running_total",
-    # ...then 16 of the 46 r08 rows (alphabetical; rest rotate to r13 —
-    # 4 slots went to the changed-oracle IVF rows and 3 to the new
-    # boilerplate-span family above)
-    "agg_cube_status_priority",
-    "agg_grouping_sets",
-    "agg_pandas_udaf_median",
-    "agg_variance_exact",
-    "dedup_connected_components",
-    "dedup_pagerank",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_triangle_stats",
-    "entity_find_class",
-    "entity_flow_golden",
-    "entity_get_state",
-    "entity_init_class",
-    "entity_invoke_fold",
-    "entity_update_state",
-    "events_dedup_first",
+    # vestigial per-doc hash sort dropped
+    "dedup_minhash_lsh",
 ]
-assert len(_R12_PREFIX) == 50, len(_R12_PREFIX)
-assert len(set(_R12_PREFIX)) == 50
-assert set(_R12_PREFIX) <= set(REGISTRY), set(_R12_PREFIX) - set(REGISTRY)
-_order = _R12_PREFIX + [n for n in REGISTRY if n not in set(_R12_PREFIX)]
+_R13_PREFIX = [
+    # (a) never driver-stamped: none (no new rows this round)
+    # (b) changed this round (plans only; results identical)
+    *CHANGED_THIS_ROUND,
+    # (c) stalest-stamp fill: all 28 remaining r08-tier rows...
+    "events_funnel",
+    "events_hourly_tumbling",
+    "events_json_payload",
+    "events_session_windows",
+    "events_sliding_window",
+    "events_topk_users",
+    "events_type_pivot",
+    "join_asof_click_view",
+    "join_full_outer_part_sales",
+    "join_market_basket_pairs",
+    "multimodal_audio_vad_segments",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "scalar_function_zoo",
+    "setops_except_all",
+    "setops_intersect_all",
+    "setops_union_all_counts",
+    "stream_hourly_tumbling",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "stream_stream_join",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_length_histogram",
+    "text_memorization_audit",
+    "window_distribution_functions",
+    "window_range_frame",
+    # ...then 16 of the r09 tier (alphabetical; rest rotate to r14)
+    "agg_salted_two_phase",
+    "curation_balance_mixture",
+    "curation_benchmark_contamination",
+    "curation_conversation_assembly",
+    "curation_epoch_upsample",
+    "curation_pack_sequences",
+    "curation_stratified_sample",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_jaccard_stop_shingle",
+    "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "dedup_semantic",
+    "multimodal_audio_fingerprint",
+    "multimodal_audio_fingerprint_neardup",
+    "q10_returned_items",
+]
+
+assert len(_R13_PREFIX) == 50, len(_R13_PREFIX)
+assert len(set(_R13_PREFIX)) == 50
+assert set(_R13_PREFIX) <= set(REGISTRY), set(_R13_PREFIX) - set(REGISTRY)
+_order = _R13_PREFIX + [n for n in REGISTRY if n not in set(_R13_PREFIX)]
 assert set(_order) == set(REGISTRY) and len(_order) == len(REGISTRY)
 _by_name = dict(REGISTRY)
 REGISTRY.clear()
