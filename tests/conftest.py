@@ -102,3 +102,9 @@ def pytest_configure(config):
         "— deselected by default (pytest.ini) so `pytest tests/` fits the "
         "driver budget; run all with `pytest tests/test_oracle.py -m ''`",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight property/e2e/sweep tests deselected by default "
+        "(pytest.ini) for the same budget reason; the builder round-close "
+        "ritual runs everything with `pytest tests/ -m ''`",
+    )

@@ -55,10 +55,12 @@ def test_client_local_transport():
     _buy_item_scenario(Client(LocalTransport()))
 
 
+@pytest.mark.slow
 def test_client_superstep_transport(spark):
     _buy_item_scenario(Client(SuperstepTransport(spark)))
 
 
+@pytest.mark.slow
 def test_client_superstep_batching(spark):
     """Many calls queued, one flush → one distributed job settles all."""
     client = Client(SuperstepTransport(spark))
@@ -71,6 +73,7 @@ def test_client_superstep_batching(spark):
     assert handles[7].balance == 7
 
 
+@pytest.mark.slow
 def test_client_streaming_transport(spark, tmp_path):
     from stateflow_spark.streaming.stateful import StreamingEntityEngine
 

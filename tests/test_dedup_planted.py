@@ -105,6 +105,7 @@ def test_pagerank_ranks_the_cluster_center_highest(spark, planted):
     assert abs(sum(vals) - 1.0) < 1e-9
 
 
+@pytest.mark.slow
 def test_pagerank_converged_hub_graph(spark):
     """Planted star graph K_{1,8}: the convergence-driven variant must
     (a) actually converge, (b) rank the hub strictly above every spoke,
@@ -132,6 +133,7 @@ def test_pagerank_converged_hub_graph(spark):
         assert abs(ranks[s] - (0.15 / n + 0.85 * ranks[hub] / len(spokes))) < 1e-8
 
 
+@pytest.mark.slow
 def test_pagerank_converged_matches_fixed_iterations_and_releases(spark):
     """On the planted trio + a pendant node, the converged vector equals a
     100-iteration power run to within tol, it FAILS LOUD when max_iters is
@@ -358,6 +360,7 @@ from hypothesis import strategies as st
     data=st.data(),
     run_len=st.integers(min_value=18, max_value=30),
 )
+@pytest.mark.slow
 def test_winnowing_guarantee_property(spark, tmp_path_factory, data, run_len):
     """The winnowing THEOREM as a property: for random surrounding text
     and a random shared token run of length L ≥ 18 planted at random
@@ -413,6 +416,7 @@ def test_lpa_splits_bridged_cliques_that_cc_merges(spark):
     assert all(labs[n] == 20 for n in cliq_b), labs
 
 
+@pytest.mark.slow
 def test_lss_components_match_union_find_on_random_graphs(spark):
     """Large-star/small-star CC vs a Python union-find ground truth on
     random graphs, a 120-node PATH (the adversarial-diameter case it

@@ -230,6 +230,7 @@ def test_kafka_engine_e2e(spark, tmp_path):
         eng.stop()
 
 
+@pytest.mark.slow
 def test_kafka_transport_e2e(spark, tmp_path):
     """The CLIENT stack (proxies + futures + KafkaTransport) against the
     Kafka engine: the reference's production deployment loop

@@ -8,6 +8,8 @@ when results stay correct."""
 
 from __future__ import annotations
 
+import pytest
+
 import contextlib
 import io
 
@@ -58,6 +60,7 @@ def test_q22_anti_join_physical(spark):
     assert "LeftAnti" in plan
 
 
+@pytest.mark.slow
 def test_no_cartesian_products_anywhere(spark):
     """Two suite-wide plan invariants, checked in one sweep over every
     registered batch query:

@@ -6,6 +6,7 @@ both must agree with a NumPy reference."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from stateflow_spark.catalog import load
@@ -61,6 +62,7 @@ def test_kernels_match_numpy(spark):
         assert abs(r.cf - ref) < 1e-9
 
 
+@pytest.mark.slow
 def test_cosine_ge_banded_equals_pure_decimal(spark):
     """The banded threshold must return EXACTLY the pure-decimal boolean
     on every pair — including pairs engineered to land within the band
@@ -104,6 +106,7 @@ def test_cosine_ge_banded_equals_pure_decimal(spark):
         assert diff.count() == 0, f"banded mismatch at tau={tau}"
 
 
+@pytest.mark.slow
 def test_cosine_ge_banded_high_dim_large_magnitude(spark):
     """Round-8 ADVICE: the band must stay valid beyond 64-dim O(1)
     vectors. 512-dim vectors with O(1e3) entries push the double fold's
