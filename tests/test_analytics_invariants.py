@@ -11,6 +11,7 @@ from stateflow_spark.queries import REGISTRY
 from tests.conftest import SF_DIR
 
 
+@pytest.mark.slow
 def test_chunking_covers_every_token_exactly(spark):
     chunks = REGISTRY["text_chunking"].fn(spark, SF_DIR).collect()
     docs = {
@@ -169,6 +170,7 @@ def test_market_basket_planted_supports(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [15, 16, 17, 33, 100])
 def test_equidepth_rank_arithmetic_equals_native_ntile(spark, tmp_path, n):
     """The distributed rank→bucket arithmetic must reproduce Spark's own

@@ -5,6 +5,8 @@ honor them."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from stateflow_spark.catalog import load
@@ -39,6 +41,7 @@ def test_packing_conserves_tokens_and_partitions_docs(spark):
         assert prefix >= (p.pack_id + 1) * PACK_BUDGET, p
 
 
+@pytest.mark.slow
 def test_contamination_is_a_valid_ratio(spark):
     rows = REGISTRY["curation_benchmark_contamination"].fn(spark, SF_DIR).collect()
     assert rows

@@ -69,6 +69,7 @@ def test_minhash_lsh_recalls_planted_pairs(spark, planted):
     assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in pairs), pairs
 
 
+@pytest.mark.slow
 def test_simhash_banding_recalls_exact_copy(spark, planted):
     pairs = {
         (r.doc_a, r.doc_b)
@@ -79,6 +80,7 @@ def test_simhash_banding_recalls_exact_copy(spark, planted):
     assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in pairs), pairs
 
 
+@pytest.mark.slow
 def test_connected_components_clusters_the_planted_trio(spark, planted):
     rows = REGISTRY["dedup_connected_components"].fn(spark, planted).collect()
     comp = {r.doc_id: r.comp_id for r in rows}

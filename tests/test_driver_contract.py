@@ -4,6 +4,8 @@ silently break entry()/queries()/oracle_sql() alignment."""
 
 from __future__ import annotations
 
+import pytest
+
 import subprocess
 import sys
 
@@ -28,6 +30,7 @@ def test_queries_and_oracles_align():
     assert rows_only == set(), rows_only
 
 
+@pytest.mark.slow
 def test_validate_tool_smoke():
     """tools/validate.py is the standalone correctness gate — keep it
     runnable (fresh interpreter, real Spark session)."""

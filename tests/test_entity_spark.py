@@ -63,6 +63,7 @@ def test_superstep_buy_item_golden(spark):
     assert state[("Item", "sitem")]["stock"] == 1
 
 
+@pytest.mark.slow
 def test_superstep_state_requests_golden(spark):
     """state_requests == 26 across partitions (fetch + invalidation hops)."""
     rt = SuperstepRuntime(spark)
@@ -169,6 +170,7 @@ def test_superstep_max_supersteps_guard(spark):
         tight.run([buy], state_df=res.state_df)
 
 
+@pytest.mark.slow
 def test_superstep_releases_prior_checkpoints(spark):
     """Per-superstep localCheckpoints must be released as the loop
     advances — executor storage is O(1) in superstep count within a run

@@ -162,6 +162,7 @@ def _e2e_engine_and_clients(spark, tmp_path, prefix):
     return eng, client_mod, broker_dir
 
 
+@pytest.mark.slow
 def test_kafka_engine_e2e(spark, tmp_path):
     """create → invoke → cross-key flow over Kafka topics: requests on
     {prefix}-request, hops looping through {prefix}-internal, replies on

@@ -115,6 +115,7 @@ def _stub_features(text: str) -> list[float]:
     return [b / 256.0 for b in digest[:8]]
 
 
+@pytest.mark.slow
 def test_crossmodal_planted_match_ranks_first(spark, tmp_path_factory):
     """Plant ONE embedding whose first 8 dims are exactly 2× the caption's
     stub features (cosine exactly 1 up to decimal rounding) among decoys:

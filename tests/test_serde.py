@@ -146,6 +146,7 @@ def test_proto_wire_is_protobuf_compatible():
     assert wire[i + 1 : i + 3] == bytes([0xAC, 0x02])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("serde", [ProtoSerde(), JsonSerde()])
 def test_superstep_engine_over_serde(spark, serde):
     """Engine run over the pluggable wire format (round-2 VERDICT #4):

@@ -439,6 +439,7 @@ def _plant_overfull_corpus(spark, tmp_path):
     return str(tmp_path)
 
 
+@pytest.mark.slow
 def test_ivf_resplit_clears_flag_at_production_constants(spark, tmp_path):
     """Round-10 VERDICT #4's done-gate: the re-split job consumes the
     merge worklist at the PRODUCTION constants (pop 64, cap 128) on a
@@ -545,6 +546,7 @@ def test_ivf_resplit_clears_flag_at_production_constants(spark, tmp_path):
     assert r.verdict == "dup" and r.nn_cosine >= _IVF_DELTA_DUP_TAU
 
 
+@pytest.mark.slow
 def test_ivf_apply_resplit_versioned_publish(spark, tmp_path):
     """Round-11 VERDICT #4 + ADVICE medium: the apply job never mutates
     its source and never exposes a corpus/seeds mixed state — the source
@@ -634,6 +636,7 @@ def test_ivf_apply_resplit_versioned_publish(spark, tmp_path):
     assert len(sizes) == 3 and all(r["count"] <= cap for r in sizes)
 
 
+@pytest.mark.slow
 def test_version_pointer_cutover_e2e(spark, tmp_path):
     """The CURRENT-pointer cutover primitive (DEPLOY.md contract, made
     code in stateflow_spark.versioning): publish v1 (the nightly index),

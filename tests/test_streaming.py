@@ -593,6 +593,7 @@ def test_stream_session_windows_run(spark, tmp_path):
         assert batch[(r.user_id, r.session_start)] == (r.n_events, r.total_value)
 
 
+@pytest.mark.slow
 def test_stream_state_runs_seams_across_micro_batches(spark, tmp_path):
     """A same-type run whose events land in DIFFERENT phase files (ts
     terciles → separate micro-batches) must come back as ONE run — the
@@ -629,6 +630,7 @@ def test_stream_state_runs_seams_across_micro_batches(spark, tmp_path):
     assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 3
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_eviction_semantics(spark, tmp_path):
     """Left-outer stream-stream join: matched pairs equal the batch inner
     join; null rows appear EXACTLY for unmatched clicks strictly below

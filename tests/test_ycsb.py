@@ -4,6 +4,8 @@ balances the same way, tests/stateflow_test.py:164-207)."""
 
 from __future__ import annotations
 
+import pytest
+
 from stateflow_spark import ycsb
 
 
@@ -148,6 +150,7 @@ def test_streaming_transfer_conserves_money(spark, tmp_path):
         eng.stop()
 
 
+@pytest.mark.slow
 def test_streaming_transfer_survives_midflight_restart(spark, tmp_path):
     """Kill the engine while transfer flows are in flight (loopback hops
     pending), restart from the same checkpoint, drain — every request must
@@ -207,6 +210,7 @@ def test_streaming_transfer_survives_midflight_restart(spark, tmp_path):
         eng2.stop()
 
 
+@pytest.mark.slow
 def test_streaming_pacing_bursts(spark, tmp_path):
     """--pacing sends the op batch as back-to-back bursts (round-8
     VERDICT #3): every burst must fully complete (send → drain) before
