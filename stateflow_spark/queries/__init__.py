@@ -39,11 +39,11 @@ from stateflow_spark.queries import sources_robustness  # noqa: F401, E402
 #   (a) every query with NO driver stamp ever — none this round (r13 is
 #       an optimization round; no rows were added);
 #   (b) every query whose results, plan, or oracle text changed this
-#       round (CHANGED_THIS_ROUND below) = 6: all plan-only
+#       round (CHANGED_THIS_ROUND below) = 7: all plan-only
 #       optimizations with results verified identical — re-stamp anyway;
-#   (c) the remaining 44 slots fill with the STALEST stamps — all 28
+#   (c) the remaining 43 slots fill with the STALEST stamps — all 28
 #       remaining r08-tier rows (deferred from the r12 rotation), then
-#       16 of the r09-tier rows (alphabetical; the rest rotate to
+#       15 of the r09-tier rows (alphabetical; the rest rotate to
 #       round 14; tier-splitting is allowed: nothing OUTSIDE the prefix
 #       is strictly staler than any fill row).
 # Stamp-age invariant: the prefix is exactly never-stamped ∪ changed ∪
@@ -73,6 +73,8 @@ CHANGED_THIS_ROUND = [
     "sim_ivf_widened_classify",
     # vestigial per-doc hash sort dropped
     "dedup_minhash_lsh",
+    # pinned bucket-stage task count (the phash idiom, measured 0.59x)
+    "dedup_simhash_pairs",
 ]
 _R13_PREFIX = [
     # (a) never driver-stamped: none (no new rows this round)
@@ -107,7 +109,7 @@ _R13_PREFIX = [
     "text_memorization_audit",
     "window_distribution_functions",
     "window_range_frame",
-    # ...then 16 of the r09 tier (alphabetical; rest rotate to r14)
+    # ...then 15 of the r09 tier (alphabetical; rest rotate to r14)
     "agg_salted_two_phase",
     "curation_balance_mixture",
     "curation_benchmark_contamination",
@@ -123,7 +125,8 @@ _R13_PREFIX = [
     "dedup_semantic",
     "multimodal_audio_fingerprint",
     "multimodal_audio_fingerprint_neardup",
-    "q10_returned_items",
+    # (q10_returned_items rotated to r14: the 7th changed row above took
+    # its slot; it stays the alphabetically-last of the r09 tier)
 ]
 
 assert len(_R13_PREFIX) == 50, len(_R13_PREFIX)

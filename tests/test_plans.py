@@ -944,3 +944,23 @@ def test_boilerplate_delta_probe_bucketed_and_pushed(spark):
     assert "BatchEvalPython" not in plan
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) <= 4, (len(shuffles), plan)
+
+
+def test_banded_bucket_stage_task_count_pinned(spark):
+    """dedup_simhash_pairs / multimodal_phash_neardup (r13): the in-bucket
+    O(k²) pair expansion is compute-dense per byte, and AQE's size-based
+    coalescing collapses it to ONE task on byte-small inputs (r13 profile:
+    phash's bucket stage ran 1 task × 0.7–1.5 s cpu; simhash A/B best
+    1.82 vs 3.08 s at sf0.1). Both registered banded_hamming_pairs
+    consumers must pin the (band, band_val) exchange as an explicit
+    REPARTITION_BY_NUM (exempt from AQE coalescing) that the groupBy
+    REUSES — pinning must not introduce a second bucket-keyed exchange."""
+    import re
+
+    for name in ("dedup_simhash_pairs", "multimodal_phash_neardup"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
+        bucket_ex = sorted(set(re.findall(
+            r"hashpartitioning\(band#\d+, band_val#\d+L?, \d+\), (\w+)",
+            plan,
+        )))
+        assert bucket_ex == ["REPARTITION_BY_NUM"], (name, bucket_ex, plan)
