@@ -964,3 +964,32 @@ def test_banded_bucket_stage_task_count_pinned(spark):
             plan,
         )))
         assert bucket_ex == ["REPARTITION_BY_NUM"], (name, bucket_ex, plan)
+
+
+def test_basket_stage_task_count_pinned(spark):
+    """join_market_basket_pairs / join_association_rules (r13 session 2):
+    collect_set gets no real map-side reduction, so the basket groupBy's
+    exchange carries ~raw bytes either way — but as ENSURE_REQUIREMENTS
+    its byte-small output let AQE coalesce the basket-assembly + O(k²)
+    pair-expansion stage onto 4 tasks (profiled 2.8 s cpu / 4 tasks at
+    sf0.1; interleaved A/B best 1.11 vs 1.76 s, every pinned pass ahead).
+    Both basket consumers must pin the l_orderkey exchange as an explicit
+    REPARTITION_BY_NUM that the groupBy REUSES — pinning must not
+    introduce a second basket-keyed exchange."""
+    import re
+
+    for name in ("join_market_basket_pairs", "join_association_rules"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
+        basket_ex = [
+            d for k, d in re.findall(
+                r"hashpartitioning\((l_orderkey)#\d+L?, \d+\), (\w+)", plan
+            )
+        ]
+        # association_rules also aggregates count_distinct(l_orderkey) on
+        # a separate branch (ENSURE is fine there); the BASKET branch must
+        # carry exactly one REPARTITION_BY_NUM and no second basket-keyed
+        # ENSURE exchange feeding a collect_set
+        assert basket_ex.count("REPARTITION_BY_NUM") == 1, (name, basket_ex)
+        assert "collect_set" in plan
+        if name == "join_market_basket_pairs":
+            assert basket_ex == ["REPARTITION_BY_NUM"], (name, basket_ex)
