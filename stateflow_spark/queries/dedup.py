@@ -1595,11 +1595,25 @@ def semantic_dedup_scaled(
         .select("vec_id", "cid", "v", norm2_dec("v").alias("n2"))
         .localCheckpoint()
     )
-    a = asg.select(
+    # pin the PAIR stage's task count (r13 session 2, guide §2.5): the
+    # checkpointed assignment is byte-small at test scale, so the pair
+    # join's two ENSURE_REQUIREMENTS cid exchanges were AQE-coalesced to
+    # ONE task carrying the whole banded-cosine join condition (profiled
+    # 1.39 s cpu / 1 task at sf0.1 — the row's compute core run
+    # serially). One explicit cid repartition of the checkpointed frame
+    # is exempt from coalescing, REUSED by both join branches (identical
+    # subtree → one shuffle, read twice), and scales with the cluster
+    # via defaultParallelism. Cluster population is ~pop by construction
+    # (the SemDeDup scale knob), so forgoing AQE's skew split on this
+    # pinned exchange gives up nothing. In-session interleaved A/B:
+    # every pinned pass beat every unpinned pass, best 2.56 vs 3.67 s
+    # (0.70×), values identical.
+    asgc = asg.repartition(n_part, "cid")
+    a = asgc.select(
         F.col("vec_id").alias("va"), "cid",
         F.col("v").alias("v_a"), F.col("n2").alias("na2"),
     )
-    b = asg.select(
+    b = asgc.select(
         F.col("vec_id").alias("vb"), "cid",
         F.col("v").alias("v_b"), F.col("n2").alias("nb2"),
     )
@@ -1666,7 +1680,13 @@ def semantic_dedup(
         .withColumn("n2", norm2_dec("v"))
         .localCheckpoint()
     )
-    a = asg.select(
+    # same pinned-pair-stage idiom as semantic_dedup_scaled: the
+    # checkpointed assignment is byte-small, so the pair join's ENSURE
+    # exchanges were AQE-coalesced onto one task running the whole
+    # banded-cosine condition serially; the explicit cid repartition is
+    # coalescing-exempt and reused by both branches
+    asgc = asg.repartition(n_part, "cid")
+    a = asgc.select(
         F.col("vec_id").alias("va"), "cid",
         F.col("v").alias("v_a"), F.col("n2").alias("na2"),
     )
@@ -1674,7 +1694,7 @@ def semantic_dedup(
     # the checkpointed table while it fits and falls back to a
     # cid-partitioned shuffle join beyond that (the 100 TB posture the
     # docstring names); a hard hint would force a corpus-sized broadcast
-    b = asg.select(
+    b = asgc.select(
         F.col("vec_id").alias("vb"), "cid",
         F.col("v").alias("v_b"), F.col("n2").alias("nb2"),
     )

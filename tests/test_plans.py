@@ -993,3 +993,21 @@ def test_basket_stage_task_count_pinned(spark):
         assert "collect_set" in plan
         if name == "join_market_basket_pairs":
             assert basket_ex == ["REPARTITION_BY_NUM"], (name, basket_ex)
+
+
+def test_semdedup_pair_stage_task_count_pinned(spark):
+    """dedup_semantic / dedup_semantic_scaled (r13 session 2): the
+    checkpointed assignment is byte-small at test scale, so the pair
+    join's ENSURE_REQUIREMENTS cid exchanges were AQE-coalesced to ONE
+    task carrying the whole banded-cosine join condition (profiled
+    1.39 s cpu / 1 task; interleaved A/B best 2.56 vs 3.67 s, every
+    pinned pass ahead). Every cid exchange feeding the pair join must be
+    an explicit REPARTITION_BY_NUM."""
+    import re
+
+    for name in ("dedup_semantic", "dedup_semantic_scaled"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_DIR))
+        cid_ex = sorted(set(re.findall(
+            r"hashpartitioning\(cid#\d+, \d+\), (\w+)", plan
+        )))
+        assert cid_ex == ["REPARTITION_BY_NUM"], (name, cid_ex)
