@@ -847,7 +847,12 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_redact,
     )
 
-    d = load(spark, sf_dir, "documents")
+    # footer-conditional fan-out (r13 session 2): the regex scrub is
+    # compute-dense per byte and ran scan-fused on ONE task with the
+    # single-row-group test footer (sweep: 0.58 s cpu serial); at
+    # production layouts the repartition vanishes. Interleaved A/B:
+    # best 0.28 vs 0.62 s (0.46×), every pass ahead.
+    d = load(spark, sf_dir, "documents", fanout="doc_id")
     aug = d.select(
         "doc_id",
         F.concat(
@@ -1035,7 +1040,12 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     as int64 — the per-doc mean is two divisions of bit-identical
     operands. Extends the text-quality family (SURVEY.md §2 extension:
     text analysis)."""
-    d = load(spark, sf_dir, "documents")
+    # footer-conditional fan-out (r13 session 2, the q1 idiom): with the
+    # single-row-group test footer BOTH scan-fused bigram branches ran on
+    # ONE task (sweep: 1.29 s + 0.42 s cpu serial); at production layouts
+    # the condition is false and the repartition vanishes. Interleaved
+    # A/B: all five pairwise sweeps ahead, best 1.11 vs 1.17 s.
+    d = load(spark, sf_dir, "documents", fanout="doc_id")
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     # single-token guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), so an
     # unguarded one-word doc evaluates t[-1] — INVALID_ARRAY_INDEX under
