@@ -75,6 +75,19 @@ CHANGED_THIS_ROUND = [
     "dedup_minhash_lsh",
     # pinned bucket-stage task count (the phash idiom, measured 0.59x)
     "dedup_simhash_pairs",
+    # r13 session 2 (sweep-driven pins/fan-outs; results identical,
+    # plans changed — re-stamp):
+    # pinned basket stage (0.63x; was an r08 fill row below — moved here)
+    "join_market_basket_pairs",
+    # pinned basket stage (shares the idiom)
+    "join_association_rules",
+    # pinned pair stage (0.70x on the scaled row; demo row shares it;
+    # dedup_semantic was an r09 fill row below — moved here)
+    "dedup_semantic",
+    # footer-conditional fan-out (0.46x)
+    "text_pii_scrub",
+    # footer-conditional fan-out (all pairwise sweeps ahead)
+    "text_ngram_lm_score",
 ]
 _R13_PREFIX = [
     # (a) never driver-stamped: none (no new rows this round)
@@ -90,7 +103,6 @@ _R13_PREFIX = [
     "events_type_pivot",
     "join_asof_click_view",
     "join_full_outer_part_sales",
-    "join_market_basket_pairs",
     "multimodal_audio_vad_segments",
     "multimodal_decode_features",
     "multimodal_frame_sample",
@@ -121,12 +133,13 @@ _R13_PREFIX = [
     "dedup_exact",
     "dedup_jaccard_stop_shingle",
     "dedup_ngram_jaccard",
-    "dedup_normalized",
-    "dedup_semantic",
-    "multimodal_audio_fingerprint",
-    "multimodal_audio_fingerprint_neardup",
     # (q10_returned_items rotated to r14: the 7th changed row above took
-    # its slot; it stays the alphabetically-last of the r09 tier)
+    # its slot; it stays the alphabetically-last of the r09 tier.
+    # Session 2: join_market_basket_pairs and dedup_semantic moved from
+    # the fill tiers into CHANGED_THIS_ROUND, and the three new changed
+    # rows displaced the alphabetically-last remaining r09 fills —
+    # dedup_normalized, multimodal_audio_fingerprint,
+    # multimodal_audio_fingerprint_neardup rotate to r14.)
 ]
 
 assert len(_R13_PREFIX) == 50, len(_R13_PREFIX)
