@@ -88,6 +88,8 @@ CHANGED_THIS_ROUND = [
     "text_pii_scrub",
     # footer-conditional fan-out (all pairwise sweeps ahead)
     "text_ngram_lm_score",
+    # pinned cb stage (idle-box A/Bs 6/7 then 7/7 pairs ahead, ~0.86)
+    "window_equidepth_histogram",
 ]
 _R13_PREFIX = [
     # (a) never driver-stamped: none (no new rows this round)
@@ -132,14 +134,15 @@ _R13_PREFIX = [
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_jaccard_stop_shingle",
-    "dedup_ngram_jaccard",
     # (q10_returned_items rotated to r14: the 7th changed row above took
     # its slot; it stays the alphabetically-last of the r09 tier.
     # Session 2: join_market_basket_pairs and dedup_semantic moved from
     # the fill tiers into CHANGED_THIS_ROUND, and the three new changed
     # rows displaced the alphabetically-last remaining r09 fills —
     # dedup_normalized, multimodal_audio_fingerprint,
-    # multimodal_audio_fingerprint_neardup rotate to r14.)
+    # multimodal_audio_fingerprint_neardup rotate to r14, and the
+    # late-landed window_equidepth_histogram pin displaced
+    # dedup_ngram_jaccard the same way.)
 ]
 
 assert len(_R13_PREFIX) == 50, len(_R13_PREFIX)
