@@ -90,6 +90,8 @@ CHANGED_THIS_ROUND = [
     "text_ngram_lm_score",
     # pinned cb stage (idle-box A/Bs 6/7 then 7/7 pairs ahead, ~0.86)
     "window_equidepth_histogram",
+    # raw gram keys in the batch row (idle-box A/Bs 0.93-0.94 means)
+    "text_boilerplate_spans",
 ]
 _R13_PREFIX = [
     # (a) never driver-stamped: none (no new rows this round)
@@ -133,7 +135,6 @@ _R13_PREFIX = [
     "curation_stratified_sample",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "dedup_jaccard_stop_shingle",
     # (q10_returned_items rotated to r14: the 7th changed row above took
     # its slot; it stays the alphabetically-last of the r09 tier.
     # Session 2: join_market_basket_pairs and dedup_semantic moved from
@@ -141,8 +142,9 @@ _R13_PREFIX = [
     # rows displaced the alphabetically-last remaining r09 fills —
     # dedup_normalized, multimodal_audio_fingerprint,
     # multimodal_audio_fingerprint_neardup rotate to r14, and the
-    # late-landed window_equidepth_histogram pin displaced
-    # dedup_ngram_jaccard the same way.)
+    # late-landed window_equidepth_histogram and text_boilerplate_spans
+    # changes displaced dedup_ngram_jaccard and
+    # dedup_jaccard_stop_shingle the same way.)
 ]
 
 assert len(_R13_PREFIX) == 50, len(_R13_PREFIX)

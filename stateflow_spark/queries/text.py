@@ -1935,15 +1935,23 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized final pass is one codegen'd projection with zero
     additional shuffle bytes."""
     base = _boiler_base(spark, load(spark, sf_dir, "documents"))
-    spans = _boiler_spans(base)
+    # RAW gram keys (r13 session 2): md5 is only an internal proxy key in
+    # this batch row (the output never carries it, and gram equality ==
+    # md5 equality), so grouping/probing on the gram string drops two md5
+    # evaluations per span AND shuffles fewer bytes (grams average well
+    # under the 32-hex digest). Idle-box interleaved A/Bs: means 0.93-
+    # 0.94, majority of pairs ahead in both runs. The STORED delta legs
+    # below keep md5 skeys — their bucketed (skey, ndocs) table is the
+    # nightly layout and the probe key must match it.
+    spans = _boiler_spans(base, hashed=False)
     boiler = (
-        spans.groupBy("skey")
+        spans.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") > _BOILER_MIN_DOCS)
-        .select("skey")
+        .select("g")
     )
     occ2 = (
-        spans.join(boiler, "skey")
+        spans.join(boiler, "g")
         .groupBy("doc_id")
         .agg(
             F.collect_set("spos").alias("sposs"),
@@ -1981,10 +1989,15 @@ def _boiler_base(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
-def _boiler_spans(base: DataFrame) -> DataFrame:
-    """Positional 3-word spans (doc_id, spos 1-based, skey = md5(gram))
-    over the barrier-pinned word arrays — direct-indexed grams via the
-    shared _gram_concat_expr kernel."""
+def _boiler_spans(base: DataFrame, hashed: bool = True) -> DataFrame:
+    """Positional 3-word spans over the barrier-pinned word arrays —
+    direct-indexed grams via the shared _gram_concat_expr kernel.
+    hashed=True emits (doc_id, spos, skey = md5(gram)) — the key form
+    the STORED bucketed (skey, ndocs) table and its delta probes use;
+    hashed=False emits the raw gram (doc_id, spos, g) for the batch row,
+    where the digest is a pure proxy (same equality, two md5 evaluations
+    per span saved, fewer shuffle bytes)."""
+    key = F.md5("g").alias("skey") if hashed else F.col("g")
     return base.select(
         "doc_id",
         F.posexplode(F.expr(_gram_concat_expr("w", _BOILER_N))).alias(
@@ -1993,7 +2006,7 @@ def _boiler_spans(base: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         (F.col("spos0") + 1).cast("bigint").alias("spos"),
-        F.md5("g").alias("skey"),
+        key,
     )
 
 
